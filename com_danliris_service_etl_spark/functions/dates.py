@@ -1,0 +1,118 @@
+"""Date/time scalar functions (SURVEY.md §2.9, D1-D8).
+
+Each function mirrors a `moment(...)`-based transform in the reference but
+compiles to a native Spark SQL expression (vectorized, codegen'd, no UDF).
+Reference sites are cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def day_diff(end: ColumnOrName, start: ColumnOrName) -> Column:
+    """D1 — whole-day difference on day-truncated dates.
+
+    Reference: `Pembelian/run.js:206-214` — moment(b).startOf('day')
+    .diff(moment(a).startOf('day'), 'days').
+    """
+    return F.datediff(F.to_date(_c(end)), F.to_date(_c(start)))
+
+
+def minute_diff(end: ColumnOrName, start: ColumnOrName) -> Column:
+    """D2 — duration in minutes between two timestamps.
+
+    Reference: `MonitoringEvent/run.js:232` (event duration),
+    `Pembelian/run.js:16` (job runtime minutes).
+    """
+    return (_c(end).cast("long") - _c(start).cast("long")) / F.lit(60.0)
+
+
+def to_jakarta(ts: ColumnOrName) -> Column:
+    """D3 — UTC → Asia/Jakarta (+7h, no DST) shift applied before every
+    output date format in the reference.
+
+    Reference: `Pembelian/run.js:218`, `Packing/run.js:122`. Jakarta has a
+    fixed +7 offset, so `from_utc_timestamp` and the reference's literal
+    `+7h` agree for all instants.
+    """
+    return F.from_utc_timestamp(_c(ts), "Asia/Jakarta")
+
+
+def fmt_date(ts: ColumnOrName) -> Column:
+    """D4 — format `YYYY-MM-DD` (`Pembelian/run.js:218`)."""
+    return F.date_format(_c(ts), "yyyy-MM-dd")
+
+
+def fmt_datetime(ts: ColumnOrName) -> Column:
+    """D4 — format `YYYY-MM-DD HH:mm:ss` (`DealTrackingActivity/run.js:98`)."""
+    return F.date_format(_c(ts), "yyyy-MM-dd HH:mm:ss")
+
+
+def fmt_time(ts: ColumnOrName) -> Column:
+    """D4 — format `HH:mm:ss` (`MonitoringEvent/run.js:239-240`)."""
+    return F.date_format(_c(ts), "HH:mm:ss")
+
+
+def epoch_millis_time_of_day(ms: ColumnOrName) -> Column:
+    """D8 — epoch-millis column → `HH:mm:ss` time-of-day string.
+
+    Reference: `MonitoringEvent/run.js:226,239-240` (timeInMilisStart).
+    """
+    return F.date_format(F.timestamp_millis(_c(ms).cast("long")), "HH:mm:ss")
+
+
+def reconstruct_timestamp(date_part: ColumnOrName, ms_time_part: ColumnOrName) -> Column:
+    """D5 — date from one column + time-of-day from an epoch-millis column.
+
+    Reference: `MonitoringEvent/run.js:225-231` builds an ISO timestamp from
+    `dateStart` + `timeInMilisStart`.
+    """
+    return F.to_timestamp(
+        F.concat(
+            F.date_format(_c(date_part), "yyyy-MM-dd"),
+            F.lit(" "),
+            F.date_format(F.timestamp_millis(_c(ms_time_part).cast("long")), "HH:mm:ss"),
+        )
+    )
+
+
+MIN_SQLSERVER_DATE = "1753-01-01"
+
+
+def clamp_min_date(ts: ColumnOrName) -> Column:
+    """D6 — dates below SQL Server's datetime minimum (1753-01-01) get the
+    year replaced with the current year (month/day preserved).
+
+    Reference: `Pembelian/run.js:5,108-118`, `GarmentPembelian/run.js:588-598`.
+    """
+    c = _c(ts)
+    return F.when(
+        c < F.lit(MIN_SQLSERVER_DATE).cast("timestamp"),
+        F.make_date(F.year(F.current_date()), F.month(c), F.dayofmonth(c)).cast("timestamp"),
+    ).otherwise(c)
+
+
+_YEAR_TYPO_PATTERNS: list[tuple[str, str]] = [
+    # `Pembelian/run.js:311` — .replace("/0017","/2017") family on formatted dates.
+    ("-00(1[4-9])-", "-20$1-"),
+]
+
+
+def repair_year_typos(formatted: ColumnOrName) -> Column:
+    """D7 — repair `0017`-style year typos on already-formatted date strings.
+
+    Reference: `Pembelian/run.js:311` chains six `.replace("/001X","/201X")`
+    calls; expressed here as one anchored regexp over the ISO form.
+    """
+    c = _c(formatted)
+    for pat, rep in _YEAR_TYPO_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c

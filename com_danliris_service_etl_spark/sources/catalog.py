@@ -1,0 +1,83 @@
+"""Table catalog: name → DataFrame, over parquet dirs or JDBC (S1/S2).
+
+The reference opens seven SQL Server connections (`Connection/*/`) and
+queries each with raw SQL; here every source is registered once and read
+declaratively, so Catalyst sees one plan spanning all sources (cross-DB
+joins J8 become ordinary joins).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class JdbcSource:
+    """JDBC source descriptor (SQL Server in the reference,
+    `Connection/Purchasing/purchasing-connection.js:3-12`).
+
+    At scale: always pass ``partition_column/num_partitions`` so the read
+    parallelizes; the reference's OFFSET/FETCH pagination (O4,
+    `FabricQC/run.js:75-77`) is replaced by partitioned range reads.
+    """
+
+    url: str
+    table: str
+    partition_column: str | None = None
+    num_partitions: int = 8
+    lower_bound: str | None = None
+    upper_bound: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Catalog:
+    """name → parquet path (test/bench) or JdbcSource (production shape)."""
+
+    spark: SparkSession
+    base_dir: str | None = None
+    tables: dict[str, str | JdbcSource] = field(default_factory=dict)
+
+    STANDARD_TABLES = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+
+    @classmethod
+    def for_dir(cls, spark: SparkSession, sf_dir: str | None = None) -> "Catalog":
+        """Catalog over a testdata scale-factor directory."""
+        d = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cat = cls(spark=spark, base_dir=d)
+        for t in cls.STANDARD_TABLES:
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                cat.tables[t] = p
+        return cat
+
+    def read(self, name: str) -> DataFrame:
+        src = self.tables[name]
+        if isinstance(src, JdbcSource):
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", src.url)
+                .option("dbtable", src.table)
+            )
+            if src.partition_column:
+                reader = (
+                    reader.option("partitionColumn", src.partition_column)
+                    .option("numPartitions", str(src.num_partitions))
+                    .option("lowerBound", src.lower_bound or "0")
+                    .option("upperBound", src.upper_bound or str(1 << 31))
+                )
+            for k, v in src.options.items():
+                reader = reader.option(k, v)
+            return reader.load()
+        return self.spark.read.parquet(src)
+
+    def register_views(self) -> None:
+        """Expose every table as a temp view for the SQL front-end."""
+        for name in self.tables:
+            self.read(name).createOrReplaceTempView(name)
