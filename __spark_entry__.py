@@ -11,7 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from com_danliris_service_etl_spark.plans.queries import REGISTRY
+from com_danliris_service_etl_spark.plans.registry import load_all
+
+REGISTRY = load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

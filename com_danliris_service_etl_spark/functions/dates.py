@@ -100,19 +100,11 @@ def clamp_min_date(ts: ColumnOrName) -> Column:
     ).otherwise(c)
 
 
-_YEAR_TYPO_PATTERNS: list[tuple[str, str]] = [
-    # `Pembelian/run.js:311` — .replace("/0017","/2017") family on formatted dates.
-    ("-00(1[4-9])-", "-20$1-"),
-]
-
-
-def repair_year_typos(formatted: ColumnOrName) -> Column:
-    """D7 — repair `0017`-style year typos on already-formatted date strings.
+def repair_year_typos(formatted: ColumnOrName, century: str = "20") -> Column:
+    """D7 — repair `0017`-style century typos on already-formatted date
+    strings: a leading `00` century is replaced with the intended one.
 
     Reference: `Pembelian/run.js:311` chains six `.replace("/001X","/201X")`
-    calls; expressed here as one anchored regexp over the ISO form.
+    calls; generalized to one anchored regexp over the leading year.
     """
-    c = _c(formatted)
-    for pat, rep in _YEAR_TYPO_PATTERNS:
-        c = F.regexp_replace(c, pat, rep)
-    return c
+    return F.regexp_replace(_c(formatted), r"^00(\d{2})", f"{century}$1")

@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale text corpora.
+
+Extensions beyond the reference surface (BASELINE.json north star): exact
+dedup, MinHash+LSH near-dup candidate generation, SimHash fingerprints, and
+blocked n-gram Jaccard. All are pure DataFrame compositions (no Python
+UDFs), so they scale: the only shuffles are the per-doc aggregations and
+the LSH band self-join, each keyed to spread uniformly.
+
+Determinism contract: every hash is md5 of an explicitly-constructed string,
+so results are reproducible across engines (the DuckDB oracle mirrors the
+same expressions) and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PERMS = 16
+DEFAULT_BANDS = 4
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-group documents by content digest; keeper = min id.
+
+    At 100 TB: a single shuffle on the digest (uniformly distributed), with
+    map-side partial aggregation; no row ever carries the full text past the
+    digest computation (column pruned)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small corpora often arrive as one parquet file = one partition; the
+    per-token/shingle hashing below is CPU-bound, so spread rows across the
+    cluster first (one cheap shuffle of the compact doc rows buys full
+    parallelism for the expensive explode+hash stages). At 100 TB the input
+    already has thousands of partitions and AQE elides the extra exchange."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Word k-shingles per document (documents with < k tokens drop out —
+    mirrored in the oracle). Duplicates are NOT removed: every consumer
+    (min-aggregation) is duplicate-insensitive, so a distinct here would be
+    a pure extra shuffle."""
+    toks = _spread(docs).select(id_col, F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= k
+    )
+    # Spark SQL array indexing is 0-based: shingle i = tokens[i..i+k-1].
+    idx_terms = ", ".join(f"t[i+{j}]" for j in range(k))
+    return toks.select(
+        id_col,
+        F.explode(
+            F.expr(f"transform(sequence(0, size(t)-{k}), i -> concat_ws(' ', {idx_terms}))")
+        ).alias("s"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for permutation p, the minimum of
+    md5('p:' || shingle) over the doc's shingle set (min over md5 hex
+    strings is a valid random total order per permutation).
+
+    One shuffle (groupBy doc) with n_perms min-aggregates — map-side
+    combinable, so the exchange carries one row per (doc, partition)."""
+    sh = _shingles(docs, text_col, id_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
+        for p in range(n_perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding over MinHash
+    signatures, with the estimated Jaccard (fraction of agreeing
+    permutations) attached.
+
+    Scale shape: signatures (1 row/doc) → explode to `bands` rows/doc →
+    self-join on (band_idx, band_hash). The join key is a hash, so skew only
+    arises from true duplicate clusters — exactly the rows we want colliding.
+    No O(n²) stage exists; cost is O(candidate pairs)."""
+    rows_per_band = n_perms // bands
+    sig = minhash_signatures(docs, text_col, id_col, n_perms, shingle_k).select(
+        id_col, F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
+    )
+
+    # Carry the full signature through the band explode so candidate pairs
+    # can be verified in the SAME join — one aggregation shuffle + one
+    # equi-join total, no signature re-join stages.
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[p] for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+
+    # Group members per (band, hash) bucket and generate the i<j pairs
+    # INSIDE the group (sorted members ⇒ doc_a < doc_b for free): one
+    # shuffle total, and the signature pipeline is computed once — a
+    # band-on-band self-join would re-run the whole upstream per side.
+    # Bucket sizes equal true duplicate-cluster sizes, so the collect_list
+    # state stays small; a pathological all-identical corpus degrades to
+    # one n² bucket — exactly the same worst case as any LSH formulation —
+    # and would be capped upstream by sampling such clusters.
+    grouped = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (m, i) -> "
+        "  transform(slice(ms, i + 2, size(ms)), n -> struct("
+        "    m.id AS doc_a, n.id AS doc_b,"
+        "    aggregate(zip_with(m.sig, n.sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
+        f"              0, (acc, v) -> acc + v) / {float(n_perms)} AS est_jaccard))))"
+    )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hex_chars: int = 4
+) -> DataFrame:
+    """SimHash fingerprint (4 bits per md5 hex char → 16-bit default):
+    token-frequency-weighted bit votes; bit b of the fingerprint is 1 iff
+    the sum of ±1 votes over all tokens is positive.
+
+    Single shuffle (groupBy doc, 16 map-side-combinable sums); near-dup
+    search over the fingerprints is a bit_count(xor) self-join, optionally
+    blocked on a fingerprint prefix."""
+    toks = _spread(docs).select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.substring(F.md5(F.col("tok")), 1, hex_chars))
+
+    aggs = []
+    for j in range(hex_chars):  # hex char j → nibble value 0-15
+        nib = f"(instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+        for k in range(4):
+            bit = 4 * j + k
+            aggs.append(
+                F.sum(F.expr(f"CASE WHEN (({nib} >> {k}) & 1) = 1 THEN 1 ELSE -1 END")).alias(
+                    f"v{bit}"
+                )
+            )
+    votes = toks.groupBy(id_col).agg(*aggs)
+
+    fp = None
+    for bit in range(4 * hex_chars):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    size_bucket_col: str = "n_chars",
+    size_bucket_width: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard: candidate pairs are restricted to
+    the same (block_cols, size-bucket) block, so cost is Σ block² not n² —
+    the blocking key is the scale lever (tighter buckets at larger corpora).
+    """
+    prepped = _spread(docs).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.floor(F.col(size_bucket_col) / size_bucket_width).alias("size_bucket"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.size_bucket") == F.col("b.size_bucket")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

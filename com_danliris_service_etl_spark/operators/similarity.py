@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a sign-bit LSH-bucketed
+variant as the scale path (probes one bucket instead of the full corpus).
+Both are pure DataFrame compositions; the dot product is a sequential
+left-fold in double precision so results are bit-identical across engines
+and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Sequential left-fold dot product / norm in DOUBLE. The float32 source is
+# cast element-wise first: float arithmetic would differ between engines.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
+    " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)),"
+    " cast(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def cosine(col_a: str, col_b: str):
+    dot = F.expr(_DOT.format(a=col_a, b=col_b))
+    return dot / (F.expr(_NORM.format(a=col_a)) * F.expr(_NORM.format(a=col_b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector against the corpus.
+
+    Plan shape: broadcast the (small) query set against the corpus —
+    a broadcast-nested-loop join that streams the corpus once, no shuffle of
+    the big side; the per-query top-k is a window over (query, score).
+    At 100 TB replace the final window with per-partition top-k + re-reduce
+    (TakeOrdered semantics) — expressed here via the rank window which AQE
+    keeps partitioned by query id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def signbit_bucket(vec_col: str, n_bits: int = 8):
+    """Deterministic sign-bit LSH bucket: bit d = sign(vec[d]) for the first
+    n_bits dimensions (Spark SQL arrays are 0-based)."""
+    terms = " + ".join(
+        f"(CASE WHEN {vec_col}[{d}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(n_bits)
+    )
+    return F.expr(terms)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bit
+    bucket (2^n_bits buckets). The candidate join becomes an equi-join on
+    the bucket id — shuffle-partitionable and skew-handled by AQE — instead
+    of a full cross product: the 100 TB path."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        signbit_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        signbit_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

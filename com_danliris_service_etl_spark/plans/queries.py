@@ -13,8 +13,6 @@ name — BASELINE.md):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -56,36 +54,12 @@ from com_danliris_service_etl_spark.operators.windows import (
     surrogate_key,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# registry: name -> (spark_fn, oracle_sql | None)
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` replaced by `ts_us` (epoch MICROS long) and `ts_utc`
-    (micros TimestampType) — the parquet column is TIMESTAMP(NANOS), which
-    Spark reads as a nanos long (session.py nanosAsLong) and DuckDB truncates
-    to a micros TIMESTAMP; epoch-micros is the representation both engines
-    agree on exactly (oracle side: ``epoch_us(ts)``)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
-        .drop("ts")
-    )
+from com_danliris_service_etl_spark.plans.registry import (
+    REGISTRY,
+    _events,
+    _t,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------

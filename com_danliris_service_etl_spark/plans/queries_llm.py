@@ -1,0 +1,302 @@
+"""LLM-training-data pipeline queries (BASELINE.json north star): dedup,
+similarity search, text analysis, multimodal plumbing — over the
+`documents` and `embeddings` tables.
+
+Oracle SQL is generated programmatically next to each Spark plan so the two
+sides stay expression-for-expression identical (same hash inputs, same fold
+order, same rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators import dedup as dd
+from com_danliris_service_etl_spark.operators import multimodal as mm
+from com_danliris_service_etl_spark.operators import similarity as sim
+from com_danliris_service_etl_spark.operators import text as tx
+from com_danliris_service_etl_spark.operators.text import LANG_MARKERS
+from com_danliris_service_etl_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd1_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: digest → (keeper, count). One uniform shuffle."""
+    return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sql(n_perms: int = 16, bands: int = 4, k: int = 3) -> str:
+    rpb = n_perms // bands
+    mins = ",\n             ".join(
+        f"min(md5('{p}:' || s)) AS mh{p}" for p in range(n_perms)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({parts})".format(
+            b=b, parts=" || ".join(f"mh{p}" for p in range(b * rpb, (b + 1) * rpb))
+        )
+        for b in range(bands)
+    )
+    est = " + ".join(f"CASE WHEN sa.mh{p} = sb.mh{p} THEN 1 ELSE 0 END" for p in range(n_perms))
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, {shingle} AS s
+           FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+           WHERE len(t) >= {k}),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b.b AS band_idx, CASE b.b {band_cases} END AS band_hash
+              FROM mh, (VALUES (0),(1),(2),(3)) b(b)),
+    pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bands x JOIN bands y
+                ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                   AND x.doc_id < y.doc_id)
+    SELECT p.doc_a, p.doc_b, ({est}) / {float(n_perms)} AS est_jaccard
+    FROM pairs p JOIN mh sa ON sa.doc_id = p.doc_a JOIN mh sb ON sb.doc_id = p.doc_b
+    """
+
+
+@register("dd2_minhash_lsh", _minhash_sql())
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) near-dup candidate pairs with
+    estimated Jaccard. No O(n²) stage — see operators/dedup.py."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(hex_chars: int = 4) -> str:
+    votes = []
+    for j in range(hex_chars):
+        nib = f"(strpos('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+        for kbit in range(4):
+            bit = 4 * j + kbit
+            votes.append(
+                f"sum(CASE WHEN (({nib} >> {kbit}) & 1) = 1 THEN 1 ELSE -1 END) AS v{bit}"
+            )
+    votes_sql = ",\n               ".join(votes)
+    fp = " + ".join(
+        f"CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END" for bit in range(4 * hex_chars)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, substring(md5(tok), 1, {hex_chars}) AS h FROM toks),
+    votes AS (SELECT doc_id, {votes_sql}
+              FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("dd3_simhash", _simhash_sql())
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit, token-frequency weighted)."""
+    return dd.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd4_ngram_jaccard",
+    """
+    WITH prepped AS (
+      SELECT doc_id, lang, source, CAST(floor(n_chars / 50) AS BIGINT) AS size_bucket,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                   CAST(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
+      FROM prepped a JOIN prepped b
+        ON a.lang = b.lang AND a.source = b.source
+           AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-set Jaccard near-dup pairs (block = lang × size
+    bucket): Σ block² cost, not n²."""
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _cosine_sql(where: str, join: str) -> str:
+    dot = _FOLD_DOT.format(a="q.qv", b="c.cv")
+    nq = _FOLD_DOT.format(a="q.qv", b="q.qv")
+    nc = _FOLD_DOT.format(a="c.cv", b="c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings {where}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS cos_sim
+      FROM q JOIN c ON query_id <> neighbor_id {join})
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("sim1_cosine_topk", _cosine_sql("WHERE vec_id < 10", ""))
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+)
+
+
+@register(
+    "sim2_lsh_bucketed_topk",
+    _cosine_sql(
+        "WHERE vec_id < 10",
+        "AND (" + _BUCKET_SQL.format(v="q.qv") + ") = (" + _BUCKET_SQL.format(v="c.cv") + ")",
+    ),
+)
+def sim2_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's sign-bit LSH
+    bucket — the equi-join scale path (no cross product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txt1_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           round(CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                                                                 t -> length(t))),
+                                  (a, b) -> a + b) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def txt1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _hits_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+@register(
+    "txt2_quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST({_hits_sql(LANG_MARKERS["en"])} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                                                             t -> length(t))),
+                              (a, b) -> a + b) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_len
+      FROM documents)
+    SELECT doc_id,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           round(avg_len, 6) AS avg_token_len,
+           round(stop_ratio * 0.3 + distinct_ratio * 0.5
+                 + least(avg_len / 10.0, 1.0) * 0.2, 6) AS quality
+    FROM feat
+    """,
+)
+def txt2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n             ".join(
+        f"{_hits_sql(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = " ".join(cases)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_actual,
+             {scores}
+      FROM documents)
+    SELECT doc_id, lang_actual, CASE {case_sql} END AS lang_pred FROM scored
+    """
+
+
+@register("txt3_langid", _langid_sql())
+def txt3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic alphabetical-argmax."""
+    return tx.detect_language(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "txt4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def txt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (sorted-distinct-token) fingerprint for reorder-resistant dedup."""
+    return tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm1_binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256_hex
+    FROM documents
+    """,
+)
+def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata (length + SHA-256) over binary payload columns."""
+    return mm.binary_metadata(_t(spark, sf_dir, "documents"))
+
+
+@register("mm2_decode_features", None)  # Pandas-UDF path: rows-only check
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas. The decoder is
+    a documented deterministic stub (no media libs in the image); the
+    plumbing — schema, batching, UDF signature — is the real contract."""
+    return mm.extract_features(_t(spark, sf_dir, "documents"))

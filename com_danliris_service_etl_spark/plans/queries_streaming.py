@@ -1,0 +1,114 @@
+"""Windowed event-time queries (engine extensions over the `events` fixture
+— SURVEY.md §2.12 notes the reference has no streaming runtime; these are
+the standard tumbling/sliding/session operators, in batch mode for the
+oracle gate. streaming/jobs.py runs the same tumbling aggregation as a real
+Structured Streaming query; tests assert stream ≡ batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.plans.registry import _events, register
+
+
+@register(
+    "st1_tumbling_window",
+    """
+    SELECT epoch_us(bucket) AS window_start_us,
+           epoch_us(bucket + INTERVAL 1 HOUR) AS window_end_us,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type, value FROM events)
+    GROUP BY bucket, event_type
+    """,
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: count + sum per (window, event_type)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_utc", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            F.unix_micros(F.col("window.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st2_sliding_window",
+    """
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) o(off)),
+    bucketed AS (
+      SELECT time_bucket(INTERVAL 2 HOUR, ts,
+                         TIMESTAMP '2000-01-01' + to_hours(off)) AS w_start,
+             event_type, value
+      FROM events, offsets)
+    SELECT epoch_us(w_start) AS window_start_us,
+           epoch_us(w_start + INTERVAL 2 HOUR) AS window_end_us,
+           event_type, count(*) AS n
+    FROM bucketed GROUP BY w_start, event_type
+    """,
+)
+def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event lands in 2 windows.
+    The oracle reproduces Spark's window set as 2 offset tumbling bucketings."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_utc", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            F.unix_micros(F.col("window.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "st3_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                       OR lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
+    the batch twin of streaming session_window. One shuffle on user_id;
+    both windows share the same partitioning so Catalyst plans a single
+    exchange."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.select("user_id", "event_id", "ts_us")
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+    )

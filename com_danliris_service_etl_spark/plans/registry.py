@@ -1,0 +1,55 @@
+"""Query registry shared by all query-family modules.
+
+Each entry pairs a Spark query function (spark, sf_dir) -> DataFrame with a
+DuckDB oracle SQL string (or None for non-SQL-expressible ops, which get the
+driver's weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` replaced by `ts_us` (epoch MICROS long) and `ts_utc`
+    (micros TimestampType) — the parquet column is TIMESTAMP(NANOS), which
+    Spark reads as a nanos long (session.py nanosAsLong) and DuckDB truncates
+    to a micros TIMESTAMP; epoch-micros is the representation both engines
+    agree on exactly (oracle side: ``epoch_us(ts)``)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts")
+    )
+
+
+def load_all() -> dict[str, tuple[QueryFn, str | None]]:
+    """Import every query-family module (side effect: registration)."""
+    from com_danliris_service_etl_spark.plans import (  # noqa: F401
+        queries,
+        queries_llm,
+        queries_scalars,
+        queries_streaming,
+    )
+
+    return REGISTRY

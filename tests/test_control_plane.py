@@ -1,0 +1,88 @@
+"""Watermark protocol + MERGE sink tests (SURVEY.md §5.4: idempotence /
+incremental semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.sources.sinks import date_dimension, merge_upsert
+from com_danliris_service_etl_spark.sources.watermark import EPOCH, WatermarkStore
+
+
+def test_watermark_protocol(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    job = "Fact Pembelian"
+    # no runs yet → epoch fallback (`Pembelian/run.js:121`)
+    assert store.read_watermark(job) == EPOCH
+
+    t1 = dt.datetime(2024, 1, 1, 22, 0)
+    t2 = dt.datetime(2024, 1, 2, 22, 0)
+    store.commit_run(job, t1, t1 + dt.timedelta(minutes=5), "Successful", 100)
+    store.commit_run(job, t2, t2 + dt.timedelta(minutes=5), "Failed: boom", None)
+    # failed run does not advance the watermark
+    assert store.read_watermark(job) == t1
+    store.commit_run(job, t2, t2 + dt.timedelta(minutes=6), "Successful", 120)
+    assert store.read_watermark(job) == t2
+    # unrelated job unaffected
+    assert store.read_watermark("Fact Kanban") == EPOCH
+
+
+def test_incremental_filter(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    job = "j"
+    t1 = dt.datetime(2024, 1, 2)
+    store.commit_run(job, t1, t1, "Successful")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, dt.datetime(2024, 1, 3))],
+        "id long, lastmodifiedutc timestamp",
+    )
+    # strict > (Pembelian flavor) vs >= (GarmentPembelian flavor)
+    assert [r.id for r in store.incremental(df, job).orderBy("id").collect()] == [3]
+    assert [r.id for r in store.incremental(df, job, inclusive=True).orderBy("id").collect()] == [2, 3]
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, amt double"
+    )
+    merge_upsert(spark, target, batch, keys=["id"])
+    merge_upsert(spark, target, batch, keys=["id"])  # re-run: unchanged
+    got = spark.read.parquet(target).orderBy("id").collect()
+    assert [(r.id, r.name, r.amt) for r in got] == [(1, "a", 10.0), (2, "b", 20.0)]
+
+    # update one, insert one
+    delta = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id long, name string, amt double"
+    )
+    merge_upsert(spark, target, delta, keys=["id"])
+    got = spark.read.parquet(target).orderBy("id").collect()
+    assert [(r.id, r.name, r.amt) for r in got] == [
+        (1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0),
+    ]
+
+
+def test_merge_upsert_dedupes_batch_on_order_col(spark, tmp_path):
+    target = str(tmp_path / "fact2")
+    batch = spark.createDataFrame(
+        [(1, "old", dt.datetime(2024, 1, 1)), (1, "new", dt.datetime(2024, 1, 2))],
+        "id long, v string, modified timestamp",
+    )
+    merge_upsert(spark, target, batch, keys=["id"], order_col="modified")
+    got = spark.read.parquet(target).collect()
+    assert len(got) == 1 and got[0].v == "new"
+
+
+def test_date_dimension(spark):
+    facts = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 29, 10, 0),), (dt.datetime(2024, 2, 29, 23, 0),), (None,)],
+        "d timestamp",
+    )
+    dim = date_dimension(spark, facts, "d").collect()
+    assert len(dim) == 1
+    row = dim[0]
+    assert (row.year, row.quarter, row.month, row.day) == (2024, 1, 2, 29)
+    assert row.day_name == "Thursday"

@@ -1,0 +1,129 @@
+"""Job-runner end-to-end test: a Pembelian-shaped pipeline (watermark →
+multi-way left join + broadcast currency probe → scalar transforms → MERGE)
+over FIXTURES.md-shaped inline data, run twice for idempotence and once
+incrementally (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.functions import (
+    bucket_days_week,
+    day_diff,
+    on_time_status,
+    quote_sanitize,
+)
+from com_danliris_service_etl_spark.operators.joins import first_match_join
+from com_danliris_service_etl_spark.plans.jobs import JobSpec, run_job
+from com_danliris_service_etl_spark.sources.catalog import Catalog
+from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    """FIXTURES.md §1 purchasing-chain shaped sources."""
+    pr = spark.createDataFrame(
+        [
+            (1, "PR-001", "BAHAN BAKU", "dev's unit", dt.datetime(2024, 1, 5),
+             dt.datetime(2024, 1, 20), "alice", False),
+            (2, "PR-002", "ACC", "weaving", dt.datetime(2024, 1, 6),
+             dt.datetime(2024, 1, 10), "dev", False),  # excluded: test user (P4)
+            (3, "PR-003", "ACC", "spin", dt.datetime(2024, 1, 7),
+             dt.datetime(2024, 1, 25), "bob", True),  # excluded: soft-deleted (P3)
+            (4, "PR-004", None, "print", dt.datetime(2024, 1, 8),
+             dt.datetime(2024, 1, 9), "carol", False),
+        ],
+        "id long, no string, categoryName string, unitName string, "
+        "lastModifiedUtc timestamp, expectedDeliveryDate timestamp, "
+        "createdBy string, isDeleted boolean",
+    )
+    po = spark.createDataFrame(
+        [
+            (10, 1, "PO-1", "USD", dt.datetime(2024, 1, 18)),
+            (11, 4, "PO-4", "IDR", dt.datetime(2024, 1, 12)),
+        ],
+        "id long, prId long, poNo string, currencyCode string, doDate timestamp",
+    )
+    currencies = spark.createDataFrame(
+        [("USD", 15000.0, dt.datetime(2024, 1, 1)), ("USD", 15500.0, dt.datetime(2024, 1, 2))],
+        "code string, rate double, date timestamp",
+    )
+    cat = Catalog(spark=spark)
+    base = tmp_path / "src"
+    for name, df in [("purchaserequests", pr), ("purchaseorders", po), ("currencies", currencies)]:
+        p = str(base / name)
+        df.write.parquet(p)
+        cat.tables[name] = p
+    return cat
+
+
+def _build(spark, catalog, wm):
+    pr = catalog.read("purchaserequests").filter(
+        (F.col("lastModifiedUtc") > F.lit(wm))
+        & (~F.col("isDeleted"))
+        & (~F.col("createdBy").isin("dev", "unit-test"))
+    )
+    po = catalog.read("purchaseorders")
+    cur = catalog.read("currencies").withColumnRenamed("code", "currencyCode")
+    j = pr.join(po, pr.id == po.prId, "left").select(
+        pr.id.alias("prId"), "no", "categoryName", "unitName",
+        "expectedDeliveryDate", "poNo", "currencyCode", "doDate",
+    )
+    # J3 currency probe: first match = latest rate (broadcast dim)
+    j = first_match_join(
+        j, cur, on="currencyCode", order_by=F.col("date").desc(), broadcast_right=True
+    )
+    return j.select(
+        "prId",
+        quote_sanitize("unitName").alias("unitName"),
+        F.coalesce("rate", F.lit(1.0)).alias("currencyRate"),
+        day_diff("doDate", "expectedDeliveryDate").alias("delay_days"),
+        bucket_days_week(day_diff("doDate", "expectedDeliveryDate")).alias("delay_bucket"),
+        on_time_status("doDate", "expectedDeliveryDate").alias("ontime"),
+    )
+
+
+def test_pembelian_shaped_job(spark, catalog, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    spec = JobSpec("Fact Pembelian Test", _build, ["prId"], str(tmp_path / "fact"))
+
+    res = run_job(spark, spec, catalog, store)
+    assert res.status == "Successful"
+    fact = spark.read.parquet(spec.target)
+    rows = {r.prId: r for r in fact.collect()}
+    # dev-created + soft-deleted PRs excluded; alice & carol flow through
+    assert set(rows) == {1, 4}
+    assert rows[1].unitName == 'dev"s unit'  # T1 quote sanitization
+    assert rows[1].currencyRate == 15500.0  # latest USD rate won (J3/J6 tiebreak)
+    assert rows[1].ontime == "Tepat Waktu"  # doDate 01-18 <= expected 01-20
+    assert rows[4].currencyRate == 1.0  # IDR: no rate → default 1
+    assert rows[4].delay_bucket == "0-7 hari"
+
+    # idempotent re-run: watermark advanced, zero new rows, fact unchanged
+    res2 = run_job(spark, spec, catalog, store)
+    assert res2.rows == 0
+    assert spark.read.parquet(spec.target).count() == 2
+
+    # incremental: touch PR 4 after the watermark → only it re-flows
+    wm = store.read_watermark(spec.name)
+    upd = spark.createDataFrame(
+        [(4, "PR-004", None, "print2", wm + dt.timedelta(days=1),
+          dt.datetime(2024, 1, 9), "carol", False)],
+        "id long, no string, categoryName string, unitName string, "
+        "lastModifiedUtc timestamp, expectedDeliveryDate timestamp, "
+        "createdBy string, isDeleted boolean",
+    )
+    old = spark.read.parquet(catalog.tables["purchaserequests"])
+    merged = old.filter(F.col("id") != 4).unionByName(upd)
+    merged.write.mode("overwrite").parquet(str(tmp_path / "src2"))
+    catalog.tables["purchaserequests"] = str(tmp_path / "src2")
+
+    res3 = run_job(spark, spec, catalog, store)
+    assert res3.rows == 1
+    fact = {r.prId: r for r in spark.read.parquet(spec.target).collect()}
+    assert set(fact) == {1, 4}
+    assert fact[4].unitName == "print2"  # updated in place (MERGE)
+    assert fact[1].unitName == 'dev"s unit'  # untouched row preserved

@@ -1,0 +1,123 @@
+"""Operator-level unit tests (SURVEY.md §5.1): boundary values for the
+scalar library and determinism contracts for the custom joins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.functions import (
+    bucket_days_month,
+    bucket_days_week,
+    category_garment,
+    clamp_min_date,
+    nan_guard,
+    on_time_status,
+    repair_year_typos,
+    uom_to_meter,
+)
+from com_danliris_service_etl_spark.operators.joins import asof_join, first_match_join
+from com_danliris_service_etl_spark.operators.multimodal import extract_features
+
+
+def _one(spark, expr_col, **cols):
+    schema = ", ".join(f"{k} {v[1]}" for k, v in cols.items())
+    df = spark.createDataFrame([tuple(v[0] for v in cols.values())], schema)
+    return df.select(expr_col.alias("out")).collect()[0].out
+
+
+def test_bucket_week_boundaries(spark):
+    # M4 boundaries at 7/8, 14/15, 30/31 (`Pembelian/run.js:77-87`)
+    df = spark.createDataFrame([(d,) for d in [0, 7, 8, 14, 15, 30, 31, None]], "d int")
+    got = [r.b for r in df.select(bucket_days_week("d").alias("b")).collect()]
+    assert got == [
+        "0-7 hari", "0-7 hari", "8-14 hari", "8-14 hari",
+        "15-30 hari", "15-30 hari", ">30 hari", None,
+    ]
+
+
+def test_bucket_month_boundaries(spark):
+    df = spark.createDataFrame([(d,) for d in [30, 31, 60, 61, 90, 91]], "d int")
+    got = [r.b for r in df.select(bucket_days_month("d").alias("b")).collect()]
+    assert got == [
+        "0-30 hari", "31-60 hari", "31-60 hari", "61-90 hari", "61-90 hari", ">90 hari",
+    ]
+
+
+def test_clamp_min_date_at_boundary(spark):
+    # D6: 1752-12-31 clamps (year → current); 1753-01-01 passes through
+    df = spark.createDataFrame(
+        [(dt.datetime(1752, 12, 31),), (dt.datetime(1753, 1, 1),)], "d timestamp"
+    )
+    got = df.select(clamp_min_date("d").alias("c")).collect()
+    assert got[0].c.year == dt.date.today().year
+    assert (got[0].c.month, got[0].c.day) == (12, 31)
+    assert got[1].c == dt.datetime(1753, 1, 1)
+
+
+def test_uom_and_category_and_ontime(spark):
+    assert _one(spark, uom_to_meter("q", "u"), q=(10.0, "double"), u=("YARD", "string")) == 9.144
+    assert _one(spark, uom_to_meter("q", "u"), q=(10.0, "double"), u=("MTR", "string")) == 10.0
+    assert _one(spark, category_garment("c"), c=("FAB", "string")) == "Bahan Baku"
+    assert _one(spark, category_garment("c"), c=("wsh", "string")) == "Jasa"
+    assert _one(spark, category_garment("c"), c=("zzz", "string")) == "Accessories"
+    on_time = _one(
+        spark,
+        on_time_status("a", "p"),
+        a=(dt.datetime(2024, 1, 1), "timestamp"),
+        p=(dt.datetime(2024, 1, 1), "timestamp"),
+    )
+    assert on_time == "Tepat Waktu"
+
+
+def test_nan_guard_and_year_repair(spark):
+    assert _one(spark, nan_guard("x"), x=(None, "double")) == 0.0
+    assert _one(spark, nan_guard("x"), x=(float("nan"), "double")) == 0.0
+    assert _one(spark, nan_guard("x"), x=(2.5, "double")) == 2.5
+    assert _one(spark, repair_year_typos("s"), s=("0017-05-12", "string")) == "2017-05-12"
+    assert _one(spark, repair_year_typos("s", "19"), s=("0095-01-01", "string")) == "1995-01-01"
+    # untouched when the century is present
+    assert _one(spark, repair_year_typos("s"), s=("2017-05-12", "string")) == "2017-05-12"
+
+
+def test_first_match_join_deterministic(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 1), (1, "c", 3)], "k long, v string, ord int"
+    )
+    got = first_match_join(left, right, "k", F.col("ord")).orderBy("k").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a"), (2, None)]
+
+
+def test_asof_join_exact_and_between(spark):
+    # J7: rate picked at date == doDate (exact match allowed) and latest-before
+    fact = spark.createDataFrame(
+        [(1, "USD", dt.datetime(2024, 1, 10)), (2, "USD", dt.datetime(2024, 1, 4)),
+         (3, "EUR", dt.datetime(2024, 1, 1))],
+        "fid long, code string, doDate timestamp",
+    )
+    rates = spark.createDataFrame(
+        [("USD", dt.datetime(2024, 1, 10), 15000.0), ("USD", dt.datetime(2024, 1, 1), 14000.0),
+         ("EUR", dt.datetime(2024, 2, 1), 17000.0)],
+        "code string, rdate timestamp, rate double",
+    )
+    out = asof_join(
+        fact, rates, left_on="doDate", right_on="rdate", by=[("code", "code")]
+    )
+    got = {r.fid: r.rate for r in out.collect()}
+    assert got[1] == 15000.0  # exact-date match
+    assert got[2] == 14000.0  # latest before
+    assert got[3] is None  # no rate yet → caller coalesces to 1 (GarmentTotalHutang/run.js:213)
+    # default-rate composition
+    out2 = out.withColumn("rate_eff", F.coalesce("rate", F.lit(1.0)))
+    assert {r.fid: r.rate_eff for r in out2.collect()}[3] == 1.0
+
+
+def test_extract_features_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r for r in extract_features(docs).collect()}
+    assert got[1].n_bytes == 5
+    assert len(got[1].features) == 4
+    assert got[1].features[0] == 5.0
+    assert got[2].features == [0.0, 0.0, 0.0, 0.0]

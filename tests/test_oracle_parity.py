@@ -7,7 +7,9 @@ from __future__ import annotations
 
 import pytest
 
-from com_danliris_service_etl_spark.plans.queries import REGISTRY
+from com_danliris_service_etl_spark.plans.registry import load_all
+
+REGISTRY = load_all()
 from tests.conftest import SF_DIR, assert_frames_match
 
 
