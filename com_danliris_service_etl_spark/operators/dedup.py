@@ -213,3 +213,39 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Blocking on ``block_col`` (a cluster/partition assignment — here the
+    corpus label; at scale a coarse k-means or LSH bucket id) turns the n²
+    self-join into an equi-join: Σ block² comparisons, shuffle keyed on the
+    block so AQE can split skewed blocks. With ``block_col=None`` it degrades
+    to the exact cross-product baseline (small corpora / verification only).
+    """
+    from com_danliris_service_etl_spark.operators.similarity import cosine
+
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
+    prepped = embeddings.select(*cols)
+    a, b = prepped.alias("a"), prepped.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(f"a.{vec_col}", f"b.{vec_col}"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -47,6 +47,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
     """Import every query-family module (side effect: registration)."""
     from com_danliris_service_etl_spark.plans import (  # noqa: F401
         queries,
+        queries_gaps,
         queries_llm,
         queries_scalars,
         queries_streaming,
