@@ -81,3 +81,20 @@ class Catalog:
         """Expose every table as a temp view for the SQL front-end."""
         for name in self.tables:
             self.read(name).createOrReplaceTempView(name)
+
+
+@dataclass
+class MemoryCatalog(Catalog):
+    """Catalog over in-memory DataFrames (tests / notebooks)."""
+
+    frames: dict = field(default_factory=dict)
+
+    def read(self, name: str) -> DataFrame:
+        if name in self.frames:
+            return self.frames[name]
+        return super().read(name)
+
+    def register_views(self) -> None:
+        for name, df in self.frames.items():
+            df.createOrReplaceTempView(name)
+        super().register_views()
