@@ -60,6 +60,18 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
     )
 
 
+# Universal-hash permutation family over a single 32-bit base hash:
+# perm p of shingle s = (A_p * h(s) + B_p) mod PRIME, h = first 8 md5 hex
+# chars as uint32. ONE md5 per shingle (vs one per perm) — the md5 was the
+# dominant CPU cost of the signature stage. Constants are deterministic and
+# mirrored verbatim in the DuckDB oracle.
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _perm_consts(n_perms: int) -> list[tuple[int, int]]:
+    return [(1_000_003 * p + 12_345, 7_919 * p + 104_729) for p in range(n_perms)]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -68,15 +80,16 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for permutation p, the minimum of
-    md5('p:' || shingle) over the doc's shingle set (min over md5 hex
-    strings is a valid random total order per permutation).
+    (A_p·h(shingle)+B_p) mod PRIME over the doc's shingle set.
 
     One shuffle (groupBy doc) with n_perms min-aggregates — map-side
-    combinable, so the exchange carries one row per (doc, partition)."""
+    combinable, so the exchange carries one row per (doc, partition);
+    A_p·h < 2^24·2^32 = 2^56 keeps the arithmetic inside int64."""
     sh = _shingles(docs, text_col, id_col, shingle_k)
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
-        for p in range(n_perms)
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{p}")
+        for p, (a, b) in enumerate(_perm_consts(n_perms))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -109,7 +122,12 @@ def minhash_lsh_pairs(
     for b in range(bands):
         parts = [F.col("sig")[p] for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*parts)).alias("band_hash"))
+            # concat_ws over the stringified bigints: an unambiguous band
+            # key both engines render identically.
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(":", *[p.cast("string") for p in parts])).alias("band_hash"),
+            )
         )
     banded = sig.select(
         F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
@@ -230,9 +248,12 @@ def embedding_neardup_pairs(
     block so AQE can split skewed blocks. With ``block_col=None`` it degrades
     to the exact cross-product baseline (small corpora / verification only).
     """
-    from com_danliris_service_etl_spark.operators.similarity import cosine
+    from com_danliris_service_etl_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
 
-    cols = [F.col(id_col), F.col(vec_col)] + (
+    cols = [F.col(id_col), F.col(vec_col), norm(vec_col).alias("__norm")] + (
         [F.col(block_col)] if block_col else []
     )
     prepped = embeddings.select(*cols)
@@ -245,7 +266,10 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(f"a.{vec_col}", f"b.{vec_col}"), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(f"a.{vec_col}", f"b.{vec_col}", "a.__norm", "b.__norm"),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

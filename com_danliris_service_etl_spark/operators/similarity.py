@@ -29,6 +29,20 @@ def cosine(col_a: str, col_b: str):
     return dot / (F.expr(_NORM.format(a=col_a)) * F.expr(_NORM.format(a=col_b)))
 
 
+def norm(vec_col: str):
+    """L2 norm as a per-row column. Computing norms BEFORE a pairwise join
+    turns the per-pair cost from 3 array folds into 1 (the dot product):
+    O(n·d) norm work instead of O(pairs·d) — the difference between
+    seconds and minutes on a blocked self-join, and bit-identical to the
+    per-pair formulation (same fold, same operand order)."""
+    return F.expr(_NORM.format(a=vec_col))
+
+
+def cosine_prenormed(dot_a: str, dot_b: str, norm_a: str, norm_b: str):
+    dot = F.expr(_DOT.format(a=dot_a, b=dot_b))
+    return dot / (F.col(norm_a) * F.col(norm_b))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -45,10 +59,14 @@ def brute_force_topk(
     (TakeOrdered semantics) — expressed here via the rank window which AQE
     keeps partitioned by query id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
     )
     from pyspark.sql import Window
 
@@ -58,7 +76,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -95,11 +115,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
         signbit_bucket(vec_col, n_bits).alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
         signbit_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = (
@@ -108,7 +130,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

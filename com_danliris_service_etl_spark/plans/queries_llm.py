@@ -37,13 +37,22 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(n_perms: int = 16, bands: int = 4, k: int = 3) -> str:
+    from com_danliris_service_etl_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _perm_consts,
+    )
+
     rpb = n_perms // bands
     mins = ",\n             ".join(
-        f"min(md5('{p}:' || s)) AS mh{p}" for p in range(n_perms)
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{p}"
+        for p, (a, b) in enumerate(_perm_consts(n_perms))
     )
     band_cases = " ".join(
         "WHEN {b} THEN md5({parts})".format(
-            b=b, parts=" || ".join(f"mh{p}" for p in range(b * rpb, (b + 1) * rpb))
+            b=b,
+            parts=" || ':' || ".join(
+                f"mh{p}::VARCHAR" for p in range(b * rpb, (b + 1) * rpb)
+            ),
         )
         for b in range(bands)
     )
@@ -54,7 +63,8 @@ def _minhash_sql(n_perms: int = 16, bands: int = 4, k: int = 3) -> str:
     sh AS (SELECT DISTINCT doc_id, {shingle} AS s
            FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
            WHERE len(t) >= {k}),
-    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
     bands AS (SELECT doc_id, b.b AS band_idx, CASE b.b {band_cases} END AS band_hash
               FROM mh, (VALUES (0),(1),(2),(3)) b(b)),
     pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
