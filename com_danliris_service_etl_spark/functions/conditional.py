@@ -59,7 +59,9 @@ def bucket_days_month(days: ColumnOrName) -> Column:
         F.when(d <= 30, F.lit("0-30 hari"))
         .when((d >= 31) & (d <= 60), F.lit("31-60 hari"))
         .when((d >= 61) & (d <= 90), F.lit("61-90 hari"))
-        .otherwise(F.lit(">90 hari"))
+        # explicit > 90 arm so NULL days stay NULL (a bare `otherwise`
+        # would silently bucket NULL as >90)
+        .when(d > 90, F.lit(">90 hari"))
     )
 
 

@@ -72,3 +72,116 @@ def run_streaming_windowed_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint,"
+    " session_start_us bigint, session_end_us bigint"
+)
+SESSION_STATE_SCHEMA = "session_id bigint, last_ts bigint, start_ts bigint, n bigint"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """Per-user session assembly (30-min inactivity gap), arbitrary-stateful
+    form: state carries the open session (id, last/start ts, count) across
+    micro-batches; each closed session is emitted as soon as the gap that
+    closes it arrives, and the still-open session is emitted too so a
+    bounded replay reproduces the batch sessionizer exactly (the production
+    variant would emit open sessions only on event-time timeout).
+    """
+    import pandas as pd
+
+    if state.exists:
+        session_id, last_ts, start_ts, n = state.get
+    else:
+        session_id, last_ts, start_ts, n = 0, None, None, 0
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts in pdf["ts_us"]:
+            ts = int(ts)
+            if last_ts is None or ts - last_ts > SESSION_GAP_US:
+                if last_ts is not None:
+                    out.append((key[0], session_id, n, start_ts, last_ts))
+                session_id += 1
+                start_ts, n = ts, 0
+            n += 1
+            last_ts = ts
+    state.update((session_id, last_ts, start_ts, n))
+    if last_ts is not None:
+        out.append((key[0], session_id, n, start_ts, last_ts))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "session_id", "n_events", "session_start_us", "session_end_us"],
+    )
+
+
+def run_streaming_sessionize(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState`` — the custom
+    stateful operator surface (SURVEY.md §2.12 extension). State is one
+    small tuple per user (bounded by the active-user set, not the event
+    volume); Arrow batches carry the rows, so the Python crossing is
+    columnar."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Incremental micro-batch → MERGE (the reference's nightly loop as a stream)
+# ---------------------------------------------------------------------------
+
+
+def run_incremental_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """`readStream → foreachBatch(merge_upsert)`: the Structured-Streaming
+    form of the reference's watermark→extract→MERGE nightly loop (S4/S6).
+    `Trigger.AvailableNow` drains whatever arrived since the last checkpoint
+    and stops — exactly-once per batch via the checkpoint + idempotent MERGE
+    (re-delivered rows upsert to the same keys)."""
+    from com_danliris_service_etl_spark.sources.sinks import merge_upsert
+
+    ev = streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, target_path, batch_df, keys=["event_id"])
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,141 @@
+"""Property tests (SURVEY.md §5.5): null-guard behavior of the scalar
+library — for every output transform, NULL in ⇒ NULL out unless a default
+is declared (P8/M9 are the explicit exceptions), plus invariants of the
+bucketing and conversion scalars over arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.functions import (
+    bucket_days_month,
+    bucket_days_week,
+    day_diff,
+    nan_guard,
+    on_time_status,
+    quote_sanitize,
+    truncate,
+    uom_to_meter,
+)
+from com_danliris_service_etl_spark.jobs._helpers import nz_num, nz_str
+
+SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_text = st.one_of(st.none(), st.text(max_size=30))
+_num = st.one_of(
+    st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)
+)
+
+
+def _eval(spark, rows, schema, col):
+    return [r["out"] for r in spark.createDataFrame(rows, schema).select(col.alias("out")).collect()]
+
+
+@SETTINGS
+@given(values=st.lists(_text, min_size=1, max_size=8))
+def test_nz_str_null_guard(spark, values):
+    """M10/P7: NULL or '' in ⇒ NULL out; otherwise the sanitized string."""
+    out = _eval(spark, [(v,) for v in values], "v string", nz_str("v"))
+    for v, o in zip(values, out):
+        if v is None or v == "":
+            assert o is None
+        else:
+            assert o == v.replace("'", '"')
+
+
+@SETTINGS
+@given(values=st.lists(_num, min_size=1, max_size=8))
+def test_nz_num_falsy_zero(spark, values):
+    """P8: with a declared default, NULL and 0 both collapse to it; without,
+    they collapse to NULL — never any other value change."""
+    rows = [(float(v) if v is not None else None,) for v in values]
+    strict = _eval(spark, rows, "v double", nz_num("v"))
+    defaulted = _eval(spark, rows, "v double", nz_num("v", default=0))
+    for v, s, d in zip(values, strict, defaulted):
+        if v is None or v == 0:
+            assert s is None and d == 0
+        else:
+            assert s == pytest.approx(v) and d == pytest.approx(v)
+
+
+@SETTINGS
+@given(days=st.lists(st.one_of(st.none(), st.integers(-400, 400)), min_size=1, max_size=8))
+def test_bucket_total_and_null_preserving(spark, days):
+    """M4/M5: every non-null day count lands in exactly one bucket; NULL
+    propagates. Week/month boundaries agree with the reference CASEs."""
+    rows = [(d,) for d in days]
+    week = _eval(spark, rows, "v int", bucket_days_week(F.col("v")))
+    month = _eval(spark, rows, "v int", bucket_days_month(F.col("v")))
+    for d, w, m in zip(days, week, month):
+        if d is None:
+            assert w is None and m is None
+            continue
+        assert w in {"0-7 hari", "8-14 hari", "15-30 hari", ">30 hari"}
+        assert m in {"0-30 hari", "31-60 hari", "61-90 hari", ">90 hari"}
+        if d <= 7:
+            assert w == "0-7 hari"
+        if d > 90:
+            assert m == ">90 hari"
+
+
+@SETTINGS
+@given(
+    qty=st.floats(0, 1e6, allow_nan=False),
+    uom=st.sampled_from(["met", "MTR", "pcs", "yard", "YDS", "kg", "roll"]),
+)
+def test_uom_conversion(spark, qty, uom):
+    """M2: yard family × 0.9144; everything else passes through."""
+    out = _eval(
+        spark, [(qty, uom)], "q double, u string", uom_to_meter(F.col("q"), F.col("u"))
+    )[0]
+    expected = qty * 0.9144 if uom.lower() in ("yard", "yds") else qty
+    assert out == pytest.approx(expected)
+
+
+@SETTINGS
+@given(
+    a=st.dates(dt.date(1990, 1, 1), dt.date(2030, 12, 31)),
+    b=st.dates(dt.date(1990, 1, 1), dt.date(2030, 12, 31)),
+)
+def test_day_diff_antisymmetric(spark, a, b):
+    """D1: day_diff(b,a) == -day_diff(a,b) and matches the date delta."""
+    rows = [(dt.datetime.combine(a, dt.time(5)), dt.datetime.combine(b, dt.time(23)))]
+    fwd = _eval(spark, rows, "a timestamp, b timestamp", day_diff(F.col("b"), F.col("a")))[0]
+    rev = _eval(spark, rows, "a timestamp, b timestamp", day_diff(F.col("a"), F.col("b")))[0]
+    assert fwd == (b - a).days
+    assert rev == -fwd
+    status = _eval(
+        spark, rows, "a timestamp, b timestamp", on_time_status(F.col("b"), F.col("a"))
+    )[0]
+    assert status == ("Tepat Waktu" if fwd <= 0 else "Tidak Tepat Waktu")
+
+
+@SETTINGS
+@given(s=st.text(max_size=40), n=st.integers(1, 10))
+def test_truncate_and_sanitize(spark, s, n):
+    """T1/T2: truncation bounds length; sanitization leaves no single quotes."""
+    out = _eval(
+        spark, [(s,)], "v string", quote_sanitize(truncate(F.col("v"), n))
+    )[0]
+    assert out is not None and len(out) <= n and "'" not in out
+
+
+@SETTINGS
+@given(v=st.one_of(st.none(), st.floats(width=32, allow_infinity=False)))
+def test_nan_guard_total(spark, v):
+    """M9: NaN/NULL → 0; finite values unchanged."""
+    out = _eval(spark, [(v,)], "v double", nan_guard(F.col("v")))[0]
+    if v is None or (v != v):
+        assert out == 0.0
+    else:
+        assert out == pytest.approx(v)

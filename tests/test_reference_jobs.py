@@ -623,3 +623,27 @@ def test_migration_log_sync_argmax(spark, catalog):
     assert set(rows) == {"Job A", "Job B"}
     # A1: latest successful run per job (3/3 failed run ignored)
     assert rows["Job A"]["execution_time"] == "4 minutes"
+
+
+def test_run_job_end_to_end_idempotent(spark, catalog, tmp_path):
+    """A real spec through the full control-plane protocol: watermark read →
+    build → MERGE → log commit; re-running leaves the fact unchanged and the
+    watermark advanced (SURVEY §5.4)."""
+    from com_danliris_service_etl_spark.plans.jobs import run_job
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    spec = ALL_SPECS["Fact Inventory Summary from MongoDB to Azure DWH"]
+    import dataclasses
+
+    spec = dataclasses.replace(spec, target=str(tmp_path / "fact_inv_summary"))
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+
+    r1 = run_job(spark, spec, catalog, store)
+    assert r1.status == "Successful" and r1.rows == 2
+    first = spark.read.parquet(spec.target).collect()
+
+    r2 = run_job(spark, spec, catalog, store)
+    second = spark.read.parquet(spec.target).collect()
+    canon = lambda rows: sorted(map(str, map(sorted, (r.asDict().items() for r in rows))))
+    assert canon(first) == canon(second)
+    assert store.read_watermark(spec.name) >= r1.started

@@ -15,3 +15,29 @@ def test_streaming_matches_batch(spark):
     stream_out = run_streaming_windowed_counts(spark, SF_DIR, "st_eq_test").toPandas()
     batch_out = st1_tumbling_window(spark, SF_DIR).toPandas()
     assert_frames_match(stream_out, batch_out, "streaming_vs_batch")
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionizer ≡ the batch lag+cumsum sessionizer
+    (single availableNow batch drains the fixture, so open sessions close)."""
+    from com_danliris_service_etl_spark.plans.queries_streaming import st3_sessionize
+    from com_danliris_service_etl_spark.streaming.jobs import run_streaming_sessionize
+
+    stream_out = run_streaming_sessionize(spark, SF_DIR, "st_sessions_test").toPandas()
+    batch_out = st3_sessionize(spark, SF_DIR).toPandas()
+    assert_frames_match(stream_out, batch_out, "stateful_sessionize_vs_batch")
+
+
+def test_incremental_merge_idempotent(spark, tmp_path):
+    """Streaming foreachBatch MERGE: first drain loads every event; a fresh
+    checkpoint re-delivering the same data leaves the fact unchanged (S6)."""
+    from com_danliris_service_etl_spark.streaming.jobs import run_incremental_merge
+
+    target = str(tmp_path / "fact_events")
+    run_incremental_merge(spark, SF_DIR, target, str(tmp_path / "cp1"))
+    first = spark.read.parquet(target)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert first.count() == n_events
+    # Re-deliver everything with a NEW checkpoint: MERGE keeps keys unique.
+    run_incremental_merge(spark, SF_DIR, target, str(tmp_path / "cp2"))
+    assert spark.read.parquet(target).count() == n_events
