@@ -153,7 +153,7 @@ def build_garment_pembelian(
         .withColumnRenamed("CurrencyCode", "currencyCode")
     )
     po_items_epo = first_match_join(
-        po_items, epo_items, on="poId", order_by=F.col("epoItemId").asc()
+        po_items, epo_items, on="poId", order_by=F.col("epoItemId")
     )
 
     # Fulfillments: DO details chain (`run.js:458-477`), each with
@@ -216,8 +216,8 @@ def build_garment_pembelian(
             F.col("gd.PaymentDueDate").alias("inDueDate"),
         )
     )
-    ful = first_match_join(ful, urn, on="doDetailId", order_by=F.col("urnNo").asc())
-    ful = first_match_join(ful, inote, on="doId", order_by=F.col("inNo").asc())
+    ful = first_match_join(ful, urn, on="doDetailId", order_by=F.col("urnNo"))
+    ful = first_match_join(ful, inote, on="doId", order_by=F.col("inNo"))
     # W2 — lastDeliveredDate: the last fulfillment's DO date per EPO item
     # (`run.js:620`); deterministic "last" = max ordinal (doDetailId).
     last_do = ful.groupBy("epoItemId").agg(

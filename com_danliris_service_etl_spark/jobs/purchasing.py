@@ -258,7 +258,7 @@ def build_total_hutang(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -
     )
     base = urn.join(items, urn["id"] == items["urnid"], "left").drop("urnid")
     enriched = first_match_join(
-        base, upo_per_urn, on="id", order_by=F.col("upoNo").asc(), broadcast_right=False
+        base, upo_per_urn, on="id", order_by=F.col("upoNo"), broadcast_right=False
     )
     has_upo = F.col("upoNo").isNotNull()
     out = enriched.select(

@@ -145,7 +145,7 @@ def build_production_order_status(
         F.col("uomUnit").alias("poUom"),
         F.col("deliveryDate").alias("poDeliveryDate"),
     )
-    step1 = first_match_join(base, po_r, on="salesContractNo", order_by=F.col("poId").asc())
+    step1 = first_match_join(base, po_r, on="salesContractNo", order_by=F.col("poId"))
 
     kb_r = kb.select(
         F.col("productionOrderId").alias("poId"),
@@ -156,7 +156,7 @@ def build_production_order_status(
         F.col("cartQty").alias("kanbanCartQty"),
         F.col("cartCartNumber").alias("cartNumber"),
     )
-    step2 = first_match_join(step1, kb_r, on="poId", order_by=F.col("kanbanId").asc())
+    step2 = first_match_join(step1, kb_r, on="poId", order_by=F.col("kanbanId"))
 
     dop_r = dop.select(
         F.col("kanbanId"),
@@ -164,7 +164,7 @@ def build_production_order_status(
         F.col("code").alias("dopCode"),
         F.col("input").alias("dopInput"),
     )
-    step3 = first_match_join(step2, dop_r, on="kanbanId", order_by=F.col("dopCode").asc())
+    step3 = first_match_join(step2, dop_r, on="kanbanId", order_by=F.col("dopCode"))
 
     qc_r = qc.select(
         F.col("kanbanCode"),
@@ -172,7 +172,7 @@ def build_production_order_status(
         F.col("dateIm").alias("qcDateIm"),
         F.col("code").alias("qcCode"),
     )
-    step4 = first_match_join(step3, qc_r, on="kanbanCode", order_by=F.col("qcId").asc())
+    step4 = first_match_join(step3, qc_r, on="kanbanCode", order_by=F.col("qcId"))
 
     # E5: left-outer gradeTest explode — contracts with no QC keep one row.
     fgt_r = fgt.select(

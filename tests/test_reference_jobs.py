@@ -647,3 +647,18 @@ def test_run_job_end_to_end_idempotent(spark, catalog, tmp_path):
     canon = lambda rows: sorted(map(str, map(sorted, (r.asDict().items() for r in rows))))
     assert canon(first) == canon(second)
     assert store.read_watermark(spec.name) >= r1.started
+
+
+def test_nightly_schedule_runs_all(spark, catalog, tmp_path):
+    """The full nightly DAG over the fixture catalog: every layer commits,
+    every fact target exists, the migration log records 23 successes."""
+    from com_danliris_service_etl_spark.plans.schedule import run_nightly
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    results = run_nightly(
+        spark, catalog, store, target_dir=str(tmp_path / "dwh"), continue_on_error=False
+    )
+    assert len(results) == 23
+    assert all(r.status == "Successful" for r in results)
+    assert all(r.rows >= 1 for r in results)
