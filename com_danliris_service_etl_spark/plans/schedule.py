@@ -90,8 +90,13 @@ def run_nightly(
         for name in layer:
             spec = ALL_SPECS[name]
             if target_dir is not None:
+                base = target_dir.rstrip("/")
                 spec = dataclasses.replace(
-                    spec, target=f"{target_dir.rstrip('/')}/{spec.target}"
+                    spec,
+                    target=f"{base}/{spec.target}",
+                    extra_targets={
+                        f"{base}/{t}": v for t, v in spec.extra_targets.items()
+                    },
                 )
             try:
                 results.append(run_job(spark, spec, catalog, store, now=now))
