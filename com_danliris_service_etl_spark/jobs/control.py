@@ -27,11 +27,7 @@ def build_migration_log_sync(
     log = catalog.read("migration_log").filter(
         F.col("status").isin("Successful", "success")
     )
-    latest = latest_per_key(
-        log,
-        keys=["description"],
-        order_by=[F.col("finish").desc()],
-    )
+    latest = latest_per_key(log, keys=["description"], max_of="finish")
     return latest.select(
         F.col("description"),
         F.col("start"),

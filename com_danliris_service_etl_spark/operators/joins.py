@@ -146,14 +146,38 @@ def asof_join(
 
 
 def latest_per_key(
-    df: DataFrame, keys: str | Sequence[str], order_by: Column | Sequence[Column]
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_by: Column | Sequence[Column] | None = None,
+    *,
+    max_of: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """A1 — latest-record-per-group (argmax over full rows).
 
     Reference: `MigrationLogFunc/index.js:33-41` — Mongo `$sort finish desc`
     + `$group $first $$ROOT` = latest successful run per job description.
+
+    ``max_of``: names of the "latest" columns (descending, nulls excluded).
+    This form compiles to max_by over a hash aggregation — map-side
+    combinable, no sort — and is the one to use at scale. ``order_by``
+    keeps the general row_number window for arbitrary orderings.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    if max_of is not None:
+        ord_cols = [max_of] if isinstance(max_of, str) else list(max_of)
+        value_cols = [c for c in df.columns if c not in key_list]
+        return (
+            df.groupBy(*key_list)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols]),
+                    F.struct(*[F.col(c) for c in ord_cols]),
+                ).alias("__lk")
+            )
+            .select(*key_list, "__lk.*")
+        )
+    if order_by is None:
+        raise ValueError("latest_per_key requires order_by or max_of")
     order = [order_by] if isinstance(order_by, Column) else list(order_by)
     w = Window.partitionBy(*key_list).orderBy(*order)
     return (

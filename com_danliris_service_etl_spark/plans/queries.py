@@ -367,7 +367,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — latest-record-per-group argmax (`MigrationLogFunc/index.js:33-41`)."""
     ev = _events(spark, sf_dir)
-    out = latest_per_key(ev, "user_id", [F.col("ts_us").desc(), F.col("event_id").desc()])
+    out = latest_per_key(ev, "user_id", max_of=["ts_us", "event_id"])
     return out.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
