@@ -90,3 +90,63 @@ def extract_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return d.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_stub(payload: bytes, target_bytes: int) -> bytes:
+    """STUB for a real image resize (no PIL in this container): deterministic
+    truncate-or-cycle to the target size. The contract being exercised is
+    binary-in/binary-out through Arrow batches."""
+    if not payload:
+        return b"\x00" * target_bytes
+    reps = (target_bytes // len(payload)) + 1
+    return (payload * reps)[:target_bytes]
+
+
+def resize_payloads(
+    docs: DataFrame, target_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched binary→binary transform (the resize/transcode shape):
+    payload in, fixed-size payload out, metadata preserved. 1:1 row mapping,
+    so the operator pipelines with no shuffle."""
+    d = with_binary_payload(docs).select(id_col, "payload")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": pdf["payload"].map(
+                        lambda p: resize_stub(p, target_bytes)
+                    ),
+                    "n_bytes_in": pdf["payload"].map(len),
+                }
+            )
+
+    return d.mapInPandas(run, schema="doc_id long, resized binary, n_bytes_in long")
+
+
+def frame_sample(
+    docs: DataFrame, frame_bytes: int = 32, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-style frame sampling as a 1:N Arrow-batched flatMap: the
+    payload is treated as a sequence of fixed-size frames and every Nth
+    frame is emitted as its own row (doc_id, frame_idx, frame). The fanout
+    happens inside mapInPandas — the engine-side contract (schema, row
+    multiplication, downstream partitioning) is exactly a real frame
+    sampler's."""
+    d = with_binary_payload(docs).select(id_col, "payload")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return d.mapInPandas(run, schema="doc_id long, frame_idx int, frame binary")

@@ -310,3 +310,12 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a documented deterministic stub (no media libs in the image); the
     plumbing — schema, batching, UDF signature — is the real contract."""
     return mm.extract_features(_t(spark, sf_dir, "documents"))
+
+
+@register("mm3_frame_sample", None)  # Pandas-UDF 1:N fanout: rows-only check
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads (every 2nd 32-byte
+    frame): the 1:N mapInPandas fanout shape for media pipelines."""
+    return mm.frame_sample(
+        _t(spark, sf_dir, "documents").limit(500), frame_bytes=32, every_n=2
+    )

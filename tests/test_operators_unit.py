@@ -121,3 +121,30 @@ def test_extract_features_plumbing(spark):
     assert len(got[1].features) == 4
     assert got[1].features[0] == 5.0
     assert got[2].features == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Binary→binary resize keeps 1:1 rows at the target size; frame
+    sampling fans out 1:N with every-Nth indices (mm plumbing over
+    mapInPandas)."""
+    from com_danliris_service_etl_spark.operators.multimodal import (
+        frame_sample,
+        resize_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 10), (3, "")], "doc_id long, text string"
+    )
+    resized = {r["doc_id"]: r for r in resize_payloads(docs, target_bytes=16).collect()}
+    assert len(resized) == 3
+    assert all(len(bytes(r["resized"])) == 16 for r in resized.values())
+    assert resized[1]["n_bytes_in"] == 100
+
+    frames = frame_sample(docs, frame_bytes=32, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 100 bytes → 3 frames → sampled idx 0, 2
+    assert sorted(by_doc[1]) == [0, 2]
+    # docs 2 and 3: single (possibly empty/short) frame 0
+    assert by_doc[2] == [0] and by_doc[3] == [0]
