@@ -239,6 +239,7 @@ def build_garment_pembelian(
     upo_days = day_diff(_vjkt("inDate"), _vjkt("urnDate"))
     po_days = day_diff(_vjkt("inDate"), _vjkt("poCreatedUtc"))
     has_epo = F.col("epoCreatedUtc").isNotNull()
+    has_ful = F.col("doDetailId").isNotNull()  # branch split `run.js:611,689`
     has_do = F.col("deliveryOrderDate").isNotNull()
     has_urn = F.col("urnDate").isNotNull()
     has_in = F.col("inDate").isNotNull()
@@ -272,7 +273,7 @@ def build_garment_pembelian(
         bool_str("poDeleted").alias("deleted_po"),
         nz_str("epoNo").alias("po_external_no"),
         _vday("epoCreatedUtc").alias("po_external_date"),
-        F.when(has_do, F.coalesce(do_days, F.lit(0))).otherwise(F.lit(0)).alias(
+        F.when(has_ful, F.when(has_do, F.coalesce(do_days, F.lit(0))).otherwise(F.lit(0))).alias(
             "delivery_order_days"
         ),
         F.when(has_do, bucket_days_month(do_days)).alias("delivery_order_days_range"),
@@ -295,23 +296,23 @@ def build_garment_pembelian(
         nz_str("prNo").alias("pr_no_at_po_ext"),
         nz_str("deliveryOrderNo").alias("delivery_order_no"),
         _vday("deliveryOrderDate").alias("delivery_order_date"),
-        F.when(has_urn, F.coalesce(urn_days, F.lit(0))).otherwise(F.lit(0)).alias(
+        F.when(has_ful, F.when(has_urn, F.coalesce(urn_days, F.lit(0))).otherwise(F.lit(0))).alias(
             "unit_receipt_note_days"
         ),
         F.when(has_urn, bucket_days_week(urn_days)).alias("unit_receipt_note_days_range"),
         F.when(has_do, on_time_status(F.col("lastDeliveredDate"), F.col("epoDeliveryDate"))).alias(
             "status"
         ),
-        F.when(has_do | F.col("prNo").isNotNull(), F.col("prNo")).alias("pr_no_at_do"),
+        F.when(has_ful, F.col("prNo")).alias("pr_no_at_do"),
         nz_str("urnNo").alias("unit_receipt_note_no"),
         _vday("urnDate").alias("unit_receipt_note_date"),
-        F.when(has_in, F.coalesce(upo_days, F.lit(0))).otherwise(F.lit(0)).alias(
+        F.when(has_ful, F.when(has_in, F.coalesce(upo_days, F.lit(0))).otherwise(F.lit(0))).alias(
             "unit_payment_order_days"
         ),
         F.when(has_in, bucket_days_week(upo_days)).alias("unit_payment_order_days_range"),
         nz_str("inNo").alias("unit_payment_order_no"),
         _vday("inDate").alias("unit_payment_order_date"),
-        F.when(has_in, F.coalesce(po_days, F.lit(0))).otherwise(F.lit(0)).alias(
+        F.when(has_ful, F.when(has_in, F.coalesce(po_days, F.lit(0))).otherwise(F.lit(0))).alias(
             "purchase_order_days"
         ),
         F.when(has_in, bucket_days_month(po_days)).alias("purchase_order_days_range"),

@@ -211,7 +211,7 @@ def build_production_order_status(
             "kanban_quantity"
         ),
         F.col("dopInput").alias("daily_operation_quantity"),
-        F.when(F.col("dopCode").isNotNull(), F.col("salesContractNo")).alias(
+        F.when(F.col("dopCode").isNotNull(), F.col("kanbanSalesContractNo")).alias(
             "daily_operation_sales_contract_no"
         ),
         nz_str("dopCode", sanitize=False).alias("daily_operation_code"),

@@ -80,7 +80,18 @@ def merge_upsert(
         return
 
     target = spark.read.parquet(target_path)
-    kept = target.join(updates.select(*key_list), key_list, "left_anti")
+    # Null-safe key equality (<=>): merge keys can legitimately be NULL
+    # (e.g. a kanban with no steps), and a plain equi-anti-join would never
+    # match those rows — re-runs would duplicate them. This mirrors the
+    # Delta branch's `t.k <=> s.k` condition.
+    upd_keys = updates.select(*key_list)
+    for k in key_list:
+        upd_keys = upd_keys.withColumnRenamed(k, f"__u_{k}")
+    cond = None
+    for k in key_list:
+        eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    kept = target.join(upd_keys, cond, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(target_path) or ".")
     merged.write.mode("overwrite").parquet(tmp)

@@ -86,3 +86,24 @@ def test_date_dimension(spark):
     row = dim[0]
     assert (row.year, row.quarter, row.month, row.day) == (2024, 1, 2, 29)
     assert row.day_name == "Thursday"
+
+
+def test_merge_upsert_null_keys_idempotent(spark, tmp_path):
+    """Merge keys can be NULL (kanban without steps): re-merging the same
+    batch must not duplicate null-key rows (null-safe key equality)."""
+    from com_danliris_service_etl_spark.sources.sinks import merge_upsert
+
+    target = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, None, "a"), (1, 10, "b"), (2, None, "c")],
+        "id long, step_id long, val string",
+    )
+    merge_upsert(spark, target, batch, keys=["id", "step_id"])
+    merge_upsert(spark, target, batch, keys=["id", "step_id"])
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    # updated value wins on re-merge
+    upd = spark.createDataFrame([(1, None, "a2")], "id long, step_id long, val string")
+    merge_upsert(spark, target, upd, keys=["id", "step_id"])
+    rows = {(r["id"], r["step_id"]): r["val"] for r in spark.read.parquet(target).collect()}
+    assert rows[(1, None)] == "a2" and len(rows) == 3
