@@ -285,3 +285,31 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Σ block² scale path (vs n² cross product)."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.3, block_col="label")
+
+
+@register(
+    "s7_date_dimension",
+    """
+    SELECT DISTINCT o_orderdate::DATE::TIMESTAMP AS date,
+           year(o_orderdate)          AS year,
+           quarter(o_orderdate)       AS quarter,
+           month(o_orderdate)         AS month,
+           day(o_orderdate)           AS day,
+           dayofweek(o_orderdate) + 1 AS day_of_week,
+           weekofyear(o_orderdate)    AS week_of_year,
+           monthname(o_orderdate)     AS month_name,
+           dayname(o_orderdate)       AS day_name
+    FROM orders WHERE o_orderdate IS NOT NULL
+    """,
+)
+def s7_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — the `DL_INSERT_DIMTIME` date dimension derived set-at-a-time
+    from fact dates (`Pembelian/run.js:331`): distinct dates + calendar
+    attributes. (Spark's dayofweek is 1=Sunday; the oracle offsets DuckDB's
+    0=Sunday to match.)"""
+    from com_danliris_service_etl_spark.sources.sinks import date_dimension
+
+    dim = date_dimension(spark, _t(spark, sf_dir, "orders"), "o_orderdate")
+    # DateType → timestamp purely for the cross-engine compare (pandas
+    # renders Spark dates as python objects, DuckDB dates as datetime64).
+    return dim.withColumn("date", F.col("date").cast("timestamp"))
