@@ -282,9 +282,13 @@ def build_total_hutang(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -
         nz_str("productName").alias("product_name"),
         F.col("productCode").cast("string").alias("product_code"),
     )
+    # A4 determinism (SURVEY §7.4): the reference's counter follows DB
+    # return order; here the ordering must be TOTAL or duplicate
+    # (urn, product) rows get engine-dependent ids — so every output
+    # column participates.
     return surrogate_key(
         out,
-        order_by=[F.col("unit_receipt_note_no"), F.col("product_code")],
+        order_by=[F.col(c) for c in out.columns],
         out_col="row_id",
     )
 

@@ -1,0 +1,348 @@
+"""Job-level golden tests (SURVEY.md §5.2): representative pipelines run
+over seeded randomized fixtures and hash-compared against a DuckDB oracle
+implementing the same transform in SQL — the same methodology as the
+driver's registry gate, applied to the reference-job layer.
+
+Covered: InventorySummaries (scan→guarded projection), Kanban (4-way left
+join + Jakarta date formatting), TotalHutang (join chain + first-match UPO
++ surrogate key).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from com_danliris_service_etl_spark.jobs import ALL_SPECS
+from com_danliris_service_etl_spark.sources.catalog import Catalog
+
+WM = dt.datetime(1970, 1, 1)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def _assert_match(spark_df, sql: str, con, name: str):
+    a = _canon(spark_df.toPandas())
+    b = _canon(con.execute(sql).df())
+    assert list(a.columns) == list(b.columns), (name, a.columns, b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+@pytest.fixture(scope="module")
+def golden(spark, tmp_path_factory):
+    """Seeded random fixtures written as parquet, visible to BOTH engines."""
+    rng = random.Random(42)
+    base = tmp_path_factory.mktemp("golden")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2023, 1, 1), days=400):
+        return lo + dt.timedelta(
+            days=rng.randrange(days), hours=rng.randrange(24), minutes=rng.randrange(60)
+        )
+
+    inv = [
+        (
+            maybe(f"ST{rng.randrange(5)}"),
+            maybe(rng.choice(["Gudang Utama", "Rak B'sar", ""])),
+            float(rng.randrange(0, 500)),
+            maybe(f"P{rng.randrange(50)}"),
+            maybe(rng.choice(["Cotton 40's", "Rayon", "Benang"])),
+            maybe(rng.choice(["MTR", "YDS", "PCS"])),
+            rng.random() < 0.2,
+            f"IS-{i}",
+            ts(),
+        )
+        for i in range(300)
+    ]
+    inv_df = spark.createDataFrame(
+        inv,
+        "storageCode string, storageName string, quantity double, productCode string,"
+        " productName string, uomunit string, _isdeleted boolean, no string,"
+        " _lastmodifiedutc timestamp",
+    )
+
+    kanbans = [
+        (
+            i,
+            maybe(f"KB-{i}"),
+            maybe(ts()),
+            rng.random() < 0.1,
+            maybe(f"PO-{rng.randrange(40)}"),
+            maybe(rng.choice(["A", "B", ""])),
+            maybe(f"C{rng.randrange(9)}"),
+            float(rng.randrange(0, 30)),
+            rng.randrange(5),
+            rng.random() < 0.5,
+            maybe(f"SC-{rng.randrange(20)}"),
+            maybe("Printing"),
+            maybe("Solid"),
+            rng.random() < 0.2,
+            rng.random() < 0.2,
+            maybe(str(rng.randrange(1000))),
+            ts(),
+        )
+        for i in range(200)
+    ]
+    kb_df = spark.createDataFrame(
+        kanbans,
+        "Id long, code string, createdutc timestamp, isdeleted boolean,"
+        " ProductionOrderOrderNo string, grade string, cartcartnumber string,"
+        " CartQty double, CurrentStepIndex long, IsComplete boolean,"
+        " ProductionOrderSalesContractNo string, ProductionOrderProcessTypeName string,"
+        " ProductionOrderOrderTypeName string, IsBadOutput boolean, IsReprocess boolean,"
+        " OldKanbanId string, lastmodifiedutc timestamp",
+    )
+    kis = [
+        (100 + j, rng.randrange(240), maybe(f"KI-{j}"), maybe("instr"))
+        for j in range(150)
+    ]
+    ki_df = spark.createDataFrame(kis, "id long, kanbanid long, Code string, name string")
+    kss = [
+        (
+            300 + j,
+            100 + rng.randrange(180),
+            maybe(f"KS-{j}"),
+            maybe(rng.choice(["dye", "print", "wash"])),
+            rng.randrange(10),
+            maybe(ts()),
+            maybe("area"),
+            rng.randrange(6),
+        )
+        for j in range(200)
+    ]
+    ks_df = spark.createDataFrame(
+        kss,
+        "id long, instructionid long, code string, process string, machineid long,"
+        " Deadline timestamp, ProcessArea string, stepindex long",
+    )
+    machines = [
+        (m, maybe(f"M-{m}"), maybe(rng.choice(["Loom", "Jet d'eau"])), float(rng.randrange(100, 999)))
+        for m in range(10)
+    ]
+    m_df = spark.createDataFrame(
+        machines, "id long, code string, name string, MonthlyCapacity double"
+    )
+
+    urns = [
+        (
+            i,
+            f"URN-{i}",
+            maybe(rng.choice(["Weaving", "Spinning"])),
+            ts(),
+            rng.random() < 0.15,
+            rng.choice(["alice", "bob", "dev"]),
+        )
+        for i in range(150)
+    ]
+    urn_df = spark.createDataFrame(
+        urns,
+        "id long, urnNo string, unitName string, lastmodifiedutc timestamp,"
+        " isdeleted boolean, createdby string",
+    )
+    urni = [
+        (
+            rng.randrange(180),
+            float(rng.randrange(1, 50)),
+            float(rng.randrange(1, 200)),
+            maybe(rng.choice(["Cotton 40's", "Ray'on"])),
+            f"P{rng.randrange(80)}",
+            1000 + j,
+        )
+        for j in range(400)
+    ]
+    urni_df = spark.createDataFrame(
+        urni,
+        "urnid long, pricePerDealUnit double, receiptQuantity double,"
+        " productName string, productCode string, EPODetailId long",
+    )
+    eds = [(1000 + j, 2000 + rng.randrange(60)) for j in range(400)]
+    ed_df = spark.createDataFrame(eds, "Id long, EPOItemId long")
+    eis = [(2000 + j, 3000 + rng.randrange(40)) for j in range(60)]
+    ei_df = spark.createDataFrame(eis, "Id long, EPOId long")
+    epos = [(3000 + j, float(rng.choice([1.0, 155.0, 15500.0]))) for j in range(40)]
+    epo_df = spark.createDataFrame(epos, "Id long, currencyRate double")
+    upos = [
+        (
+            i,
+            f"UPO-{i}",
+            ts(),
+            ts(),
+            maybe(rng.choice(["Supplier d'Un", "PT Maju"])),
+            rng.choice(["BAHAN BAKU", "Bahan Baku", "ACC", None]),
+            maybe("Div"),
+        )
+        for i in range(80)
+    ]
+    upo_df = spark.createDataFrame(
+        upos,
+        "Id long, upoNo string, date timestamp, dueDate timestamp,"
+        " supplierName string, categoryName string, divisionName string",
+    )
+    upoi = [(rng.randrange(80), rng.randrange(150)) for _ in range(120)]
+    upoi_df = spark.createDataFrame(upoi, "UPOId long, URNId long")
+
+    frames = {
+        "inventorysummaries": inv_df,
+        "kanbans": kb_df,
+        "kanbaninstructions": ki_df,
+        "kanbansteps": ks_df,
+        "machine": m_df,
+        "unitreceiptnotes": urn_df,
+        "unitreceiptnoteitems": urni_df,
+        "externalpurchaseorderdetails": ed_df,
+        "externalpurchaseorderitems": ei_df,
+        "externalpurchaseorders": epo_df,
+        "unitpaymentorders": upo_df,
+        "unitpaymentorderitems": upoi_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+# SQL building blocks mirroring jobs/_helpers.py exactly.
+def _nz(col: str, alias: str, sanitize: bool = True) -> str:
+    body = f"replace({col}, '''', '\"')" if sanitize else col
+    return f"CASE WHEN {col} IS NOT NULL AND {col} <> '' THEN {body} END AS {alias}"
+
+
+def _bool(col: str, alias: str) -> str:
+    return f"CASE WHEN {col} THEN 'true' ELSE 'false' END AS {alias}"
+
+
+def _jkt(col: str, alias: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NOT NULL"
+        f" THEN strftime({col} + INTERVAL 7 HOUR, '%Y-%m-%d') END AS {alias}"
+    )
+
+
+def test_golden_inventory_summaries(spark, golden):
+    cat, con = golden
+    df = ALL_SPECS["Fact Inventory Summary from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    SELECT {_nz("storageCode", "storage_code")},
+           {_nz("storageName", "storage_name")},
+           quantity,
+           {_nz("productCode", "product_code")},
+           {_nz("productName", "product_name")},
+           {_nz("uomunit", "uom")},
+           {_bool("_isdeleted", "deleted")},
+           {_nz("no", "code")}
+    FROM inventorysummaries
+    WHERE _lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "inventory_summaries")
+
+
+def test_golden_kanban(spark, golden):
+    cat, con = golden
+    df = ALL_SPECS["Fact Kanban from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    SELECT {_bool("k.isdeleted", "deleted")},
+           {_nz("k.code", "code", sanitize=False)},
+           {_jkt("k.createdutc", "created_date")},
+           {_nz("k.ProductionOrderOrderNo", "production_order_no", sanitize=False)},
+           {_nz("k.grade", "grade", sanitize=False)},
+           {_nz("k.cartcartnumber", "cart_number", sanitize=False)},
+           k.CartQty AS cart_qty,
+           {_nz("CAST(ki.id AS VARCHAR)", "instruction_id", sanitize=False)},
+           {_nz("ki.Code", "instruction_code", sanitize=False)},
+           {_nz("ki.name", "instruction_name", sanitize=False)},
+           {_nz("CAST(ks.id AS VARCHAR)", "step_id", sanitize=False)},
+           {_nz("ks.code", "step_code", sanitize=False)},
+           {_nz("ks.process", "step_name", sanitize=False)},
+           {_nz("m.code", "machine_code", sanitize=False)},
+           {_nz("m.name", "machine_name", sanitize=False)},
+           m.MonthlyCapacity AS machine_monthly_capacity,
+           {_jkt("ks.Deadline", "deadline")},
+           k.CurrentStepIndex AS current_step_index,
+           {_nz("ks.ProcessArea", "process_area", sanitize=False)},
+           {_bool("k.IsComplete", "is_complete")},
+           CAST(NULL AS BIGINT) AS steps_length,
+           ks.stepindex AS step_index,
+           {_nz("k.ProductionOrderSalesContractNo", "sales_contract_no", sanitize=False)},
+           {_nz("k.ProductionOrderProcessTypeName", "process_type", sanitize=False)},
+           {_nz("k.ProductionOrderOrderTypeName", "order_type", sanitize=False)},
+           {_bool("k.IsBadOutput", "is_bad_output")},
+           {_bool("k.IsReprocess", "is_reprocess")},
+           {_nz("k.OldKanbanId", "old_kanban_id", sanitize=False)},
+           CAST(k.Id AS VARCHAR) AS id
+    FROM kanbans k
+    LEFT JOIN kanbaninstructions ki ON k.Id = ki.kanbanid
+    LEFT JOIN kanbansteps ks ON ki.id = ks.instructionid
+    LEFT JOIN machine m ON ks.machineid = m.id
+    WHERE k.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "kanban")
+
+
+def test_golden_total_hutang(spark, golden):
+    cat, con = golden
+    df = ALL_SPECS["Fact Total Hutang from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    WITH items AS (
+      SELECT urni.urnid, urni.pricePerDealUnit, urni.receiptQuantity AS deliveredQuantity,
+             ep.currencyRate, urni.productName, urni.productCode
+      FROM unitreceiptnoteitems urni
+      LEFT JOIN externalpurchaseorderdetails epid ON urni.EPODetailId = epid.Id
+      LEFT JOIN externalpurchaseorderitems epi ON epid.EPOItemId = epi.Id
+      LEFT JOIN externalpurchaseorders ep ON epi.EPOId = ep.Id),
+    upo_first AS (
+      SELECT * FROM (
+        SELECT upi.URNId AS id, up.upoNo, up.date AS upoDate, up.dueDate AS upoDueDate,
+               up.supplierName, up.categoryName, up.divisionName,
+               row_number() OVER (PARTITION BY upi.URNId ORDER BY up.upoNo) AS rn
+        FROM unitpaymentorders up JOIN unitpaymentorderitems upi ON up.Id = upi.UPOId)
+      WHERE rn = 1),
+    base AS (
+      SELECT u.id, u.urnNo, u.unitName, i.pricePerDealUnit, i.deliveredQuantity,
+             i.currencyRate, i.productName, i.productCode,
+             f.upoNo, f.upoDate, f.upoDueDate, f.supplierName, f.categoryName, f.divisionName
+      FROM unitreceiptnotes u
+      LEFT JOIN items i ON i.urnid = u.id
+      LEFT JOIN upo_first f ON f.id = u.id
+      WHERE u.lastmodifiedutc > TIMESTAMP '1970-01-01'
+        AND NOT u.isdeleted AND u.createdby NOT IN ('dev', 'unit-test'))
+    SELECT CASE WHEN upoNo IS NOT NULL THEN upoNo END AS unit_payment_order_no,
+           CASE WHEN upoNo IS NOT NULL
+                THEN strftime(upoDate + INTERVAL 7 HOUR, '%Y-%m-%d') END AS unit_payment_order_date,
+           CASE WHEN upoNo IS NOT NULL
+                THEN strftime(upoDueDate + INTERVAL 7 HOUR, '%Y-%m-%d') END AS unit_payment_order_due_date,
+           CASE WHEN upoNo IS NOT NULL AND supplierName IS NOT NULL AND supplierName <> ''
+                THEN replace(supplierName, '''', '"') END AS supplier_name,
+           CASE WHEN upoNo IS NOT NULL THEN categoryName END AS category_name,
+           CASE WHEN upoNo IS NOT NULL THEN
+             CASE WHEN upper(categoryName) = 'BAHAN BAKU' THEN 'BAHAN BAKU' ELSE 'NON BAHAN BAKU' END
+           END AS category_type,
+           CASE WHEN upoNo IS NOT NULL THEN divisionName END AS division_name,
+           CAST(unitName AS VARCHAR) AS unit_name,
+           pricePerDealUnit AS invoice_price,
+           deliveredQuantity AS unit_receipt_note_quantity,
+           currencyRate AS po_external_currency_rate,
+           pricePerDealUnit * deliveredQuantity * currencyRate AS total,
+           CAST(urnNo AS VARCHAR) AS unit_receipt_note_no,
+           CASE WHEN productName IS NOT NULL AND productName <> ''
+                THEN replace(productName, '''', '"') END AS product_name,
+           CAST(productCode AS VARCHAR) AS product_code,
+           row_number() OVER (ORDER BY CASE WHEN upoNo IS NOT NULL THEN upoNo END NULLS FIRST, CASE WHEN upoNo IS NOT NULL THEN strftime(upoDate + INTERVAL 7 HOUR, '%Y-%m-%d') END NULLS FIRST, CASE WHEN upoNo IS NOT NULL THEN strftime(upoDueDate + INTERVAL 7 HOUR, '%Y-%m-%d') END NULLS FIRST, CASE WHEN upoNo IS NOT NULL AND supplierName IS NOT NULL AND supplierName <> ''
+                  THEN replace(supplierName, '''', '"') END NULLS FIRST, CASE WHEN upoNo IS NOT NULL THEN categoryName END NULLS FIRST, CASE WHEN upoNo IS NOT NULL THEN
+               CASE WHEN upper(categoryName) = 'BAHAN BAKU' THEN 'BAHAN BAKU' ELSE 'NON BAHAN BAKU' END END NULLS FIRST, CASE WHEN upoNo IS NOT NULL THEN divisionName END NULLS FIRST, CAST(unitName AS VARCHAR) NULLS FIRST, pricePerDealUnit NULLS FIRST, deliveredQuantity NULLS FIRST, currencyRate NULLS FIRST, pricePerDealUnit * deliveredQuantity * currencyRate NULLS FIRST, CAST(urnNo AS VARCHAR) NULLS FIRST, CASE WHEN productName IS NOT NULL AND productName <> ''
+                  THEN replace(productName, '''', '"') END NULLS FIRST, CAST(productCode AS VARCHAR) NULLS FIRST) AS row_id
+    FROM base
+    """
+    _assert_match(df, sql, con, "total_hutang")
