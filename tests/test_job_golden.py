@@ -346,3 +346,180 @@ def test_golden_total_hutang(spark, golden):
     FROM base
     """
     _assert_match(df, sql, con, "total_hutang")
+
+
+@pytest.fixture(scope="module")
+def golden_garment(spark, tmp_path_factory):
+    """Randomized garment intern-note chain + currency history for the
+    as-of join (J7) golden check."""
+    rng = random.Random(7)
+    base = tmp_path_factory.mktemp("golden_garment")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2023, 1, 1), days=400):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    notes = [
+        (
+            900 + i,
+            rng.random() < 0.1,
+            f"GIN-{i}",
+            maybe(ts()),
+            maybe(rng.choice(["Supplier d'Un", "PT Maju"])),
+            rng.choice(["USD", "EUR", "XXX", None]),
+            ts(),
+        )
+        for i in range(120)
+    ]
+    notes_df = spark.createDataFrame(
+        notes,
+        "Id long, isDeleted boolean, inNo string, inDate timestamp,"
+        " supplierName string, currencyCode string, lastmodifiedutc timestamp",
+    )
+    nitems = [(1100 + j, 900 + rng.randrange(140)) for j in range(150)]
+    nitems_df = spark.createDataFrame(nitems, "Id long, GarmentINId long")
+    ndetails = [
+        (
+            1100 + rng.randrange(170),
+            ts(),
+            maybe(f"RO-{rng.randrange(40)}"),
+            float(rng.randrange(1, 99)),
+            float(rng.randrange(0, 200)),
+        )
+        for _ in range(200)
+    ]
+    ndetails_df = spark.createDataFrame(
+        ndetails,
+        "GarmentItemINId long, doDate timestamp, roNo string,"
+        " pricePerDealUnit double, quantity double",
+    )
+    # Currency history: several dated rates per code (some deleted).
+    cur = [
+        (code, float(rng.randrange(100, 20000)), ts(dt.datetime(2022, 6, 1), 700),
+         rng.random() < 0.2)
+        for code in ("USD", "EUR")
+        for _ in range(30)
+    ]
+    cur_df = spark.createDataFrame(
+        cur, "code string, rate double, date timestamp, _IsDeleted boolean"
+    )
+    prs = [
+        (
+            2000 + i,
+            rng.random() < 0.2,
+            maybe(f"RO-{rng.randrange(40)}"),
+            rng.randrange(3),
+            maybe("Konveksi"),
+        )
+        for i in range(80)
+    ]
+    prs_df = spark.createDataFrame(
+        prs,
+        "Id long, IsDeleted boolean, rono string, UnitId long, UnitName string",
+    )
+    # one PR item per PR row (category lives on the item, FIXTURES.md)
+    pritems = [
+        (2000 + i, rng.randrange(5), maybe(rng.choice(["FABRIC", "BUTTON"])))
+        for i in range(80)
+    ]
+    pritems_df = spark.createDataFrame(
+        pritems, "GarmentPRId long, CategoryId long, CategoryName string"
+    )
+    cats_df = spark.createDataFrame(
+        [(c, code) for c, code in enumerate(["FAB", "EMB", "ACC", "WSH", "QLT"])],
+        "Id long, Code string",
+    )
+    units_df = spark.createDataFrame(
+        [(u, f"DIV-{u}") for u in range(3)], "id long, divisionName string"
+    )
+
+    frames = {
+        "garmentinternnotes": notes_df,
+        "garmentinternnoteitems": nitems_df,
+        "garmentinternnotedetails": ndetails_df,
+        "garmentcurrencies": cur_df,
+        "garmentpurchaserequests": prs_df,
+        "garmentpurchaserequestitems": pritems_df,
+        "garmentcategories": cats_df,
+        "units": units_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def test_golden_garment_total_hutang(spark, golden_garment):
+    """J7 as-of currency (latest rate <= doDate per code, default 1) +
+    first-match PR enrichment + M7 category over randomized data."""
+    cat, con = golden_garment
+    df = ALL_SPECS["Fact Total Hutang Garment from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    sql = """
+    WITH inote AS (
+      SELECT g.isDeleted AS inDeleted, g.inNo, g.inDate, g.supplierName,
+             g.currencyCode, gid.doDate, gid.roNo, gid.pricePerDealUnit, gid.quantity
+      FROM garmentinternnotes g
+      LEFT JOIN garmentinternnoteitems gi ON g.Id = gi.GarmentINId
+      LEFT JOIN garmentinternnotedetails gid ON gi.Id = gid.GarmentItemINId
+      WHERE g.lastmodifiedutc >= TIMESTAMP '1970-01-01'),
+    rated AS (
+      SELECT i.*, r.rate AS kurs,
+             row_number() OVER (PARTITION BY i.rowid
+                                ORDER BY r.date DESC, r.rate DESC) AS rn
+      FROM (SELECT *, row_number() OVER () AS rowid FROM inote) i
+      LEFT JOIN (SELECT * FROM garmentcurrencies WHERE NOT _IsDeleted) r
+        ON r.code = i.currencyCode AND r.date <= i.doDate),
+    best_rate AS (SELECT * FROM rated WHERE rn = 1),
+    pr AS (
+      SELECT * FROM (
+        SELECT g.rono AS roNo, gi.CategoryId, gi.CategoryName AS prCategoryName,
+               g.UnitId, g.UnitName AS prUnitName, c.Code AS prCategoryCode,
+               u.divisionName AS prDivisionName,
+               row_number() OVER (PARTITION BY g.rono
+                                  ORDER BY c.Code NULLS LAST) AS rn
+        FROM garmentpurchaserequests g
+        LEFT JOIN garmentpurchaserequestitems gi ON g.Id = gi.GarmentPRId
+        LEFT JOIN garmentcategories c ON gi.CategoryId = c.Id
+        LEFT JOIN units u ON g.UnitId = u.id
+        WHERE NOT g.IsDeleted)
+      WHERE rn = 1),
+    enriched AS (
+      SELECT a.*, p.prCategoryName, p.prCategoryCode, p.prDivisionName, p.prUnitName
+      FROM best_rate a LEFT JOIN pr p ON p.roNo = a.roNo)
+    SELECT CASE WHEN inDeleted THEN 'true' ELSE 'false' END AS deleted,
+           CASE WHEN inNo IS NOT NULL AND inNo <> '' THEN inNo END AS intern_note_no,
+           CASE WHEN inDate IS NOT NULL
+                THEN strftime(inDate + INTERVAL 7 HOUR, '%Y-%m-%d') END AS date,
+           CASE WHEN supplierName IS NOT NULL AND supplierName <> ''
+                THEN replace(supplierName, '''', '"') END AS supplier_name,
+           CASE WHEN prCategoryName IS NOT NULL AND prCategoryCode IS NOT NULL THEN
+             CASE WHEN lower(prCategoryCode) = 'fab' THEN 'Bahan Baku'
+                  WHEN lower(prCategoryCode) IN ('emb','wsh','pls','prn','tes','qlt') THEN 'Jasa'
+                  ELSE 'Accessories' END
+           END AS category_type,
+           CASE WHEN pricePerDealUnit IS NOT NULL AND pricePerDealUnit <> 0
+                THEN pricePerDealUnit END AS invoice_price,
+           CASE WHEN quantity IS NOT NULL AND quantity <> 0 THEN quantity END
+             AS delivered_quantity,
+           coalesce(kurs, 1.0) AS deal_rate,
+           CASE WHEN quantity IS NOT NULL AND quantity <> 0
+                     AND pricePerDealUnit IS NOT NULL AND pricePerDealUnit <> 0
+                THEN coalesce(kurs, 1.0) * quantity * pricePerDealUnit END AS total_price,
+           CAST(NULL AS DOUBLE) AS total_payment,
+           CASE WHEN prCategoryName IS NOT NULL AND prCategoryName <> ''
+                THEN prCategoryName END AS category_name,
+           CASE WHEN prDivisionName IS NOT NULL AND prDivisionName <> ''
+                THEN prDivisionName END AS division_name,
+           CASE WHEN prUnitName IS NOT NULL AND prUnitName <> ''
+                THEN prUnitName END AS unit_name
+    FROM enriched
+    """
+    _assert_match(df, sql, con, "garment_total_hutang")
