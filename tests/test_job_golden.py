@@ -523,3 +523,184 @@ def test_golden_garment_total_hutang(spark, golden_garment):
     FROM enriched
     """
     _assert_match(df, sql, con, "garment_total_hutang")
+
+
+@pytest.fixture(scope="module")
+def golden_qc(spark, tmp_path_factory):
+    """Randomized QC → gradeTests → criteria chain for the E3 3-level
+    flatten + A3 weighted-score golden check."""
+    rng = random.Random(13)
+    base = tmp_path_factory.mktemp("golden_qc")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=200):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    qcs = [
+        (
+            i,
+            maybe(rng.choice([f"QC-{i}", ""])),
+            rng.choice([10, 5, None]),
+            maybe(ts()),
+            maybe(rng.choice(["pagi", "sore"])),
+            maybe("G1"),
+            maybe("op'r"),
+            maybe("M-1"),
+            maybe(f"PO-{rng.randrange(20)}"),
+            maybe("Solid"),
+            maybe(f"KB-{rng.randrange(30)}"),
+            maybe("C1"),
+            maybe("Buyer d'One"),
+            float(rng.choice([0, 50, 120])),
+            maybe("Red"),
+            maybe("2/1"),
+            maybe("roll"),
+            maybe("MTR"),
+            rng.random() < 0.2,
+            rng.random() < 0.5,
+            ts(),
+        )
+        for i in range(60)
+    ]
+    qc_df = spark.createDataFrame(
+        qcs,
+        "id long, code string, pointSystem int, dateIm timestamp, shiftIm string,"
+        " group string, operatorIm string, MachineNoIm string,"
+        " ProductionOrderNo string, productionOrderType string, kanbanCode string,"
+        " cartNo string, Buyer string, orderQuantity double, color string,"
+        " construction string, packingInstruction string, uom string,"
+        " IsDeleted boolean, IsUsed boolean, lastmodifiedutc timestamp",
+    )
+    fgts = [
+        (
+            100 + j,
+            rng.randrange(70),
+            maybe("SOLID"),
+            maybe(f"PCS-{j}"),
+            maybe(rng.choice(["A", "B"])),
+            float(rng.choice([-1, 0, 44])),
+            float(rng.choice([0, 60])),
+            float(rng.randrange(0, 3)),
+            float(rng.randrange(0, 60)),
+            float(rng.randrange(0, 3)),
+            float(rng.randrange(0, 5)),
+            float(rng.randrange(0, 5)),
+            float(rng.randrange(0, 12)),
+            float(rng.randrange(0, 12)),
+            rng.choice([10, 5]),
+            float(rng.choice([-2, 0, 7])),
+        )
+        for j in range(150)
+    ]
+    fgt_df = spark.createDataFrame(
+        fgts,
+        "id long, FabricQualityControlId long, type string, pcsNo string,"
+        " grade string, width double, initLength double, avalLength double,"
+        " finalLength double, sampleLength double, fabricGradeTest double,"
+        " finalGradeTest double, score double, finalScore double, pointSystem int,"
+        " pointLimit double",
+    )
+    crs = [
+        (
+            300 + j,
+            100 + rng.randrange(170),
+            maybe(f"CR-{j}"),
+            maybe("G"),
+            maybe(rng.choice(["hole", "st'ain"])),
+            float(rng.choice([-1, 0, 1, 2])),
+            float(rng.choice([-1, 0, 1, 2])),
+            float(rng.choice([0, 1])),
+            float(rng.choice([0, 1])),
+        )
+        for j in range(250)
+    ]
+    cr_df = spark.createDataFrame(
+        crs,
+        "id long, fabricgradetestid long, code string, Group string, name string,"
+        " scoreA double, scoreB double, scoreC double, scoreD double",
+    )
+    frames = {
+        "fabricqualitycontrols": qc_df,
+        "fabricgradetests": fgt_df,
+        "criterion": cr_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def test_golden_fabric_qc(spark, golden_qc):
+    """E3 3-level inner flatten + A3 weighted scores + the >=0 numeric
+    guards over randomized data."""
+    cat, con = golden_qc
+    df = ALL_SPECS["Fact Fabric QC from MongoDB to Azure DWH"].build(spark, cat, WM)
+
+    def nzn(col, alias):  # x >= 0 && x != null guard, emitted as string
+        return (
+            f"CASE WHEN {col} IS NOT NULL AND {col} >= 0"
+            f" THEN CAST({col} AS VARCHAR) END AS {alias}"
+        )
+
+    ps10 = "gt.pointSystem = 10"
+    sql = f"""
+    SELECT {_nz("qc.code", "qc_code")},
+           CASE WHEN qc.pointSystem IS NOT NULL AND qc.pointSystem >= 0
+                THEN CAST(qc.pointSystem AS VARCHAR) END AS qc_point_system,
+           {_jkt("qc.dateIm", "date_im")},
+           {_nz("qc.shiftIm", "shift_im")},
+           {_nz('qc."group"', '"group"')},
+           {_nz("qc.operatorIm", "operator_im")},
+           {_nz("qc.MachineNoIm", "machine_no_im")},
+           {_nz("qc.ProductionOrderNo", "production_order_no")},
+           {_nz("qc.productionOrderType", "production_order_type")},
+           {_nz("qc.kanbanCode", "kanban_code")},
+           {_nz("qc.cartNo", "cart_no")},
+           {_nz("qc.Buyer", "buyer")},
+           CASE WHEN qc.orderQuantity IS NOT NULL AND qc.orderQuantity <> 0
+                THEN CAST(qc.orderQuantity AS VARCHAR) END AS order_quantity,
+           {_nz("qc.color", "color")},
+           {_nz("qc.construction", "construction")},
+           {_nz("qc.packingInstruction", "packing_instruction")},
+           {_nz("qc.uom", "uom")},
+           {_nz("gt.type", "test_type")},
+           {_nz("gt.pcsNo", "pcs_no")},
+           {_nz("gt.grade", "grade")},
+           {nzn("gt.width", "width")},
+           {nzn("gt.initLength", "init_length")},
+           {nzn("gt.avalLength", "aval_length")},
+           {nzn("gt.finalLength", "final_length")},
+           {nzn("gt.sampleLength", "sample_length")},
+           {nzn("gt.fabricGradeTest", "fabric_grade_test")},
+           {nzn("gt.finalGradeTest", "final_grade_test")},
+           {nzn("gt.score", "score")},
+           {nzn("gt.finalScore", "final_score")},
+           {nzn("gt.pointSystem", "point_system")},
+           {_nz("cr.code", "criteria_code")},
+           {_nz('cr."Group"', "criteria_group")},
+           {_nz("cr.name", "criteria_name")},
+           CASE WHEN cr.scoreA IS NOT NULL AND cr.scoreA >= 0 THEN cr.scoreA END AS criteria_a,
+           CASE WHEN cr.scoreB IS NOT NULL AND cr.scoreB >= 0 THEN cr.scoreB END AS criteria_b,
+           CASE WHEN cr.scoreC IS NOT NULL AND cr.scoreC >= 0 THEN cr.scoreC END AS criteria_c,
+           CASE WHEN cr.scoreD IS NOT NULL AND cr.scoreD >= 0 THEN cr.scoreD END AS criteria_d,
+           coalesce(CASE WHEN cr.scoreA >= 0 AND {ps10} THEN cr.scoreA * 1 END, 0)
+           + coalesce(CASE WHEN cr.scoreB >= 0 AND {ps10} THEN cr.scoreB * 3 END, 0)
+           + coalesce(CASE WHEN cr.scoreC >= 0 AND {ps10} THEN cr.scoreC * 5 END, 0)
+           + coalesce(CASE WHEN cr.scoreD >= 0 AND {ps10} THEN cr.scoreD * 10 END, 0)
+             AS total_score,
+           CASE WHEN qc.IsDeleted THEN 'true' ELSE 'false' END AS deleted,
+           CASE WHEN qc.IsUsed THEN 'true' ELSE 'false' END AS is_used,
+           CASE WHEN gt.pointLimit IS NOT NULL AND gt.pointLimit >= 0
+                THEN CAST(gt.pointLimit AS VARCHAR) END AS point_limit
+    FROM fabricqualitycontrols qc
+    JOIN fabricgradetests gt ON gt.FabricQualityControlId = qc.id
+    JOIN criterion cr ON cr.fabricgradetestid = gt.id
+    WHERE qc.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "fabric_qc")
