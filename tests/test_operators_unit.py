@@ -148,3 +148,57 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert sorted(by_doc[1]) == [0, 2]
     # docs 2 and 3: single (possibly empty/short) frame 0
     assert by_doc[2] == [0] and by_doc[3] == [0]
+
+
+def test_asof_join_forward_and_exclusive(spark):
+    """J7 variants: forward direction picks the earliest rate at/after the
+    probe; allow_exact_match=False excludes the boundary row."""
+    import datetime as dt
+
+    from com_danliris_service_etl_spark.operators.joins import asof_join
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "USD", d(2024, 2, 20))], "id long, code string, at timestamp"
+    )
+    rates = spark.createDataFrame(
+        [("USD", d(2024, 2, 10), 100.0), ("USD", d(2024, 2, 20), 200.0),
+         ("USD", d(2024, 3, 1), 300.0)],
+        "code string, rate_date timestamp, rate double",
+    )
+    fwd = asof_join(
+        left, rates, left_on="at", right_on="rate_date",
+        by=[("code", "code")], direction="forward",
+    ).collect()[0]
+    assert fwd["rate"] == 200.0  # exact match allowed
+    fwd_x = asof_join(
+        left, rates, left_on="at", right_on="rate_date",
+        by=[("code", "code")], direction="forward", allow_exact_match=False,
+    ).collect()[0]
+    assert fwd_x["rate"] == 300.0
+    back_x = asof_join(
+        left, rates, left_on="at", right_on="rate_date",
+        by=[("code", "code")], direction="backward", allow_exact_match=False,
+    ).collect()[0]
+    assert back_x["rate"] == 100.0
+
+
+def test_first_match_join_window_fallback_desc(spark):
+    """The explicit-DESC ordering takes the row_number window path and picks
+    the LAST row per key — both physical strategies agree with their
+    ordering contracts."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.joins import first_match_join
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, ord long, v string"
+    )
+    asc = {r["k"]: r["v"] for r in first_match_join(left, right, "k", F.col("ord")).collect()}
+    desc = {
+        r["k"]: r["v"]
+        for r in first_match_join(left, right, "k", F.col("ord").desc()).collect()
+    }
+    assert asc == {1: "a", 2: "c"}
+    assert desc == {1: "b", 2: "c"}
