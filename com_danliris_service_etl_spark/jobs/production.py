@@ -85,21 +85,30 @@ def build_kanban(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -> Data
 def build_daily_operation(
     spark: SparkSession, catalog: Catalog, wm: dt.datetime
 ) -> DataFrame:
-    """`DailyOperation/run.js:86-107` main extract (5-way left join, ordered
-    by code/type — O1) + `:155-201` transform with the varchar truncation
-    caps (T2: 499/49/24/9/4/99/254)."""
+    """`DailyOperation/run.js:69-107` main extract — the 5-way left join
+    (dailyoperation → badoutputreasons → kanbans → kanbaninstructions →
+    machine; the reasons join fans the fact out per reason, as the
+    reference's SQL does) ordered by code/type (O1) — plus the `:155-201`
+    transform with the varchar truncation caps (T2: 499/49/24/9/4/99/254)
+    and the uom-guarded quantity "convertion" columns."""
     d = catalog.read("dailyoperation").filter(F.col("lastmodifiedutc") >= F.lit(wm))
+    db = catalog.read("dailyoperationbadoutputreasons")
     k = catalog.read("kanbans")
+    ki = catalog.read("kanbaninstructions")
     m = catalog.read("machine")
     joined = (
         d.alias("d")
+        .join(db.alias("db"), F.col("d.Id") == F.col("db.DailyOperationId"), "left")
         .join(k.alias("k"), F.col("d.KanbanId") == F.col("k.Id"), "left")
+        .join(ki.alias("ki"), F.col("k.Id") == F.col("ki.KanbanId"), "left")
         .join(F.broadcast(m.alias("m")), F.col("d.MachineId") == F.col("m.Id"), "left")
     )
+    has_uom = F.col("k.selectedProductionOrderDetailUomUnit").isNotNull()
     return joined.select(
         bool_str("d._deleted").alias("deleted"),
         nz_num("d.badOutput").alias("bad_output"),
-        nz_str("d.badOutputDescription", 499).alias("bad_output_description"),
+        # badOutputDescription comes from the REASONS join (`run.js:71`)
+        nz_str("db.Description", 499).alias("bad_output_description"),
         nz_str("d.code", 49, sanitize=False).alias("code"),
         jkt_date("d.dateInput").alias("input_date"),
         jkt_date("d.dateOutput").alias("output_date"),
@@ -108,19 +117,45 @@ def build_daily_operation(
         nz_str("d.shift", 49, sanitize=False).alias("shift"),
         jkt_time("d.timeInput").alias("input_time"),
         jkt_time("d.timeOutput").alias("output_time"),
-        nz_str("k.code", 49, sanitize=False).alias("kanban_code"),
-        nz_str("k.grade", 49, sanitize=False).alias("kanban_grade"),
-        nz_str("k.cartcartnumber", 49, sanitize=False).alias("kanban_cart_number"),
+        # kanbanCode is the dailyoperation's own column (`run.js:80`)
+        nz_str("d.kanbanCode", 49, sanitize=False).alias("kanban_code"),
+        nz_str("k.Grade", 49, sanitize=False).alias("kanban_grade"),
+        nz_str("k.CartCartNumber", 49, sanitize=False).alias("kanban_cart_number"),
+        nz_str("k.CartCode", 49, sanitize=False).alias("kanban_cart_code"),
+        nz_num("k.CartPcs", default=0).alias("kanban_cart_pcs"),
         nz_num("k.CartQty", default=0).alias("kanban_cart_qty"),
+        nz_str("ki.Code", 49, sanitize=False).alias("kanban_instruction_code"),
+        nz_str("ki.Name", 49, sanitize=False).alias("kanban_instruction_name"),
+        nz_str("k.ProductionOrderOrderTypeName", 24, sanitize=False).alias("order_type"),
+        F.lit(None).cast("string").alias("selected_production_order_detail_code"),
+        nz_str("k.SelectedProductionOrderDetailColorRequest", 49).alias(
+            "selected_color_request"
+        ),
+        nz_str("k.SelectedProductionOrderDetailColorTemplate", 499).alias(
+            "selected_color_template"
+        ),
         nz_str("m.Code", 49, sanitize=False).alias("machine_code"),
+        nz_str("m.Condition", 49, sanitize=False).alias("machine_condition"),
+        nz_str("m.Manufacture", 49, sanitize=False).alias("machine_manufacture"),
+        nz_num("m.MonthlyCapacity").alias("machine_monthly_capacity"),
         nz_str("m.Name", 49, sanitize=False).alias("machine_name"),
         nz_str("m.Process", 49, sanitize=False).alias("machine_process"),
         nz_str(F.col("m.Year").cast("string"), 4, sanitize=False).alias("machine_year"),
+        # uom-guarded quantity passthroughs (`run.js:190-193`)
+        F.when(has_uom, nz_num("d.input")).alias("input_quantity_convertion"),
+        F.when(has_uom, nz_num("d.goodOutput")).alias("good_output_quantity_convertion"),
+        F.when(has_uom, nz_num("d.badOutput")).alias("bad_output_quantity_convertion"),
+        F.when(has_uom, nz_num("d.failedOutput")).alias("failed_output_quantity_convertion"),
+        F.lit(None).cast("double").alias("output_quantity"),
+        F.lit(None).cast("double").alias("input_output_diff"),
+        F.lit(None).cast("string").alias("status"),
         nz_str("d.type", 9, sanitize=False).alias("type"),
         nz_str("d.StepId", 49, sanitize=False).alias("step_process_id"),
         nz_str("d.StepProcess", 49, sanitize=False).alias("step_process"),
+        F.lit(None).cast("string").alias("process_area"),
         nz_str("k.ProductionOrderOrderNo", 99, sanitize=False).alias("production_order_no"),
         nz_str("k.ProductionOrderSalesContractNo", 99, sanitize=False).alias("sales_contract_no"),
+        nz_str("db.action", 254).alias("action"),
     )
 
 

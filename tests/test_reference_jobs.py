@@ -55,9 +55,13 @@ def catalog(spark):
             " CartQty double, CurrentStepIndex long, IsComplete boolean,"
             " ProductionOrderSalesContractNo string, ProductionOrderProcessTypeName string,"
             " ProductionOrderOrderTypeName string, IsBadOutput boolean, IsReprocess boolean,"
-            " OldKanbanId string, productionOrderId long, lastmodifiedutc timestamp",
+            " OldKanbanId string, productionOrderId long, CartCode string, CartPcs double,"
+            " SelectedProductionOrderDetailColorRequest string,"
+            " SelectedProductionOrderDetailColorTemplate string,"
+            " selectedProductionOrderDetailUomUnit string, lastmodifiedutc timestamp",
             (1, "KB-1", d(2024, 3, 1, 18, 0), False, "PO-1", "A", "C01", 12.0, 1, False,
-             "SC-1", "Printing", "Solid", False, False, None, 100, T),
+             "SC-1", "Printing", "Solid", False, False, None, 100, "CC-1", 3.0,
+             "Red's req", "Tmpl", "MTR", T),
         ),
         "kanbaninstructions": _df(
             spark,
@@ -83,11 +87,11 @@ def catalog(spark):
             " badOutputDescription string, code string, dateInput timestamp,"
             " dateOutput timestamp, goodOutput double, input double, shift string,"
             " timeInput timestamp, timeOutput timestamp, type string, StepId long,"
-            " StepProcess string, KanbanId long, MachineId long, createdUtc timestamp,"
-            " lastmodifiedutc timestamp",
+            " StepProcess string, KanbanId long, MachineId long, failedOutput double,"
+            " kanbanCode string, createdUtc timestamp, lastmodifiedutc timestamp",
             (51, False, False, 1.0, "torn", "DO-1", d(2024, 3, 2), d(2024, 3, 3),
              95.0, 100.0, "pagi", d(2024, 3, 2, 1, 30), d(2024, 3, 2, 9, 30), "input",
-             21, "dye", 1, 31, d(2024, 3, 2), T),
+             21, "dye", 1, 31, 4.0, "KB-1", d(2024, 3, 2), T),
         ),
         "dailyoperationbadoutputreasons": _df(
             spark,
