@@ -235,18 +235,43 @@ def build_monitoring_event(
         nz_str("dv.name", sanitize=False).alias("division_name"),
         nz_str("m.unitName", sanitize=False).alias("unit_name"),
         F.col("m.year").alias("machine_year"),
+        F.lit(None).cast("string").alias("machine_step_process"),
         nz_str("b.address", sanitize=False).alias("buyer_address"),
         nz_str("b.code", sanitize=False).alias("buyer_code"),
+        nz_str("b.contact", sanitize=False).alias("buyer_contact"),
+        nz_str("b.country", sanitize=False).alias("buyer_country"),
         nz_str("b.name").alias("buyer_name"),
+        nz_str("b.tempo", sanitize=False).alias("buyer_tempo"),
+        # construction/design/greige/rollLength/spelling are referenced by
+        # the transform but never selected (`run.js:239-263`) — always NULL.
+        F.lit(None).cast("string").alias("po_construction"),
         jkt_date("po.deliveryDate").alias("po_delivery_date"),
+        F.lit(None).cast("string").alias("po_design"),
+        nz_str(F.col("po.finishWidth").cast("string"), sanitize=False).alias("po_finish_width"),
+        nz_str("po.handlingStandard", sanitize=False).alias("po_handling_standard"),
         nz_str("po.materialName", sanitize=False).alias("po_material"),
         nz_str("po.orderNo", sanitize=False).alias("po_order_no"),
         F.col("po.orderQuantity").alias("po_order_quantity"),
         nz_str("po.orderTypeName", sanitize=False).alias("po_order_type"),
+        F.lit(None).cast("string").alias("po_origin_greige_fabric"),
         nz_str("po.processTypeName", sanitize=False).alias("po_process_type"),
+        nz_str("po.remark", sanitize=False).alias("po_remark"),
+        F.lit(None).cast("string").alias("po_roll_length"),
+        nz_str("po.RUN", sanitize=False).alias("po_run"),
         nz_str("po.salesContractNo", sanitize=False).alias("po_sales_contract_no"),
+        nz_str("po.sample", sanitize=False).alias("po_sample"),
+        nz_str("po.shrinkageStandard", sanitize=False).alias("po_shrinkage_standard"),
+        F.lit(None).cast("double").alias("po_spelling"),
         nz_str("po.uomUnit", sanitize=False).alias("po_uom"),
         nz_str("me.remark").alias("event_remark"),
+        F.lit(None).cast("string").alias("selected_detail_code"),
+        F.lit(None).cast("string").alias("selected_detail_color_request"),
+        F.lit(None).cast("string").alias("selected_detail_color_template"),
+        F.lit(None).cast("string").alias("selected_detail_color_type_code"),
+        F.lit(None).cast("string").alias("selected_detail_color_type_name"),
+        F.lit(None).cast("string").alias("selected_detail_color_type_remark"),
+        F.lit(None).cast("double").alias("selected_detail_quantity"),
+        F.lit(None).cast("string").alias("selected_detail_uom"),
         nz_str("ev.name").alias("machine_event_name"),
         F.when(F.col("me.dateEnd").isNotNull(), range_minutes / 60.0).alias("event_range"),
         nz_str("ev.no", sanitize=False).alias("machine_event_no"),

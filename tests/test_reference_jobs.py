@@ -153,13 +153,15 @@ def catalog(spark):
             " UomUnit string, BuyerName string, BuyerType string, deliveryDate timestamp,"
             " CreatedUtc timestamp, BuyerCode string, IsDeleted boolean,"
             " AccountUserName string, isClosed boolean, buyerId long,"
+            " finishWidth string, handlingStandard string, remark string,"
+            " sample string, shrinkageStandard string, RUN string,"
             " lastmodifiedutc timestamp",
             (100, "SC-1", "PO-1", "Solid", "Printing", "Cotton", "2/1", "40s", "44",
              100.0, "yard", "Buyer One", "Ekspor", d(2024, 3, 20), d(2024, 2, 25),
-             "BY-1", False, "staff", False, 81, T),
+             "BY-1", False, "staff", False, 81, "44", "std", "rmk", "S1", "2%", "RUN-1", T),
             (101, "SC-1", "PO-2", "Solid", "Printing", None, "2/1", "40s", "44",
              50.0, "mtr", "Buyer One", "Ekspor", d(2024, 3, 22), d(2024, 2, 26),
-             "BY-1", False, "staff", False, 81, T),
+             "BY-1", False, "staff", False, 81, None, None, None, None, None, None, T),
         ),
         "spinningsalescontract": _df(
             spark,
