@@ -70,6 +70,9 @@ def build_production_order(
         ).alias("total_order_convertion"),
         _construction_string().alias("construction"),
         nz_str("BuyerCode").alias("buyer_code"),
+        # placeholder columns the staging table carries (`run.js:143-144`)
+        F.lit(None).cast("double").alias("cart_quantity"),
+        F.lit(None).cast("string").alias("kanban_code"),
         bool_str("IsDeleted").alias("deleted"),
         nz_str("AccountUserName").alias("username"),
         bool_str("isClosed").alias("is_closed"),
