@@ -90,6 +90,10 @@ def _build_sales_contract(
     """Shared SC transform (U2): absent columns fall to NULL via schema
     harmonization before the common projection."""
     src = catalog.read(table).filter(F.col("lastmodifiedutc") > F.lit(wm))
+    # Weaving names its material column `productname` (aliased in the
+    # reference extract, `WeavingSC/run.js:76`).
+    if "materialName" not in src.columns and "productname" in src.columns:
+        src = src.withColumnRenamed("productname", "materialName")
     for optional in (
         "deliverySchedule",
         "orderTypeName",

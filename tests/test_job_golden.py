@@ -704,3 +704,226 @@ def test_golden_fabric_qc(spark, golden_qc):
     WHERE qc.lastmodifiedutc >= TIMESTAMP '1970-01-01'
     """
     _assert_match(df, sql, con, "fabric_qc")
+
+
+@pytest.fixture(scope="module")
+def golden_sales_deal(spark, tmp_path_factory):
+    """Randomized SC-family + deal-tracking sources."""
+    rng = random.Random(21)
+    base = tmp_path_factory.mktemp("golden_sales_deal")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=200):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    def sc_rows(n, with_material, with_schedule):
+        rows = []
+        for i in range(n):
+            r = [
+                maybe(f"SC-{i}"),
+                maybe(ts()),
+                maybe(rng.choice(["Buyer d'One", "PT Maju", ""])),
+                maybe("Ekspor"),
+                float(rng.choice([0, 100, 250])),
+                maybe(rng.choice(["yard", "YDS", "mtr", "pcs", "kg"])),
+                maybe("BY-1"),
+                rng.random() < 0.2,
+                ts(),
+            ]
+            if with_schedule:
+                r.insert(2, maybe(ts()))
+                r.insert(3, maybe("Solid"))
+            if with_material:
+                r.extend([
+                    maybe(rng.choice(["Cotton 40's", ""])),
+                    maybe("2/1"),
+                    maybe("40s"),
+                    maybe("44"),
+                ])
+            rows.append(tuple(r))
+        return rows
+
+    spin_df = spark.createDataFrame(
+        sc_rows(60, False, False),
+        "salesContractNo string, CreatedUtc timestamp, buyerName string,"
+        " buyerType string, orderQuantity double, uomUnit string, buyerCode string,"
+        " IsDeleted boolean, lastmodifiedutc timestamp",
+    )
+    weav_df = spark.createDataFrame(
+        sc_rows(60, True, False),
+        "salesContractNo string, CreatedUtc timestamp, buyerName string,"
+        " buyerType string, orderQuantity double, uomUnit string, buyerCode string,"
+        " IsDeleted boolean, lastmodifiedutc timestamp, productname string,"
+        " materialConstructionName string, yarnMaterialName string, materialWidth string",
+    )
+    fp_df = spark.createDataFrame(
+        sc_rows(60, True, True),
+        "salesContractNo string, CreatedUtc timestamp, deliverySchedule timestamp,"
+        " orderTypeName string, buyerName string, buyerType string,"
+        " orderQuantity double, uomUnit string, buyerCode string,"
+        " IsDeleted boolean, lastmodifiedutc timestamp, materialName string,"
+        " materialConstructionName string, yarnMaterialName string, materialWidth string",
+    )
+    deals = [
+        (
+            rng.random() < 0.2,
+            500 + i,
+            maybe(f"DD-{i}"),
+            ts(),
+            "sales",
+            maybe(rng.choice(["Deal d'Or", ""])),
+            float(rng.randrange(0, 9)) * 1e6,
+            maybe("CP-1"),
+            maybe("PT Maju"),
+            rng.choice([700, 701, 702, 999]),  # 999 dangles
+            maybe("CT-1"),
+            maybe("Budi"),
+            maybe(ts()),
+            maybe("big"),
+            maybe("lost"),
+            float(rng.choice([0, 10])),
+            maybe("ROLL"),
+            600 + rng.randrange(5),
+            ts(),
+        )
+        for i in range(80)
+    ]
+    deal_df = spark.createDataFrame(
+        deals,
+        "IsDeleted boolean, id long, code string, createdutc timestamp,"
+        " CreatedBy string, name string, amount double, companyCode string,"
+        " companyName string, CompanyId long, contactCode string,"
+        " contactName string, closeDate timestamp, description string,"
+        " reason string, quantity double, uomUnit string, stageId long,"
+        " lastmodifiedutc timestamp",
+    )
+    comp_df = spark.createDataFrame(
+        [(700, "Solo"), (701, "Sukoharjo"), (702, None)], "Id long, City string"
+    )
+
+    frames = {
+        "spinningsalescontract": spin_df,
+        "weavingsalescontract": weav_df,
+        "finishingprintingsalescontracts": fp_df,
+        "dealtrackingdeals": deal_df,
+        "companies": comp_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def _sc_oracle(table: str, ptype: str, has_material: bool, has_schedule: bool) -> str:
+    """SQL mirror of the shared SC transform (U2 harmonization → NULLs)."""
+    mat = "materialName" if table != "weavingsalescontract" else "productname"
+    conv = (
+        "CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0 THEN"
+        " CASE WHEN lower(uomUnit) IN ('yard','yds') THEN orderQuantity * 0.9144"
+        " ELSE orderQuantity END END"
+    )
+    if has_material:
+        cons = (
+            f"CASE WHEN {mat} IS NOT NULL AND materialConstructionName IS NOT NULL"
+            f" AND yarnMaterialName IS NOT NULL AND materialWidth IS NOT NULL"
+            f" THEN replace({mat}, '''', '\"') || ' ' ||"
+            f" replace(materialConstructionName, '''', '\"') || ' ' ||"
+            f" replace(yarnMaterialName, '''', '\"') || ' ' ||"
+            f" replace(materialWidth, '''', '\"') END"
+        )
+        mat_cols = f"""
+           {_nz("materialConstructionName", "material_construction")},
+           {_nz("materialWidth", "material_width")},
+           {_nz(mat, "material")},"""
+    else:
+        cons = "CAST(NULL AS VARCHAR)"
+        mat_cols = """
+           CAST(NULL AS VARCHAR) AS material_construction,
+           CAST(NULL AS VARCHAR) AS material_width,
+           CAST(NULL AS VARCHAR) AS material,"""
+    sched = (
+        _jkt("deliverySchedule", "delivery_schedule")
+        if has_schedule
+        else "CAST(NULL AS VARCHAR) AS delivery_schedule"
+    )
+    otype = (
+        _nz("orderTypeName", "order_type", sanitize=False)
+        if has_schedule
+        else "CAST(NULL AS VARCHAR) AS order_type"
+    )
+    return f"""
+    SELECT {_nz("salesContractNo", "sales_contract_no", sanitize=False)},
+           {_jkt("CreatedUtc", "sales_contract_date")},
+           {sched},
+           {_nz("buyerName", "buyer")},
+           {_nz("buyerType", "buyer_type")},
+           {otype},
+           CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0
+                THEN orderQuantity END AS order_quantity,
+           {_nz("uomUnit", "order_uom")},
+           {conv} AS total_order_convertion,
+           {_nz("buyerCode", "buyer_code", sanitize=False)},
+           '{ptype}' AS production_type,
+           {cons} AS construction,{mat_cols}
+           {_bool("IsDeleted", "deleted")}
+    FROM {table}
+    WHERE lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+
+
+def test_golden_sales_contract_union(spark, golden_sales_deal):
+    """U2: three SC sources harmonized into one fact with the discriminator,
+    each compared against its oracle, then the union row counts."""
+    cat, con = golden_sales_deal
+    specs = [
+        ("Fact Sales Contract Spinning from MongoDB to Azure DWH",
+         "spinningsalescontract", "Spinning", False, False),
+        ("Fact Sales Contract Weaving from MongoDB to Azure DWH",
+         "weavingsalescontract", "Weaving", True, False),
+        ("Fact Sales Contract Finishing Printing from MongoDB to Azure DWH",
+         "finishingprintingsalescontracts", "Finishing Printing", True, True),
+    ]
+    for name, table, ptype, has_mat, has_sched in specs:
+        df = ALL_SPECS[name].build(spark, cat, WM)
+        _assert_match(df, _sc_oracle(table, ptype, has_mat, has_sched), con, name)
+
+
+def test_golden_deal_tracking_deal(spark, golden_sales_deal):
+    """Deal fact: companies city probe (J3), string-rendered amount/quantity,
+    intent-fixed contact name (SURVEY §2.14)."""
+    cat, con = golden_sales_deal
+    df = ALL_SPECS["Fact Deal Tracking Deal from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    sql = f"""
+    SELECT {_bool("d.IsDeleted", "deleted")},
+           CAST(d.id AS VARCHAR) AS id,
+           {_nz("d.code", "code")},
+           {_jkt("d.createdutc", "created_date")},
+           CAST(d.CreatedBy AS VARCHAR) AS created_by,
+           {_nz("d.name", "name")},
+           CAST(d.amount AS VARCHAR) AS amount,
+           {_nz("d.companyCode", "company_code")},
+           {_nz("d.companyName", "company_name")},
+           {_nz("c.City", "company_city")},
+           {_nz("d.contactCode", "contact_code")},
+           {_nz("d.contactName", "contact_name")},
+           {_jkt("d.closeDate", "close_date")},
+           {_nz("d.description", "description")},
+           {_nz("d.reason", "reason")},
+           CAST(NULL AS VARCHAR) AS product_code,
+           CAST(NULL AS VARCHAR) AS product_name,
+           CASE WHEN CAST(d.quantity AS VARCHAR) IS NOT NULL
+                     AND CAST(d.quantity AS VARCHAR) <> ''
+                THEN CAST(d.quantity AS VARCHAR) END AS quantity,
+           {_nz("d.uomUnit", "uom")}
+    FROM dealtrackingdeals d LEFT JOIN companies c ON d.CompanyId = c.Id
+    WHERE d.lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "deal_tracking_deal")
