@@ -134,6 +134,10 @@ def build_production_order_status(
         F.col("orderTypeName").alias("orderType"),
         F.col("isDeleted").alias("scDeleted"),
         F.col("deliverySchedule"),
+        # per-source-row id: the W1 ordinal must restart per CONTRACT ROW
+        # (the reference maps each row independently) — partitioning by
+        # salesContractNo alone would interleave duplicate contract numbers.
+        F.monotonically_increasing_id().alias("__sc_rid"),
     )
     po_r = po.select(
         F.col("salesContractNo"),
@@ -181,7 +185,7 @@ def build_production_order_status(
         F.col("initLength"),
     )
     exploded = step4.join(fgt_r, "qcId", "left")
-    w = Window.partitionBy("salesContractNo", "qcId").orderBy(F.col("fgtId").asc())
+    w = Window.partitionBy("__sc_rid").orderBy(F.col("fgtId").asc())
     exploded = exploded.withColumn(
         "test_index",
         F.when(F.col("qcCode").isNotNull() & F.col("fgtId").isNotNull(), F.row_number().over(w)),

@@ -927,3 +927,231 @@ def test_golden_deal_tracking_deal(spark, golden_sales_deal):
     WHERE d.lastmodifiedutc > TIMESTAMP '1970-01-01'
     """
     _assert_match(df, sql, con, "deal_tracking_deal")
+
+
+@pytest.fixture(scope="module")
+def golden_pos(spark, tmp_path_factory):
+    """Randomized FPSC → PO → kanban → daily op → QC → gradeTests chain,
+    including duplicate contract numbers (the W1-ordinal hazard)."""
+    rng = random.Random(31)
+    base = tmp_path_factory.mktemp("golden_pos")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=200):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    scs = [
+        (
+            maybe(ts()),
+            f"SC-{rng.randrange(40)}",  # duplicates on purpose
+            maybe(rng.choice(["yard", "mtr", "pcs"])),
+            float(rng.choice([0, 90, 200])),
+            maybe("Solid"),
+            rng.random() < 0.2,
+            maybe(ts()),
+            ts(),
+        )
+        for _ in range(70)
+    ]
+    sc_df = spark.createDataFrame(
+        scs,
+        "createdUtc timestamp, salesContractNo string, uomUnit string,"
+        " orderQuantity double, orderTypeName string, isDeleted boolean,"
+        " deliverySchedule timestamp, lastmodifiedutc timestamp",
+    )
+    pos = [
+        (
+            i,
+            f"SC-{rng.randrange(40)}",
+            maybe(ts()),
+            maybe(f"PO-{i}"),
+            float(rng.choice([0, 60, 150])),
+            maybe(rng.choice(["yds", "mtr"])),
+            maybe(ts()),
+            rng.random() < 0.2,
+        )
+        for i in range(60)
+    ]
+    po_df = spark.createDataFrame(
+        pos,
+        "id long, salesContractNo string, createdUtc timestamp, orderNo string,"
+        " orderQuantity double, uomUnit string, deliveryDate timestamp,"
+        " isdeleted boolean",
+    )
+    kbs = [
+        (
+            100 + j,
+            rng.randrange(70),
+            maybe(ts()),
+            maybe(f"KB-{j}"),
+            f"SC-{rng.randrange(40)}",
+            float(rng.choice([0, 8, 20])),
+            maybe(f"C{j % 7}"),
+            rng.random() < 0.2,
+        )
+        for j in range(70)
+    ]
+    kb_df = spark.createDataFrame(
+        kbs,
+        "id long, productionOrderId long, createdUtc timestamp, code string,"
+        " productionOrderSalesContractNo string, cartQty double,"
+        " cartCartNumber string, isdeleted boolean",
+    )
+    dops = [
+        (
+            maybe(ts()),
+            maybe(f"DOP-{j}"),
+            maybe(float(rng.randrange(0, 200)), p=0.3),
+            100 + rng.randrange(85),
+            rng.random() < 0.2,
+        )
+        for j in range(90)
+    ]
+    dop_df = spark.createDataFrame(
+        dops,
+        "createdUtc timestamp, code string, input double, kanbanId long,"
+        " isdeleted boolean",
+    )
+    qcs = [
+        (
+            300 + j,
+            maybe(ts()),
+            maybe("MTR"),
+            maybe(f"QC-{j}"),
+            maybe(f"KB-{rng.randrange(80)}"),
+            rng.random() < 0.2,
+            ts(),
+        )
+        for j in range(50)
+    ]
+    qc_df = spark.createDataFrame(
+        qcs,
+        "id long, dateIm timestamp, uom string, code string, kanbanCode string,"
+        " isdeleted boolean, lastmodifiedutc timestamp",
+    )
+    fgts = [
+        (500 + j, 300 + rng.randrange(60), float(rng.choice([0, 55, 60])))
+        for j in range(120)
+    ]
+    fgt_df = spark.createDataFrame(
+        fgts, "id long, fabricQualityControlId long, initLength double"
+    )
+    frames = {
+        "finishingprintingsalescontracts": sc_df,
+        "productionorder": po_df,
+        "kanbans": kb_df,
+        "dailyoperation": dop_df,
+        "fabricqualitycontrols": qc_df,
+        "fabricgradetests": fgt_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def test_golden_production_order_status(spark, golden_pos):
+    """J6 first-match chain + E5 outer gradeTest explode + W1 per-row
+    ordinal, including duplicate contract numbers."""
+    cat, con = golden_pos
+    df = ALL_SPECS["Fact Production Order Status from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    conv = (
+        "CASE WHEN {q} IS NOT NULL AND {q} <> 0 THEN"
+        " CASE WHEN lower({u}) IN ('yard','yds') THEN {q} * 0.9144 ELSE {q} END END"
+    )
+    sql = f"""
+    WITH sc AS (
+      SELECT createdUtc AS scCreatedUtc, salesContractNo, uomUnit AS scUom,
+             orderQuantity AS scQuantity, orderTypeName AS orderType,
+             isDeleted AS scDeleted, deliverySchedule,
+             row_number() OVER () AS rid
+      FROM finishingprintingsalescontracts
+      WHERE lastmodifiedutc >= TIMESTAMP '1970-01-01'),
+    po1 AS (SELECT * FROM (
+      SELECT salesContractNo, id AS poId, createdUtc AS poCreatedUtc,
+             salesContractNo AS poSalesContractNo, orderNo AS poOrderNo,
+             orderQuantity AS poQuantity, uomUnit AS poUom,
+             deliveryDate AS poDeliveryDate,
+             row_number() OVER (PARTITION BY salesContractNo ORDER BY id) AS rn
+      FROM productionorder WHERE NOT isdeleted) WHERE rn = 1),
+    kb1 AS (SELECT * FROM (
+      SELECT productionOrderId AS poId, id AS kanbanId,
+             createdUtc AS kanbanCreatedUtc, code AS kanbanCode,
+             productionOrderSalesContractNo AS kanbanSalesContractNo,
+             cartQty AS kanbanCartQty, cartCartNumber AS cartNumber,
+             row_number() OVER (PARTITION BY productionOrderId ORDER BY id) AS rn
+      FROM kanbans WHERE NOT isdeleted) WHERE rn = 1),
+    dop1 AS (SELECT * FROM (
+      SELECT kanbanId, createdUtc AS dopCreatedUtc, code AS dopCode,
+             input AS dopInput,
+             row_number() OVER (PARTITION BY kanbanId ORDER BY code) AS rn
+      FROM dailyoperation WHERE NOT isdeleted AND input IS NOT NULL)
+      WHERE rn = 1),
+    qc1 AS (SELECT * FROM (
+      SELECT kanbanCode, id AS qcId, dateIm AS qcDateIm, code AS qcCode,
+             row_number() OVER (PARTITION BY kanbanCode ORDER BY id) AS rn
+      FROM fabricqualitycontrols WHERE NOT isdeleted) WHERE rn = 1),
+    chained AS (
+      SELECT sc.*, po1.* EXCLUDE (salesContractNo, rn), kb1.* EXCLUDE (poId, rn),
+             dop1.* EXCLUDE (kanbanId, rn), qc1.* EXCLUDE (kanbanCode, rn)
+      FROM sc
+      LEFT JOIN po1 USING (salesContractNo)
+      LEFT JOIN kb1 USING (poId)
+      LEFT JOIN dop1 USING (kanbanId)
+      LEFT JOIN qc1 USING (kanbanCode)),
+    exploded AS (
+      SELECT c.*, f.id AS fgtId, f.initLength,
+             CASE WHEN c.qcCode IS NOT NULL AND f.id IS NOT NULL
+                  THEN row_number() OVER (PARTITION BY c.rid, (f.id IS NULL)
+                                          ORDER BY f.id) END AS test_index
+      FROM chained c LEFT JOIN fabricgradetests f ON f.fabricQualityControlId = c.qcId)
+    SELECT {_jkt("scCreatedUtc", "sales_contract_date")},
+           CASE WHEN salesContractNo IS NOT NULL AND salesContractNo <> ''
+                THEN salesContractNo END AS sales_contract_no,
+           {conv.format(q="scQuantity", u="scUom")} AS sales_contract_quantity,
+           {_jkt("poCreatedUtc", "production_order_date")},
+           CASE WHEN poSalesContractNo IS NOT NULL AND poSalesContractNo <> ''
+                THEN poSalesContractNo END AS production_sales_contract_no,
+           CASE WHEN poOrderNo IS NOT NULL AND poOrderNo <> ''
+                THEN poOrderNo END AS production_order_no,
+           {conv.format(q="poQuantity", u="poUom")} AS production_order_quantity,
+           {_jkt("kanbanCreatedUtc", "kanban_date")},
+           CASE WHEN kanbanCode IS NOT NULL AND kanbanCode <> ''
+                THEN kanbanCode END AS kanban_code,
+           CASE WHEN kanbanSalesContractNo IS NOT NULL AND kanbanSalesContractNo <> ''
+                THEN kanbanSalesContractNo END AS kanban_sales_contract_no,
+           CASE WHEN kanbanCartQty IS NOT NULL AND kanbanCartQty <> 0
+                     AND poUom IS NOT NULL
+                THEN CASE WHEN lower(poUom) IN ('yard','yds')
+                          THEN kanbanCartQty * 0.9144 ELSE kanbanCartQty END
+           END AS kanban_quantity,
+           dopInput AS daily_operation_quantity,
+           CASE WHEN dopCode IS NOT NULL THEN kanbanSalesContractNo END
+             AS daily_operation_sales_contract_no,
+           CASE WHEN dopCode IS NOT NULL AND dopCode <> '' THEN dopCode END
+             AS daily_operation_code,
+           CASE WHEN cartNumber IS NOT NULL AND cartNumber <> '' THEN cartNumber END
+             AS cart_number,
+           {_jkt("qcDateIm", "fabric_quality_control_date")},
+           CASE WHEN initLength IS NOT NULL AND initLength <> 0 THEN initLength END
+             AS fabric_quality_control_quantity,
+           CASE WHEN qcCode IS NOT NULL AND qcCode <> '' THEN qcCode END
+             AS fabric_quality_control_code,
+           CASE WHEN orderType IS NOT NULL AND orderType <> '' THEN orderType END
+             AS order_type,
+           CASE WHEN scDeleted THEN 'true' ELSE 'false' END AS deleted,
+           test_index AS fabric_quality_control_test_index,
+           {_jkt("dopCreatedUtc", "daily_operation_date")},
+           {_jkt("deliverySchedule", "sales_contract_delivery_date")},
+           {_jkt("poDeliveryDate", "production_order_delivery_date")}
+    FROM exploded
+    """
+    _assert_match(df, sql, con, "production_order_status")
