@@ -1155,3 +1155,240 @@ def test_golden_production_order_status(spark, golden_pos):
     FROM exploded
     """
     _assert_match(df, sql, con, "production_order_status")
+
+
+@pytest.fixture(scope="module")
+def golden_packing(spark, tmp_path_factory):
+    rng = random.Random(55)
+    base = tmp_path_factory.mktemp("golden_packing")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=200):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    packs = [
+        (
+            i, rng.random() < 0.2, maybe("pk"), maybe(ts()), maybe(f"PK-{i}"),
+            maybe(f"PO-{i % 9}"), maybe("Solid"), maybe(f"SC-{i % 7}"),
+            maybe("D'1"), maybe("N1"), maybe("BY-1"), maybe("Buyer d'One"),
+            maybe("Jl. 1"), maybe("Ekspor"), maybe(ts()), maybe("ROLL"),
+            maybe("C1"), maybe("Red's"), maybe("dyed"), maybe("2/1"),
+            maybe("truck"), maybe("cloth"), maybe("plain"), maybe("open"),
+            rng.random() < 0.5, rng.random() < 0.3, ts(),
+        )
+        for i in range(60)
+    ]
+    pack_df = spark.createDataFrame(
+        packs,
+        "Id long, _deleted boolean, _createdBy string, _createdDate timestamp,"
+        " code string, productionOrderNo string, orderType string,"
+        " salesContractNo string, designCode string, designNumber string,"
+        " buyerCode string, buyerName string, buyerAddress string, buyerType string,"
+        " date timestamp, packingUom string, colorCode string, colorName string,"
+        " colorType string, construction string, deliveryType string,"
+        " finishedProductType string, motif string, status string, accepted boolean,"
+        " declined boolean, lastmodifiedutc timestamp",
+    )
+    pds = [
+        (rng.randrange(70), maybe("L1"), maybe("A"),
+         float(rng.choice([0, 12])), float(rng.choice([0, 40])),
+         float(rng.choice([0, 2])), maybe("rm'k"))
+        for _ in range(90)
+    ]
+    pd_df = spark.createDataFrame(
+        pds,
+        "PackingId long, lot string, grade string, weight double, length double,"
+        " quantity double, remark string",
+    )
+    prs = [
+        (i, rng.random() < 0.2, maybe(f"PRC-{i}"), maybe(ts()), maybe(f"PK-{i % 9}"),
+         rng.random() < 0.5, rng.random() < 0.3, maybe("R-1"), maybe("DO"),
+         maybe("IN's"), maybe(f"PO-{i % 9}"), maybe("Buyer d'One"), maybe("Red"),
+         maybe("2/1"), maybe("ROLL"), maybe("Solid"), maybe("dyed"),
+         maybe("D1"), maybe("N'1"), ts())
+        for i in range(50)
+    ]
+    pr_df = spark.createDataFrame(
+        prs,
+        "id long, _deleted boolean, code string, date timestamp,"
+        " packingCode string, accepted boolean, declined boolean,"
+        " referenceNo string, referenceType string, type string,"
+        " productionOrderNo string, buyer string, colorName string,"
+        " construction string, packingUom string, orderType string,"
+        " colorType string, designCode string, designNumber string,"
+        " lastmodifiedutc timestamp",
+    )
+    pri = [
+        (300 + j, maybe("Cotton R'ed"), float(rng.choice([0, 2])),
+         float(rng.choice([0, 40])), float(rng.choice([0, 12])),
+         rng.randrange(60))
+        for j in range(70)
+    ]
+    pri_df = spark.createDataFrame(
+        pri,
+        "id long, product string, quantity double, length double, weight double,"
+        " packingReceiptId long",
+    )
+    sds = [
+        (i, maybe("BY-1"), maybe("Buyer d'One"), maybe("Ekspor"), maybe(f"SH-{i}"),
+         maybe(ts()), rng.random() < 0.3, ts())
+        for i in range(30)
+    ]
+    sd_df = spark.createDataFrame(
+        sds,
+        "id long, buyerCode string, buyerName string, buyerType string,"
+        " code string, deliveryDate timestamp, isVoid boolean,"
+        " lastmodifiedutc timestamp",
+    )
+    dets = [
+        (100 + j, rng.randrange(40), maybe("D'1"), maybe("N1"), maybe("Solid"),
+         maybe(f"PO-{j % 9}"))
+        for j in range(45)
+    ]
+    det_df = spark.createDataFrame(
+        dets,
+        "id long, shipmentDocumentId long, ProductionOrderDesignCode string,"
+        " ProductionOrderDesignNumber string, productionOrderType string,"
+        " productionOrderNo string",
+    )
+    its = [(200 + j, 100 + rng.randrange(55)) for j in range(50)]
+    it_df = spark.createDataFrame(its, "id long, shipmentDocumentDetailId long")
+    pris = [
+        (400 + j, 200 + rng.randrange(60), maybe("dy'ed"),
+         float(rng.choice([0, 40])), maybe("P1"), maybe("Cotton R'ed"),
+         float(rng.choice([0, 2])), maybe("ROLL"), float(rng.choice([0, 12])))
+        for j in range(60)
+    ]
+    pris_df = spark.createDataFrame(
+        pris,
+        "id long, shipmentDocumentItemId long, colorType string, length double,"
+        " productCode string, productName string, quantity double,"
+        " uomUnit string, weight double",
+    )
+    frames = {
+        "packings": pack_df,
+        "packingdetails": pd_df,
+        "packingreceipt": pr_df,
+        "packingreceiptitem": pri_df,
+        "shipmentdocuments": sd_df,
+        "shipmentdocumentdetails": det_df,
+        "shipmentdocumentitems": it_df,
+        "shipmentdocumentpackingreceiptitems": pris_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def test_golden_packing(spark, golden_packing):
+    cat, con = golden_packing
+    df = ALL_SPECS["Fact Packing from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    SELECT {_bool("p._deleted", "deleted")},
+           {_nz("p._createdBy", "created_by", sanitize=False)},
+           {_jkt("p._createdDate", "created_date")},
+           {_nz("p.code", "code", sanitize=False)},
+           {_nz("p.productionOrderNo", "production_order_no", sanitize=False)},
+           {_nz("p.orderType", "order_type", sanitize=False)},
+           {_nz("p.salesContractNo", "sales_contract_no", sanitize=False)},
+           {_nz("p.designCode", "design_code")},
+           {_nz("p.designNumber", "design_number")},
+           {_nz("p.buyerCode", "buyer_code", sanitize=False)},
+           {_nz("p.buyerName", "buyer_name")},
+           {_nz("p.buyerAddress", "buyer_address")},
+           {_nz("p.buyerType", "buyer_type", sanitize=False)},
+           {_jkt("p.date", "date")},
+           {_nz("p.packingUom", "packing_uom", sanitize=False)},
+           {_nz("p.colorCode", "color_code")},
+           {_nz("p.colorName", "color_name")},
+           {_nz("p.colorType", "color_type")},
+           {_nz("p.construction", "construction")},
+           {_nz("p.deliveryType", "delivery_type")},
+           {_nz("p.finishedProductType", "finished_product_type")},
+           {_nz("p.motif", "motif")},
+           {_nz("pd.lot", "lot")},
+           {_nz("pd.grade", "grade")},
+           CASE WHEN pd.weight IS NULL OR pd.weight = 0 THEN 0 ELSE pd.weight END AS weight,
+           CASE WHEN pd.length IS NULL OR pd.length = 0 THEN 0 ELSE pd.length END AS length,
+           CASE WHEN pd.quantity IS NULL OR pd.quantity = 0 THEN 0 ELSE pd.quantity END AS quantity,
+           {_nz("pd.remark", "remark")},
+           {_nz("p.status", "status")},
+           {_bool("p.accepted", "accepted")},
+           {_bool("p.declined", "declined")}
+    FROM packings p LEFT JOIN packingdetails pd ON p.Id = pd.PackingId
+    WHERE p.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "packing")
+
+
+def test_golden_packing_receipt(spark, golden_packing):
+    cat, con = golden_packing
+    df = ALL_SPECS["Fact Packing Receipt from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    SELECT {_bool("pr._deleted", "deleted")},
+           {_nz("pr.code", "code", sanitize=False)},
+           {_jkt("pr.date", "date")},
+           {_nz("pr.packingCode", "packing_code", sanitize=False)},
+           {_bool("pr.accepted", "accepted")},
+           {_bool("pr.declined", "declined")},
+           {_nz("pr.referenceNo", "reference_no", sanitize=False)},
+           {_nz("pr.referenceType", "reference_type", sanitize=False)},
+           {_nz("pr.type", "type")},
+           {_nz("pr.productionOrderNo", "production_order_no", sanitize=False)},
+           {_nz("pr.buyer", "buyer")},
+           {_nz("pr.colorName", "color_name")},
+           {_nz("pr.construction", "construction")},
+           {_nz("pr.packingUom", "packing_uom")},
+           {_nz("pr.orderType", "order_type")},
+           {_nz("pr.colorType", "color_type")},
+           {_nz("pr.designCode", "design_code", sanitize=False)},
+           {_nz("pr.designNumber", "design_number")},
+           {_nz("it.product", "product")},
+           CASE WHEN it.quantity IS NOT NULL AND it.quantity <> 0
+                THEN CAST(it.quantity AS VARCHAR) END AS quantity,
+           CASE WHEN it.length IS NOT NULL AND it.length <> 0
+                THEN CAST(it.length AS VARCHAR) END AS length,
+           CASE WHEN it.weight IS NOT NULL AND it.weight <> 0
+                THEN CAST(it.weight AS VARCHAR) END AS weight
+    FROM packingreceipt pr JOIN packingreceiptitem it ON it.packingReceiptId = pr.id
+    WHERE pr.lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "packing_receipt")
+
+
+def test_golden_shipment_document(spark, golden_packing):
+    cat, con = golden_packing
+    df = ALL_SPECS["Fact Shipment Document from MongoDB to Azure DWH"].build(spark, cat, WM)
+    sql = f"""
+    SELECT {_nz("sd.buyerCode", "buyer_code")},
+           {_nz("sd.buyerName", "buyer_name")},
+           {_nz("sd.buyerType", "buyer_type")},
+           {_nz("sd.code", "shipment_code")},
+           CASE WHEN sd.deliveryDate IS NOT NULL
+                THEN strftime(sd.deliveryDate, '%Y-%m-%d') END AS delivery_date,
+           {_bool("sd.isVoid", "is_void")},
+           {_nz("dt.ProductionOrderDesignCode", "design_code")},
+           {_nz("dt.ProductionOrderDesignNumber", "design_number")},
+           {_nz("dt.productionOrderNo", "production_order_no")},
+           {_nz("dt.productionOrderType", "production_order_type")},
+           {_nz("pi.colorType", "color_type")},
+           pi.length AS length,
+           {_nz("pi.productCode", "product_code")},
+           {_nz("pi.productName", "product_name")},
+           pi.quantity AS quantity,
+           {_nz("pi.uomUnit", "uom_unit")},
+           pi.weight AS weight
+    FROM shipmentdocuments sd
+    JOIN shipmentdocumentdetails dt ON dt.shipmentDocumentId = sd.id
+    JOIN shipmentdocumentitems it ON it.shipmentDocumentDetailId = dt.id
+    JOIN shipmentdocumentpackingreceiptitems pi ON pi.shipmentDocumentItemId = it.id
+    WHERE sd.lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "shipment_document")
