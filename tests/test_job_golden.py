@@ -1392,3 +1392,201 @@ def test_golden_shipment_document(spark, golden_packing):
     WHERE sd.lastmodifiedutc > TIMESTAMP '1970-01-01'
     """
     _assert_match(df, sql, con, "shipment_document")
+
+
+@pytest.fixture(scope="module")
+def golden_dailyop(spark, tmp_path_factory):
+    """Randomized daily-operation chain incl. the reasons fanout and
+    truncation-length strings."""
+    rng = random.Random(77)
+    base = tmp_path_factory.mktemp("golden_dailyop")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=120):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24),
+                                 minutes=rng.randrange(60))
+
+    dops = [
+        (
+            i, rng.random() < 0.2, rng.random() < 0.2,
+            float(rng.choice([0, 3])), maybe(f"DOP-{i}"),
+            maybe(ts()), maybe(ts()),
+            float(rng.choice([0, 95])), float(rng.choice([0, 100])),
+            maybe("pagi" * 20),  # > 49 chars → truncation
+            maybe(ts()), maybe(ts()),
+            maybe(rng.choice(["input", "output"])),
+            rng.randrange(8), maybe("d'ye" * 20),
+            rng.randrange(12), rng.randrange(4),
+            float(rng.choice([0, 4])), maybe(f"KB-{i % 12}"),
+            ts(), ts(),
+        )
+        for i in range(50)
+    ]
+    dop_df = spark.createDataFrame(
+        dops,
+        "Id long, _deleted boolean, isdeleted boolean, badOutput double,"
+        " code string, dateInput timestamp, dateOutput timestamp,"
+        " goodOutput double, input double, shift string,"
+        " timeInput timestamp, timeOutput timestamp, type string, StepId long,"
+        " StepProcess string, KanbanId long, MachineId long, failedOutput double,"
+        " kanbanCode string, createdUtc timestamp, lastmodifiedutc timestamp",
+    )
+    dbs = [
+        (100 + j, rng.randrange(60), maybe("B1"), maybe("t'ear"),
+         float(rng.choice([0, 2])), maybe("edge's " + "x" * 300), maybe("rework' " * 40))
+        for j in range(60)
+    ]
+    db_df = spark.createDataFrame(
+        dbs,
+        "id long, DailyOperationId long, badOutputCode string,"
+        " badOutputReason string, length double, Description string, action string",
+    )
+    kbs = [
+        (k, maybe(f"A{k}"), maybe(f"C{k}" * 30), maybe(f"CC-{k}"),
+         float(rng.choice([0, 3])), float(rng.choice([0, 12])),
+         maybe(f"PO-{k}"), maybe(f"SC-{k}"), maybe("Solid's Longer OrderType Name"),
+         maybe("Req's"), maybe("Tmpl"), maybe("MTR"))
+        for k in range(12)
+    ]
+    kb_df = spark.createDataFrame(
+        kbs,
+        "Id long, Grade string, CartCartNumber string, CartCode string,"
+        " CartPcs double, CartQty double, ProductionOrderOrderNo string,"
+        " ProductionOrderSalesContractNo string, ProductionOrderOrderTypeName string,"
+        " SelectedProductionOrderDetailColorRequest string,"
+        " SelectedProductionOrderDetailColorTemplate string,"
+        " selectedProductionOrderDetailUomUnit string",
+    )
+    kis = [(200 + j, rng.randrange(14), maybe(f"KI-{j}"), maybe("in'str" * 12))
+           for j in range(14)]
+    ki_df = spark.createDataFrame(kis, "id long, KanbanId long, Code string, Name string")
+    ms = [(m, maybe(f"M-{m}"), maybe("go'od"), maybe("ACME's"), float(100 + m),
+           maybe("Lo'om"), maybe("wea've"), 2015 + m)
+          for m in range(4)]
+    m_df = spark.createDataFrame(
+        ms,
+        "Id long, Code string, Condition string, Manufacture string,"
+        " MonthlyCapacity double, Name string, Process string, Year int",
+    )
+    frames = {
+        "dailyoperation": dop_df,
+        "dailyoperationbadoutputreasons": db_df,
+        "kanbans": kb_df,
+        "kanbaninstructions": ki_df,
+        "machine": m_df,
+    }
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return cat, con
+
+
+def _nzt(col: str, alias: str, n: int, sanitize: bool = True) -> str:
+    """nz_str with truncation: guard on the ORIGINAL value, truncate, then
+    optionally sanitize (the engine truncates before replacing quotes)."""
+    body = f"substring({col}, 1, {n})"
+    if sanitize:
+        body = f"replace({body}, '''', '\"')"
+    return f"CASE WHEN {col} IS NOT NULL AND {col} <> '' THEN {body} END AS {alias}"
+
+
+def _jkt_time(col: str, alias: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NOT NULL"
+        f" THEN strftime({col} + INTERVAL 7 HOUR, '%H:%M:%S') END AS {alias}"
+    )
+
+
+def test_golden_daily_operation(spark, golden_dailyop):
+    """The 5-way join with reasons fanout, truncation caps, uom-guarded
+    convertion columns, and the S9 child reasons build."""
+    cat, con = golden_dailyop
+    spec = ALL_SPECS["Fact Daily Operation from MongoDB to Azure DWH"]
+    df = spec.build(spark, cat, WM)
+    uom = "k.selectedProductionOrderDetailUomUnit IS NOT NULL"
+    sql = f"""
+    SELECT {_bool("d._deleted", "deleted")},
+           CASE WHEN d.badOutput IS NOT NULL AND d.badOutput <> 0
+                THEN d.badOutput END AS bad_output,
+           {_nzt("db.Description", "bad_output_description", 499)},
+           {_nzt("d.code", "code", 49, sanitize=False)},
+           {_jkt("d.dateInput", "input_date")},
+           {_jkt("d.dateOutput", "output_date")},
+           CASE WHEN d.goodOutput IS NOT NULL AND d.goodOutput <> 0
+                THEN d.goodOutput END AS good_output,
+           CASE WHEN d.input IS NOT NULL AND d.input <> 0 THEN d.input END AS input,
+           {_nzt("d.shift", "shift", 49, sanitize=False)},
+           {_jkt_time("d.timeInput", "input_time")},
+           {_jkt_time("d.timeOutput", "output_time")},
+           {_nzt("d.kanbanCode", "kanban_code", 49, sanitize=False)},
+           {_nzt("k.Grade", "kanban_grade", 49, sanitize=False)},
+           {_nzt("k.CartCartNumber", "kanban_cart_number", 49, sanitize=False)},
+           {_nzt("k.CartCode", "kanban_cart_code", 49, sanitize=False)},
+           CASE WHEN k.CartPcs IS NULL OR k.CartPcs = 0 THEN 0 ELSE k.CartPcs END
+             AS kanban_cart_pcs,
+           CASE WHEN k.CartQty IS NULL OR k.CartQty = 0 THEN 0 ELSE k.CartQty END
+             AS kanban_cart_qty,
+           {_nzt("ki.Code", "kanban_instruction_code", 49, sanitize=False)},
+           {_nzt("ki.Name", "kanban_instruction_name", 49, sanitize=False)},
+           {_nzt("k.ProductionOrderOrderTypeName", "order_type", 24, sanitize=False)},
+           CAST(NULL AS VARCHAR) AS selected_production_order_detail_code,
+           {_nzt("k.SelectedProductionOrderDetailColorRequest", "selected_color_request", 49)},
+           {_nzt("k.SelectedProductionOrderDetailColorTemplate", "selected_color_template", 499)},
+           {_nzt("m.Code", "machine_code", 49, sanitize=False)},
+           {_nzt("m.Condition", "machine_condition", 49, sanitize=False)},
+           {_nzt("m.Manufacture", "machine_manufacture", 49, sanitize=False)},
+           CASE WHEN m.MonthlyCapacity IS NOT NULL AND m.MonthlyCapacity <> 0
+                THEN m.MonthlyCapacity END AS machine_monthly_capacity,
+           {_nzt("m.Name", "machine_name", 49, sanitize=False)},
+           {_nzt("m.Process", "machine_process", 49, sanitize=False)},
+           CASE WHEN m.Year IS NOT NULL
+                THEN substring(CAST(m.Year AS VARCHAR), 1, 4) END AS machine_year,
+           CASE WHEN {uom} AND d.input IS NOT NULL AND d.input <> 0
+                THEN d.input END AS input_quantity_convertion,
+           CASE WHEN {uom} AND d.goodOutput IS NOT NULL AND d.goodOutput <> 0
+                THEN d.goodOutput END AS good_output_quantity_convertion,
+           CASE WHEN {uom} AND d.badOutput IS NOT NULL AND d.badOutput <> 0
+                THEN d.badOutput END AS bad_output_quantity_convertion,
+           CASE WHEN {uom} AND d.failedOutput IS NOT NULL AND d.failedOutput <> 0
+                THEN d.failedOutput END AS failed_output_quantity_convertion,
+           CAST(NULL AS DOUBLE) AS output_quantity,
+           CAST(NULL AS DOUBLE) AS input_output_diff,
+           CAST(NULL AS VARCHAR) AS status,
+           {_nzt("d.type", "type", 9, sanitize=False)},
+           CASE WHEN d.StepId IS NOT NULL
+                THEN substring(CAST(d.StepId AS VARCHAR), 1, 49) END AS step_process_id,
+           {_nzt("d.StepProcess", "step_process", 49, sanitize=False)},
+           CAST(NULL AS VARCHAR) AS process_area,
+           {_nzt("k.ProductionOrderOrderNo", "production_order_no", 99, sanitize=False)},
+           {_nzt("k.ProductionOrderSalesContractNo", "sales_contract_no", 99, sanitize=False)},
+           {_nzt("db.action", "action", 254)}
+    FROM dailyoperation d
+    LEFT JOIN dailyoperationbadoutputreasons db ON d.Id = db.DailyOperationId
+    LEFT JOIN kanbans k ON d.KanbanId = k.Id
+    LEFT JOIN kanbaninstructions ki ON k.Id = ki.KanbanId
+    LEFT JOIN machine m ON d.MachineId = m.Id
+    WHERE d.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "daily_operation")
+    # S9 child (reasons) target
+    build_fn, _keys = spec.extra_targets["dl_fact_daily_operation_reasons"]
+    child = build_fn(spark, cat, WM)
+    child_sql = f"""
+    SELECT CAST(d.code AS VARCHAR) AS daily_operation_code,
+           {_nz("db.badOutputCode", "bad_output_reason_code", sanitize=False)},
+           {_nz("db.badOutputReason", "reason")},
+           CASE WHEN db.length IS NULL OR db.length = 0 THEN 0 ELSE db.length END AS length,
+           {_nz("db.Description", "description")},
+           {_nz("db.action", "action")},
+           CAST(db.id AS VARCHAR) AS id
+    FROM dailyoperationbadoutputreasons db
+    JOIN dailyoperation d ON d.Id = db.DailyOperationId
+    WHERE d.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(child, child_sql, con, "daily_operation_reasons")
