@@ -260,14 +260,14 @@ def build_garment_pembelian(
         nz_str("productCode").alias("product_code"),
         nz_str("productName").alias("product_name"),
         F.coalesce(po_int_days, F.lit(0)).alias("purchase_request_days"),  # M9
-        bucket_days_week(po_int_days, empty_else=True).alias("purchase_request_days_range"),
+        F.when(po_int_days.isNotNull(), bucket_days_week(po_int_days, empty_else=True)).alias("purchase_request_days_range"),  # NULL days -> NULL (run.js guards), not ''
         F.coalesce(pr_po_ext_days, F.lit(0)).alias("pr_po_external_days"),
-        bucket_days_week(pr_po_ext_days, empty_else=True).alias("pr_po_external_days_range"),
+        F.when(pr_po_ext_days.isNotNull(), bucket_days_week(pr_po_ext_days, empty_else=True)).alias("pr_po_external_days_range"),  # NULL days -> NULL (run.js guards), not ''
         bool_str("prDeleted").alias("deleted_pr"),
         nz_str("poNo").alias("purchase_order_no"),
         _vday("poCreatedUtc").alias("purchase_order_date"),
         F.coalesce(po_ext_days, F.lit(0)).alias("po_external_days"),
-        bucket_days_week(po_ext_days, empty_else=True).alias("po_external_days_range"),
+        F.when(po_ext_days.isNotNull(), bucket_days_week(po_ext_days, empty_else=True)).alias("po_external_days_range"),  # NULL days -> NULL (run.js guards), not ''
         nz_str("poCreatedBy").alias("purchasing_staff_name"),
         nz_str("prNo").alias("pr_no_at_po"),
         bool_str("poDeleted").alias("deleted_po"),
