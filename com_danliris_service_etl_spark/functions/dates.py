@@ -27,12 +27,15 @@ def day_diff(end: ColumnOrName, start: ColumnOrName) -> Column:
 
 
 def minute_diff(end: ColumnOrName, start: ColumnOrName) -> Column:
-    """D2 — duration in minutes between two timestamps.
+    """D2 — duration in whole minutes between two timestamps (truncated
+    toward zero, matching moment's `.diff(x, 'minutes')`).
 
     Reference: `MonitoringEvent/run.js:232` (event duration),
     `Pembelian/run.js:16` (job runtime minutes).
     """
-    return (_c(end).cast("long") - _c(start).cast("long")) / F.lit(60.0)
+    secs = _c(end).cast("long") - _c(start).cast("long")
+    # double→long cast truncates toward zero for both signs, like moment.
+    return (secs / F.lit(60.0)).cast("long")
 
 
 def to_jakarta(ts: ColumnOrName) -> Column:

@@ -1590,3 +1590,412 @@ def test_golden_daily_operation(spark, golden_dailyop):
     WHERE d.lastmodifiedutc >= TIMESTAMP '1970-01-01'
     """
     _assert_match(child, child_sql, con, "daily_operation_reasons")
+
+
+@pytest.fixture(scope="module")
+def golden_rest(spark, tmp_path_factory):
+    """Fixtures for the remaining pipelines: inventory movement, production
+    order, monitoring event, and the three simple deal-tracking jobs."""
+    rng = random.Random(88)
+    base = tmp_path_factory.mktemp("golden_rest")
+
+    def maybe(v, p=0.15):
+        return None if rng.random() < p else v
+
+    def ts(lo=dt.datetime(2024, 1, 1), days=150):
+        return lo + dt.timedelta(days=rng.randrange(days), hours=rng.randrange(24))
+
+    inv = [
+        (maybe(f"ST{i % 4}"), maybe("Gudang's"), maybe(ts()), float(rng.choice([0, 5])),
+         maybe(rng.choice(["IN", "OUT"])), maybe(f"P{i % 9}"), maybe("Cot'ton"),
+         maybe("MTR"), rng.random() < 0.2, f"IM-{i}", maybe("R'1"), maybe("DO"),
+         float(rng.choice([0, 3])), float(rng.choice([0, 8])), maybe("ok's"), ts())
+        for i in range(60)
+    ]
+    inv_df = spark.createDataFrame(
+        inv,
+        "storageCode string, storageName string, date timestamp, quantity double,"
+        " type string, productCode string, productName string, uomunit string,"
+        " _isdeleted boolean, no string, referenceNo string, referenceType string,"
+        " before double, after double, remark string, _lastmodifiedutc timestamp",
+    )
+    pos = [
+        (maybe(f"SC-{i % 8}"), maybe(f"PO-{i}"), maybe("Sol'id"), maybe("Print"),
+         maybe(rng.choice(["Cotton 40's", None])), maybe("2/1"), maybe("40's"),
+         maybe("44"), float(rng.choice([0, 100])), maybe(rng.choice(["yard", "mtr"])),
+         maybe("Buyer d'One"), maybe("Ekspor"), maybe(ts()), maybe(ts()),
+         maybe("BY'1"), rng.random() < 0.2, maybe("sta'ff"), rng.random() < 0.4, ts())
+        for i in range(70)
+    ]
+    po_df = spark.createDataFrame(
+        pos,
+        "salesContractNo string, OrderNo string, OrderTypeName string,"
+        " ProcessTypeName string, MaterialName string, MaterialConstructionName string,"
+        " YarnMaterialName string, materialWidth string, orderQuantity double,"
+        " UomUnit string, BuyerName string, BuyerType string, deliveryDate timestamp,"
+        " CreatedUtc timestamp, BuyerCode string, IsDeleted boolean,"
+        " AccountUserName string, isClosed boolean, lastmodifiedutc timestamp",
+    )
+    mes = [
+        (f"ME-{i}", maybe(f"C{i % 5}"), maybe(ts()),
+         1709340000000 + rng.randrange(10**7), 1709340000000 + rng.randrange(10**7),
+         maybe(ts()), rng.choice([900, 901, 999]), maybe("rem'ark"),
+         rng.choice([910, 911, 999]), rng.choice([920, 921, 999]),
+         rng.choice(["op1", "dev"]), rng.random() < 0.2, ts())
+        for i in range(50)
+    ]
+    me_df = spark.createDataFrame(
+        mes,
+        "code string, cartNumber string, dateStart timestamp, timeInMilisStart long,"
+        " timeInMilisEnd long, dateEnd timestamp, productionOrderId long,"
+        " remark string, machineId long, machineEventId long, createdBy string,"
+        " isDeleted boolean, lastmodifiedutc timestamp",
+    )
+    me_machines = spark.createDataFrame(
+        [(910, "M'1", "good", "Lo'om", "wea've", "U1", 930, "Weav'ing", 2019,
+          "AC'ME"),
+         (911, "M2", None, "Jet", "dye", "U2", 999, "Dye", 2021, "XY'Z")],
+        "id long, code string, condition string, name string, process string,"
+        " unitCode string, unitDivisionId long, unitName string, year int,"
+        " manufacture string",
+    )
+    me_divisions = spark.createDataFrame(
+        [(930, "DV'1", "Divisi W's")], "id long, code string, name string"
+    )
+    me_pos = spark.createDataFrame(
+        [(900, 940, ts(), "Cott'on", "PO'1", 100.0, "Sol'id", "Pri'nt",
+          "SC'1", "MTR", "44", "h'std", "rm'k", "S'1", "2%'", "RUN'1"),
+         (901, 999, None, None, "PO2", 0.0, None, None, "SC2", None, None,
+          None, None, None, None, None)],
+        "id long, buyerId long, deliveryDate timestamp, materialName string,"
+        " orderNo string, orderQuantity double, orderTypeName string,"
+        " processTypeName string, salesContractNo string, uomUnit string,"
+        " finishWidth string, handlingStandard string, remark string,"
+        " sample string, shrinkageStandard string, RUN string",
+    )
+    me_buyers = spark.createDataFrame(
+        [(940, "Jl'. 1", "BY'1", "ca'll", "I'D", "Buyer d'One", "3'0")],
+        "id long, address string, code string, contact string, country string,"
+        " name string, tempo string",
+    )
+    me_events = spark.createDataFrame(
+        [(920, "EV'1", "st'op", "MAINT'"), (921, "EV2", "run", "")],
+        "id long, no string, name string, category string",
+    )
+    boards = [
+        (rng.random() < 0.2, 1000 + i, maybe(f"DB-{i}"), ts(), "sal'es",
+         maybe("Q2 bo'ard"), maybe(rng.choice(["USD", "ZZZ"])), maybe("$'"), ts())
+        for i in range(40)
+    ]
+    board_df = spark.createDataFrame(
+        boards,
+        "IsDeleted boolean, id long, code string, createdutc timestamp,"
+        " CreatedBy string, title string, currencyCode string,"
+        " currencySymbol string, lastmodifiedutc timestamp",
+    )
+    board_cur = spark.createDataFrame(
+        [(1, "USD", 15500.0, "US Dollar", "$")],
+        "id long, code string, rate double, description string, symbol string",
+    )
+    acts = [
+        (rng.random() < 0.2, 1100 + i, maybe(f"DA-{i}"), "sal'es", ts(),
+         rng.choice([1200, None]), maybe("ta'sk"), maybe("call 'em"),
+         maybe("Follow u'p"), maybe(ts()), maybe("open"), rng.choice([1300, None]),
+         rng.choice([1301, None]), maybe("an'di"), ts())
+        for i in range(40)
+    ]
+    act_df = spark.createDataFrame(
+        acts,
+        "IsDeleted boolean, id long, code string, createdby string,"
+        " createdutc timestamp, dealId long, type string, notes string,"
+        " taskTitle string, dueDate timestamp, status string, stagefromid long,"
+        " stagetoid long, assignedTo string, lastmodifiedutc timestamp",
+    )
+    stages = [
+        (rng.random() < 0.2, 1300 + i, maybe(f"DS-{i}"), "sal'es", ts(),
+         1000 + rng.randrange(40), maybe("Prospect'ing"), ts())
+        for i in range(30)
+    ]
+    stage_df = spark.createDataFrame(
+        stages,
+        "IsDeleted boolean, id long, code string, createdby string,"
+        " createdutc timestamp, boardId long, name string, lastmodifiedutc timestamp",
+    )
+    stage_deals = [
+        (1400 + i, 1300 + rng.randrange(35), ts()) for i in range(50)
+    ]
+    stage_deal_df = spark.createDataFrame(
+        stage_deals, "id long, stageId long, lastmodifiedutc timestamp"
+    )
+
+    frames = {
+        "inventorymovements": inv_df,
+        "productionorder": po_df,
+        "monitoringevent": me_df,
+        "machine": me_machines,
+        "divisions": me_divisions,
+        "buyers": me_buyers,
+        "machineevents": me_events,
+        "dealtrackingboards": board_df,
+        "currencies": board_cur,
+        "dealtrackingactivities": act_df,
+        "dealtrackingstages": stage_df,
+        "dealtrackingdeals": stage_deal_df,
+    }
+    # monitoringevent's PO table collides with productionorder: use a
+    # separate catalog per family below.
+    cat = Catalog(spark=spark)
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(base / f"{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        cat.tables[name] = path
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    # MonitoringEvent reads `productionorder` too — point a second catalog at
+    # the ME-shaped table.
+    me_cat = Catalog(spark=spark, tables=dict(cat.tables))
+    me_po_path = str(base / "me_productionorder.parquet")
+    me_pos.coalesce(1).write.mode("overwrite").parquet(me_po_path)
+    me_cat.tables["productionorder"] = me_po_path
+    con.execute(
+        f"CREATE VIEW me_productionorder AS SELECT * FROM '{me_po_path}/*.parquet'"
+    )
+    return cat, me_cat, con
+
+
+def test_golden_inventory_movement(spark, golden_rest):
+    cat, _, con = golden_rest
+    df = ALL_SPECS["Fact Inventory Movement From MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    sql = f"""
+    SELECT {_nz("storageCode", "storage_code")},
+           {_nz("storageName", "storage_name")},
+           {_jkt("date", "date")},
+           quantity,
+           {_nz("type", "status", sanitize=False)},
+           {_nz("productCode", "product_code")},
+           {_nz("productName", "product_name")},
+           {_nz("uomunit", "uom")},
+           {_bool("_isdeleted", "deleted")},
+           {_nz("no", "code")},
+           {_nz("referenceNo", "reference_no")},
+           {_nz("referenceType", "reference_type")},
+           before, after,
+           {_nz("remark", "remark")}
+    FROM inventorymovements WHERE _lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "inventory_movement")
+
+
+def test_golden_production_order(spark, golden_rest):
+    cat, _, con = golden_rest
+    df = ALL_SPECS["Fact Production Order from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    conv = (
+        "CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0 THEN"
+        " CASE WHEN lower(UomUnit) IN ('yard','yds') THEN orderQuantity * 0.9144"
+        " ELSE orderQuantity END END"
+    )
+    cons = (
+        "CASE WHEN MaterialName IS NOT NULL AND MaterialConstructionName IS NOT NULL"
+        " AND YarnMaterialName IS NOT NULL AND materialWidth IS NOT NULL"
+        " THEN replace(MaterialName, '''', '\"') || ' ' ||"
+        " replace(MaterialConstructionName, '''', '\"') || ' ' ||"
+        " replace(YarnMaterialName, '''', '\"') || ' ' ||"
+        " replace(materialWidth, '''', '\"') END"
+    )
+    sql = f"""
+    SELECT {_nz("salesContractNo", "sales_contract_no")},
+           {_nz("OrderNo", "production_order_no")},
+           {_nz("OrderTypeName", "order_type")},
+           {_nz("ProcessTypeName", "process_type")},
+           {_nz("MaterialName", "material")},
+           {_nz("MaterialConstructionName", "material_construction")},
+           {_nz("YarnMaterialName", "yarn_material_no")},
+           {_nz("materialWidth", "material_width")},
+           CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0
+                THEN orderQuantity END AS order_quantity,
+           {_nz("UomUnit", "order_uom")},
+           {_nz("BuyerName", "buyer")},
+           {_nz("BuyerType", "buyer_type")},
+           {_jkt("deliveryDate", "delivery_date")},
+           {_jkt("CreatedUtc", "created_date")},
+           {conv} AS total_order_convertion,
+           {cons} AS construction,
+           {_nz("BuyerCode", "buyer_code")},
+           CAST(NULL AS DOUBLE) AS cart_quantity,
+           CAST(NULL AS VARCHAR) AS kanban_code,
+           {_bool("IsDeleted", "deleted")},
+           {_nz("AccountUserName", "username")},
+           {_bool("isClosed", "is_closed")}
+    FROM productionorder WHERE lastmodifiedutc >= TIMESTAMP '1970-01-01'
+    """
+    _assert_match(df, sql, con, "production_order")
+
+
+def test_golden_monitoring_event(spark, golden_rest):
+    _, me_cat, con = golden_rest
+    df = ALL_SPECS["Fact Monitoring Event from MongoDB to Azure DWH"].build(
+        spark, me_cat, WM
+    )
+    # D5 reconstruction + D2/M3 range in minutes/60, mirrored per engine.
+    start = ("strptime(strftime(me.dateStart, '%Y-%m-%d') || ' ' ||"
+             " strftime(to_timestamp(me.timeInMilisStart / 1000), '%H:%M:%S'),"
+             " '%Y-%m-%d %H:%M:%S')")
+    end = ("strptime(strftime(me.dateEnd, '%Y-%m-%d') || ' ' ||"
+           " strftime(to_timestamp(me.timeInMilisEnd / 1000), '%H:%M:%S'),"
+           " '%Y-%m-%d %H:%M:%S')")
+    sql = f"""
+    SELECT {_nz("me.cartNumber", "cart_number", sanitize=False)},
+           {_nz("me.code", "monitoring_event_code", sanitize=False)},
+           {_jkt("me.dateStart", "event_start_date")},
+           CASE WHEN me.timeInMilisStart IS NOT NULL THEN
+             strftime(to_timestamp(me.timeInMilisStart / 1000) + INTERVAL 7 HOUR,
+                      '%H:%M:%S') END AS event_start_time,
+           CASE WHEN me.timeInMilisEnd IS NOT NULL THEN
+             strftime(to_timestamp(me.timeInMilisEnd / 1000) + INTERVAL 7 HOUR,
+                      '%H:%M:%S') END AS event_end_time,
+           {_jkt("me.dateEnd", "event_end_date")},
+           {_nz("m.code", "machine_code", sanitize=False)},
+           {_nz("m.condition", "machine_condition", sanitize=False)},
+           {_nz("m.name", "machine_name")},
+           {_nz("m.process", "machine_process")},
+           {_nz("m.unitCode", "unit_code", sanitize=False)},
+           {_nz("dv.code", "division_code", sanitize=False)},
+           {_nz("dv.name", "division_name", sanitize=False)},
+           {_nz("m.unitName", "unit_name", sanitize=False)},
+           m.year AS machine_year,
+           CAST(NULL AS VARCHAR) AS machine_step_process,
+           {_nz("b.address", "buyer_address", sanitize=False)},
+           {_nz("b.code", "buyer_code", sanitize=False)},
+           {_nz("b.contact", "buyer_contact", sanitize=False)},
+           {_nz("b.country", "buyer_country", sanitize=False)},
+           {_nz("b.name", "buyer_name")},
+           {_nz("b.tempo", "buyer_tempo", sanitize=False)},
+           CAST(NULL AS VARCHAR) AS po_construction,
+           {_jkt("po.deliveryDate", "po_delivery_date")},
+           CAST(NULL AS VARCHAR) AS po_design,
+           {_nz("po.finishWidth", "po_finish_width", sanitize=False)},
+           {_nz("po.handlingStandard", "po_handling_standard", sanitize=False)},
+           {_nz("po.materialName", "po_material", sanitize=False)},
+           {_nz("po.orderNo", "po_order_no", sanitize=False)},
+           po.orderQuantity AS po_order_quantity,
+           {_nz("po.orderTypeName", "po_order_type", sanitize=False)},
+           CAST(NULL AS VARCHAR) AS po_origin_greige_fabric,
+           {_nz("po.processTypeName", "po_process_type", sanitize=False)},
+           {_nz("po.remark", "po_remark", sanitize=False)},
+           CAST(NULL AS VARCHAR) AS po_roll_length,
+           {_nz("po.RUN", "po_run", sanitize=False)},
+           {_nz("po.salesContractNo", "po_sales_contract_no", sanitize=False)},
+           {_nz("po.sample", "po_sample", sanitize=False)},
+           {_nz("po.shrinkageStandard", "po_shrinkage_standard", sanitize=False)},
+           CAST(NULL AS DOUBLE) AS po_spelling,
+           {_nz("po.uomUnit", "po_uom", sanitize=False)},
+           {_nz("me.remark", "event_remark")},
+           CAST(NULL AS VARCHAR) AS selected_detail_code,
+           CAST(NULL AS VARCHAR) AS selected_detail_color_request,
+           CAST(NULL AS VARCHAR) AS selected_detail_color_template,
+           CAST(NULL AS VARCHAR) AS selected_detail_color_type_code,
+           CAST(NULL AS VARCHAR) AS selected_detail_color_type_name,
+           CAST(NULL AS VARCHAR) AS selected_detail_color_type_remark,
+           CAST(NULL AS DOUBLE) AS selected_detail_quantity,
+           CAST(NULL AS VARCHAR) AS selected_detail_uom,
+           {_nz("ev.name", "machine_event_name")},
+           CASE WHEN me.dateEnd IS NOT NULL THEN
+             trunc((epoch({end}) - epoch({start})) / 60.0) / 60.0
+           END AS event_range,
+           {_nz("ev.no", "machine_event_no", sanitize=False)},
+           {_nz("me.createdBy", "created_by", sanitize=False)},
+           {_bool("me.isDeleted", "deleted")},
+           {_nz("ev.category", "event_category", sanitize=False)}
+    FROM monitoringevent me
+    LEFT JOIN machine m ON me.machineId = m.id
+    LEFT JOIN divisions dv ON m.unitDivisionId = dv.id
+    LEFT JOIN me_productionorder po ON me.productionOrderId = po.id
+    LEFT JOIN buyers b ON po.buyerId = b.id
+    LEFT JOIN machineevents ev ON me.machineEventId = ev.id
+    WHERE me.lastmodifiedutc >= TIMESTAMP '1970-01-01'
+      AND me.createdBy NOT IN ('dev', 'unit-test')
+    """
+    _assert_match(df, sql, con, "monitoring_event")
+
+
+def test_golden_deal_board_activity_stage(spark, golden_rest):
+    cat, _, con = golden_rest
+    board = ALL_SPECS["Fact Deal Tracking Board from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    board_sql = f"""
+    SELECT {_bool("b.IsDeleted", "deleted")},
+           CAST(b.id AS VARCHAR) AS id,
+           {_nz("b.code", "code")},
+           {_jkt("b.createdutc", "created_date")},
+           CAST(b.CreatedBy AS VARCHAR) AS created_by,
+           {_nz("b.title", "title")},
+           {_nz("b.currencyCode", "currency_code")},
+           CASE WHEN CAST(c.rate AS VARCHAR) IS NOT NULL
+                     AND CAST(c.rate AS VARCHAR) <> ''
+                THEN CAST(c.rate AS VARCHAR) END AS currency_rate,
+           {_nz("b.currencySymbol", "currency_symbol")}
+    FROM dealtrackingboards b LEFT JOIN currencies c ON b.currencyCode = c.code
+    WHERE b.lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(board, board_sql, con, "deal_board")
+
+    act = ALL_SPECS["Fact Deal Tracking Activity from MongoDB to Azure DWH"].build(
+        spark, cat, WM
+    )
+    act_sql = f"""
+    SELECT {_bool("IsDeleted", "deleted")},
+           CAST(id AS VARCHAR) AS id,
+           {_nz("code", "code")},
+           CASE WHEN createdutc IS NOT NULL
+                THEN strftime(createdutc + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') END
+             AS created_date,
+           CAST(createdby AS VARCHAR) AS created_by,
+           CASE WHEN CAST(dealId AS VARCHAR) IS NOT NULL
+                     AND CAST(dealId AS VARCHAR) <> ''
+                THEN CAST(dealId AS VARCHAR) END AS deal_id,
+           {_nz("type", "type")},
+           {_nz("notes", "notes")},
+           {_nz("taskTitle", "title")},
+           {_jkt("dueDate", "due_date")},
+           CASE WHEN CAST(status AS VARCHAR) IS NOT NULL
+                     AND CAST(status AS VARCHAR) <> ''
+                THEN CAST(status AS VARCHAR) END AS status,
+           CASE WHEN CAST(stagefromid AS VARCHAR) IS NOT NULL
+                     AND CAST(stagefromid AS VARCHAR) <> ''
+                THEN replace(CAST(stagefromid AS VARCHAR), '''', '"') END
+             AS source_stage_id,
+           CASE WHEN CAST(stagetoid AS VARCHAR) IS NOT NULL
+                     AND CAST(stagetoid AS VARCHAR) <> ''
+                THEN replace(CAST(stagetoid AS VARCHAR), '''', '"') END
+             AS target_stage_id,
+           {_nz("assignedTo", "assigned_to")}
+    FROM dealtrackingactivities WHERE lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(act, act_sql, con, "deal_activity")
+
+    spec = ALL_SPECS["Fact Deal Tracking Stage from MongoDB to Azure DWH"]
+    stage = spec.build(spark, cat, WM)
+    stage_sql = f"""
+    SELECT {_bool("IsDeleted", "deleted")},
+           CAST(id AS VARCHAR) AS id,
+           {_nz("code", "code")},
+           {_jkt("createdutc", "created_date")},
+           CAST(createdby AS VARCHAR) AS created_by,
+           CAST(boardId AS VARCHAR) AS board_id,
+           {_nz("name", "name")}
+    FROM dealtrackingstages WHERE lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(stage, stage_sql, con, "deal_stage")
+    # S9 child: stage→deal map
+    build_fn, _keys = spec.extra_targets["dl_fact_deal_tracking_stage_deal"]
+    child = build_fn(spark, cat, WM)
+    child_sql = """
+    SELECT CAST(stageId AS VARCHAR) AS stage_id, CAST(id AS VARCHAR) AS deal_id
+    FROM dealtrackingdeals WHERE lastmodifiedutc > TIMESTAMP '1970-01-01'
+    """
+    _assert_match(child, child_sql, con, "deal_stage_deals")
