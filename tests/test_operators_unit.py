@@ -3,6 +3,8 @@ scalar library and determinism contracts for the custom joins."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -202,3 +204,61 @@ def test_first_match_join_window_fallback_desc(spark):
     }
     assert asc == {1: "a", 2: "c"}
     assert desc == {1: "b", 2: "c"}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Salted two-stage aggregation ≡ plain groupBy on a skewed key set."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.skew import salted_aggregate
+
+    # 90% of rows share one hot key
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    plain = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r
+        for r in salted_aggregate(
+            df, ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")},
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k]["n"] == salted[k]["n"]
+        assert plain[k]["s"] == pytest.approx(salted[k]["s"])
+        assert plain[k]["mn"] == salted[k]["mn"] and plain[k]["mx"] == salted[k]["mx"]
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    """Salted small-side-replicated join ≡ plain join, including unmatched
+    left rows."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.skew import salted_broadcast_join
+
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cold")], "k long, label string"
+    )
+    plain = sorted(
+        (r["row_id"], r["label"]) for r in big.join(dim, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["row_id"], r["label"])
+        for r in salted_broadcast_join(big, dim, "k", "left").collect()
+    )
+    assert plain == salted
