@@ -262,3 +262,39 @@ def test_salted_broadcast_join_matches_plain(spark):
         for r in salted_broadcast_join(big, dim, "k", "left").collect()
     )
     assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Identically-bucketed tables join with ZERO Exchange operators — the
+    write-once shuffle amortized over every later join (SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "bkt_left", ["k"], n_buckets=4, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], n_buckets=4, sort_cols=["k"])
+    # force the sort-merge path (a broadcast would bypass bucketing and
+    # prove nothing about shuffle elimination)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_left", "bkt_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
