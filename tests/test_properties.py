@@ -139,3 +139,42 @@ def test_nan_guard_total(spark, v):
         assert out == 0.0
     else:
         assert out == pytest.approx(v)
+
+
+@SETTINGS
+@given(
+    d=st.dates(dt.date(1600, 1, 1), dt.date(2030, 12, 28)).filter(
+        lambda x: not (x.month == 2 and x.day == 29)
+    )
+)
+def test_clamp_min_date_properties(spark, d):
+    """D6: dates >= 1753-01-01 pass through untouched; older dates keep
+    month/day but take the current year."""
+    from com_danliris_service_etl_spark.functions.dates import clamp_min_date
+
+    ts = dt.datetime.combine(d, dt.time(6))
+    out = _eval(spark, [(ts,)], "v timestamp", clamp_min_date(F.col("v")))[0]
+    if d >= dt.date(1753, 1, 1):
+        assert out == ts
+    else:
+        assert (out.year, out.month, out.day) == (
+            dt.date.today().year, d.month, d.day
+        )
+        assert out.hour == 0  # clamp rebuilds from the date part
+
+
+@SETTINGS
+@given(
+    yy=st.integers(0, 99),
+    md=st.dates(dt.date(2017, 1, 1), dt.date(2017, 12, 28)),
+)
+def test_repair_year_typos(spark, yy, md):
+    """D7: a leading 00-century year on a formatted date gets the intended
+    century; proper years are untouched."""
+    from com_danliris_service_etl_spark.functions.dates import repair_year_typos
+
+    broken = f"00{yy:02d}-{md.month:02d}-{md.day:02d}"
+    fixed = _eval(spark, [(broken,)], "v string", repair_year_typos(F.col("v")))[0]
+    assert fixed == f"20{yy:02d}-{md.month:02d}-{md.day:02d}"
+    proper = f"20{yy:02d}-{md.month:02d}-{md.day:02d}"
+    assert _eval(spark, [(proper,)], "v string", repair_year_typos(F.col("v")))[0] == proper
