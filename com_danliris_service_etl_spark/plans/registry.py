@@ -25,8 +25,20 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Table-handle cache: one schema/footer resolution per (session, dir,
+# table) — what a metastore gives a real deployment. DataFrames are
+# immutable plans, so reuse is safe; keyed on the session id so a fresh
+# session (tests) never sees stale handles.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (id(spark), sf_dir, table)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
