@@ -402,6 +402,9 @@ def build_garment_total_hutang(
         by=[("currencyCode", "currencyCode")],
         direction="backward",
         tiebreak="kurs",
+        # currency dimension is tiny: per-key sorted array, broadcast,
+        # zero extra shuffle on the fact side.
+        strategy="broadcast",
     )
     kurs = F.coalesce(F.col("kurs"), F.lit(1.0))  # default rate (`run.js:213`)
 

@@ -151,7 +151,11 @@ def minhash_lsh_pairs(
         "  transform(slice(ms, i + 2, size(ms)), n -> struct("
         "    m.id AS doc_a, n.id AS doc_b,"
         "    aggregate(zip_with(m.sig, n.sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
-        f"              0, (acc, v) -> acc + v) / {float(n_perms)} AS est_jaccard))))"
+        # CAST to DOUBLE: a bare float literal parses as DECIMAL, and a
+        # decimal(17,6) column reaches pandas as object Decimals that
+        # hash-compare unequal to the oracle's float64.
+        f"              0, (acc, v) -> acc + v) / CAST({float(n_perms)} AS DOUBLE)"
+        "    AS est_jaccard))))"
     )
     return (
         grouped.select(F.explode(F.expr(pair_expr)).alias("p"))

@@ -9,8 +9,9 @@ all become declarative Spark joins here. The two that need engine code:
   explicit, deterministic tiebreak — this helper enforces one.
 - `asof_join` (J7): latest right-side row with `right.on <= left.on` per key
   (`GarmentTotalHutang/run.js:122-124` — currency rate as of DO date).
-  Spark has no native as-of join; compiled to a non-equi join + window, with
-  the small-side broadcast when it fits.
+  Spark has no native as-of join; compiled to a linear union-and-sort
+  (tag both sides, one window carrying the latest right payload forward)
+  with a broadcast sorted-array fast path for dimension-sized right sides.
 """
 
 from __future__ import annotations
@@ -82,6 +83,7 @@ def asof_join(
     direction: str = "backward",
     tiebreak: str | None = None,
     allow_exact_match: bool = True,
+    strategy: str = "sort",
 ) -> DataFrame:
     """J7 — point-in-time join: for each left row, the single right row
     nearest in time (backward: greatest ``right_on`` <= ``left_on``),
@@ -91,17 +93,28 @@ def asof_join(
     with rate.date <= doDate per currency code (the reference's default-to-1
     on no match is the caller's `coalesce`).
 
-    ``tiebreak``: right-side column ordering equal-``right_on`` candidates
-    (descending) — the determinism rule SURVEY.md §7.4 requires.
+    ``tiebreak``: right-side column ordering equal-``right_on`` candidates —
+    the HIGHEST tiebreak value wins (the determinism rule SURVEY.md §7.4
+    requires).
 
-    Physical strategy: non-equi join on (by-keys AND range) + row_number
-    per left row. Catalyst broadcasts the right side when small (the
-    currency-dimension case). For two large sides at 100 TB, pre-partition
-    both on the by-key so the range probe happens within co-located
-    partitions; AQE's skew handling splits hot keys.
+    Physical strategies:
+
+    - ``strategy="sort"`` (default; two large sides): union-and-sort as-of.
+      Left and right rows are tagged and unioned on the by-key; ONE window
+      over ``(key, time, tag)`` carries the latest right payload forward via
+      ``last(..., ignorenulls=True)``. Cost is linear in |left|+|right| with
+      a single shuffle — no per-left-row candidate blowup on hot keys, which
+      is what a 100 TB clickstream needs (the old range-join + row_number
+      form materialized |left × matching-right| per key before pruning).
+    - ``strategy="broadcast"`` (small right side, e.g. a currency
+      dimension): right is aggregated to one sorted array per key and
+      broadcast; each left row picks its row by array lookup. Zero extra
+      shuffle on the fact side.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if strategy not in ("sort", "broadcast"):
+        raise ValueError(f"strategy must be sort|broadcast, got {strategy!r}")
     pairs = list(by or [])
 
     # Rename right columns that collide with left ones.
@@ -114,35 +127,147 @@ def asof_join(
         r = r.withColumnRenamed(old, new)
     r_on = rename.get(right_on, right_on)
     r_tiebreak = rename.get(tiebreak, tiebreak) if tiebreak else None
+    r_keys = [rename.get(rk, rk) for _, rk in pairs]
+    l_keys = [lk for lk, _ in pairs]
+    r_vals = [c for c in r.columns if c not in r_keys]
 
-    lid = "__asof_lid"
-    lefted = left.withColumn(lid, F.monotonically_increasing_id())
+    # Rows whose event time is NULL can never match (SQL comparison with
+    # NULL is never true); drop them from the right, mask them on the left.
+    r = r.filter(F.col(r_on).isNotNull())
 
-    cond: Column | None = None
-    for lk, rk in pairs:
-        eq = F.col(lk) == F.col(rename.get(rk, rk))
-        cond = eq if cond is None else (cond & eq)
-    lcol, rcol = F.col(left_on), F.col(r_on)
-    if direction == "backward":
-        rng = (rcol <= lcol) if allow_exact_match else (rcol < lcol)
-        order = [rcol.desc()]
-    else:
-        rng = (rcol >= lcol) if allow_exact_match else (rcol > lcol)
-        order = [rcol.asc()]
-    if r_tiebreak:
-        order.append(F.col(r_tiebreak).desc())
-    cond = rng if cond is None else (cond & rng)
-
-    joined = lefted.join(r, cond, "left")
-    w = Window.partitionBy(lid).orderBy(*order)
-    out = (
-        joined.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .drop("__asof_rn", lid, *[rename.get(rk, rk) for _, rk in pairs])
+    if strategy == "broadcast":
+        return _asof_broadcast(
+            left, r, left_on, r_on, l_keys, r_keys, r_vals, r_tiebreak,
+            direction, allow_exact_match,
+        )
+    return _asof_union_sort(
+        left, r, left_on, r_on, l_keys, r_keys, r_vals, r_tiebreak,
+        direction, allow_exact_match,
     )
-    # Restore non-colliding renamed columns? Keep the __r_ prefix only for
-    # genuine collisions; give the time/tiebreak columns stable names back.
-    return out
+
+
+def _asof_union_sort(
+    left: DataFrame,
+    r: DataFrame,
+    left_on: str,
+    r_on: str,
+    l_keys: list[str],
+    r_keys: list[str],
+    r_vals: list[str],
+    r_tiebreak: str | None,
+    direction: str,
+    allow_exact_match: bool,
+) -> DataFrame:
+    """Linear as-of: tag + union + one running-``last`` window.
+
+    Ordering contract per key: ascending time (descending for forward), with
+    right rows sorted BEFORE left rows at equal time when exact matches are
+    allowed (after, when excluded), and equal-time right rows in ascending
+    tiebreak order so the running ``last`` keeps the highest tiebreak.
+    """
+    from pyspark.sql import types as T
+
+    l_struct_t = T.StructType([left.schema[c] for c in left.columns])
+    r_struct_t = T.StructType([r.schema[c] for c in r_vals])
+    tb_t = r.schema[r_tiebreak].dataType if r_tiebreak else T.IntegerType()
+
+    # At equal time: visible side first. last() scans up to the current row,
+    # so a right row is visible to a left row iff it sorts at-or-before it.
+    r_tag, l_tag = (0, 1) if allow_exact_match else (1, 0)
+
+    keys = [f"__asof_k{i}" for i in range(len(l_keys))]
+    lu = left.select(
+        *[F.col(lk).alias(k) for lk, k in zip(l_keys, keys)],
+        F.col(left_on).alias("__asof_ts"),
+        F.lit(l_tag).alias("__asof_tag"),
+        F.lit(None).cast(tb_t).alias("__asof_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_l"),
+        F.lit(None).cast(r_struct_t).alias("__asof_r"),
+    )
+    ru = r.select(
+        *[F.col(rk).alias(k) for rk, k in zip(r_keys, keys)],
+        F.col(r_on).alias("__asof_ts"),
+        F.lit(r_tag).alias("__asof_tag"),
+        (F.col(r_tiebreak) if r_tiebreak else F.lit(0)).cast(tb_t).alias("__asof_tb"),
+        F.lit(None).cast(l_struct_t).alias("__asof_l"),
+        F.struct(*[F.col(c) for c in r_vals]).alias("__asof_r"),
+    )
+    u = lu.unionByName(ru)
+
+    ts_order = F.col("__asof_ts").asc() if direction == "backward" else F.col("__asof_ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__asof_tag").asc(), F.col("__asof_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.when(
+        F.col("__asof_ts").isNotNull(),
+        F.last("__asof_r", ignorenulls=True).over(w),
+    )
+    return (
+        u.withColumn("__asof_m", matched)
+        .filter(F.col("__asof_tag") == l_tag)
+        .select(F.col("__asof_l.*"), F.col("__asof_m.*"))
+    )
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    r: DataFrame,
+    left_on: str,
+    r_on: str,
+    l_keys: list[str],
+    r_keys: list[str],
+    r_vals: list[str],
+    r_tiebreak: str | None,
+    direction: str,
+    allow_exact_match: bool,
+) -> DataFrame:
+    """Small-right as-of: per-key sorted array, broadcast equi-join, array
+    lookup per left row. The array is sorted ascending by (time, tiebreak),
+    so backward picks the LAST qualifying element (greatest time, then
+    greatest tiebreak) and forward the first qualifying time refined to its
+    greatest tiebreak. ``F.get`` (never ``element_at``) keeps out-of-range
+    lookups NULL under ANSI mode."""
+    tb = F.col(r_tiebreak) if r_tiebreak else F.lit(0)
+    packed = (
+        r.groupBy(*r_keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(r_on).alias("__ts"),
+                        tb.alias("__tb"),
+                        F.struct(*[F.col(c) for c in r_vals]).alias("__v"),
+                    )
+                )
+            ).alias("__arr")
+        )
+    )
+    on = None
+    for lk, rk in zip(l_keys, r_keys):
+        eq = left[lk] == packed[rk]
+        on = eq if on is None else (on & eq)
+    joined = (
+        left.join(F.broadcast(packed), on, "left")
+        if on is not None
+        else left.crossJoin(F.broadcast(packed))
+    )
+
+    lts = F.col(left_on)
+    if direction == "backward":
+        pred = (lambda x: x["__ts"] <= lts) if allow_exact_match else (lambda x: x["__ts"] < lts)
+        cand = F.filter(F.col("__arr"), pred)
+        picked = F.get(cand, F.size(cand) - 1)
+    else:
+        pred = (lambda x: x["__ts"] >= lts) if allow_exact_match else (lambda x: x["__ts"] > lts)
+        cand = F.filter(F.col("__arr"), pred)
+        first_ts = F.get(cand, 0)["__ts"]
+        best = F.filter(cand, lambda x: x["__ts"] == first_ts)
+        picked = F.get(best, F.size(best) - 1)
+
+    out = joined.withColumn("__asof_m", picked["__v"]).drop("__arr", *r_keys)
+    return out.select(*left.columns, F.col("__asof_m.*"))
 
 
 def latest_per_key(

@@ -304,18 +304,63 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.binary_metadata(_t(spark, sf_dir, "documents"))
 
 
-@register("mm2_decode_features", None)  # Pandas-UDF path: rows-only check
+# The decode stub is deterministic byte arithmetic, so it IS oracle-able:
+# DuckDB recomputes the same features over hex(encode(text)). The registered
+# query projects the feature vector to scalar doubles (f0..f3) because the
+# driver's canonicalizer can't sort an array<double> column; the Arrow
+# mapInPandas path underneath is unchanged.
+_MM2_SQL = """
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, n AS n_bytes,
+           CAST(n AS DOUBLE) AS f0,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE ('0x' || substring(hx, 1, 2))::INT END AS DOUBLE) AS f1,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE ('0x' || substring(hx, 2 * n - 1, 2))::INT END AS DOUBLE) AS f2,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE list_reduce(
+                            list_prepend(0, list_transform(
+                              range(1, least(n, 64) + 1),
+                              i -> ('0x' || substring(hx, 2 * i - 1, 2))::INT)),
+                            (a, b) -> a + b) % 997 END AS DOUBLE) AS f3
+    FROM d
+"""
+
+
+@register("mm2_decode_features", _MM2_SQL)
 def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas. The decoder is
     a documented deterministic stub (no media libs in the image); the
     plumbing — schema, batching, UDF signature — is the real contract."""
-    return mm.extract_features(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(_t(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(mm.FEATURE_DIM)],
+    )
 
 
-@register("mm3_frame_sample", None)  # Pandas-UDF 1:N fanout: rows-only check
+# Frame slicing is byte substring — DuckDB mirrors it by slicing the hex
+# payload over a stepped frame-index range. Both sides emit the frame as a
+# HEX STRING: Spark hands binary columns to pandas as bytearray, which the
+# driver's hash canonicalizer can't factorize (unhashable), so raw-binary
+# output columns must never cross the registry boundary.
+_MM3_SQL = """
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    f AS (SELECT doc_id, hx, greatest(1, n // 32) AS n_frames FROM d)
+    SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+           substring(hx, CAST(u.i * 64 + 1 AS INTEGER), 64) AS frame_hex
+    FROM f, UNNEST(range(0, n_frames, 2)) AS u(i)
+"""
+
+
+@register("mm3_frame_sample", _MM3_SQL)
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over binary payloads (every 2nd 32-byte
     frame): the 1:N mapInPandas fanout shape for media pipelines."""
-    return mm.frame_sample(
-        _t(spark, sf_dir, "documents").limit(500), frame_bytes=32, every_n=2
-    )
+    frames = mm.frame_sample(_t(spark, sf_dir, "documents"), frame_bytes=32, every_n=2)
+    return frames.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))

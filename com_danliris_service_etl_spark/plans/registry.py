@@ -27,15 +27,28 @@ def register(name: str, oracle: str | None):
 
 # Table-handle cache: one schema/footer resolution per (session, dir,
 # table) — what a metastore gives a real deployment. DataFrames are
-# immutable plans, so reuse is safe; keyed on the session id so a fresh
-# session (tests) never sees stale handles.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# immutable plans, so reuse is safe; keyed on a stable session identity
+# (applicationId + startTime) so a fresh session (tests) never sees stale
+# handles and a recycled CPython object id can never collide.
+_TABLE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[str, int]:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (id(spark), sf_dir, table)
+    app_id, start = _session_key(spark)
+    key = (app_id, start, sf_dir, table)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        if table == "events":
+            # events.parquet carries INT64 TIMESTAMP(NANOS); Spark refuses
+            # it unless told to surface nanos as a plain long. Set the
+            # (runtime-settable) SQL conf here, in the query path, so ANY
+            # caller-provided session — not just session.py's — can read it.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         _TABLE_CACHE[key] = df
     return df

@@ -298,3 +298,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
+    """The broadcast sorted-array fast path must produce the same rows as
+    the union-sort default across direction/exactness, including the
+    highest-tiebreak-wins rule on equal timestamps and null event times."""
+    import datetime as dt
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "USD", d(2024, 2, 20)), (2, "USD", d(2024, 1, 1)),
+         (3, "EUR", d(2024, 2, 20)), (4, "USD", None)],
+        "id long, code string, at timestamp",
+    )
+    rates = spark.createDataFrame(
+        [("USD", d(2024, 2, 10), 100.0), ("USD", d(2024, 2, 20), 200.0),
+         ("USD", d(2024, 2, 20), 250.0), ("USD", d(2024, 3, 1), 300.0),
+         ("EUR", None, 999.0)],
+        "code string, rate_date timestamp, rate double",
+    )
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            kw = dict(
+                left_on="at", right_on="rate_date", by=[("code", "code")],
+                direction=direction, tiebreak="rate", allow_exact_match=exact,
+            )
+            a = {r["id"]: r["rate"] for r in asof_join(left, rates, **kw).collect()}
+            b = {
+                r["id"]: r["rate"]
+                for r in asof_join(left, rates, strategy="broadcast", **kw).collect()
+            }
+            assert a == b, (direction, exact, a, b)
+            assert a[4] is None  # null probe time never matches
+            assert a[3] is None  # null right time never matches
+    back = {
+        r["id"]: r["rate"]
+        for r in asof_join(
+            left, rates, left_on="at", right_on="rate_date",
+            by=[("code", "code")], tiebreak="rate",
+        ).collect()
+    }
+    assert back[1] == 250.0  # equal-ts tie -> highest tiebreak
+    assert back[2] is None  # before the first rate
