@@ -92,15 +92,22 @@ MIN_SQLSERVER_DATE = "1753-01-01"
 
 def clamp_min_date(ts: ColumnOrName) -> Column:
     """D6 — dates below SQL Server's datetime minimum (1753-01-01) get the
-    year replaced with the current year (month/day preserved).
-
-    Reference: `Pembelian/run.js:5,108-118`, `GarmentPembelian/run.js:588-598`.
+    year replaced with the current year, exactly like the reference's
+    ``date.setFullYear(now.getFullYear())`` (`Pembelian/run.js:108-118`,
+    `GarmentPembelian/run.js:588-598`): the TIME OF DAY is preserved (it
+    matters — the later +7h Jakarta shift can move the calendar day), and
+    Feb 29 in a non-leap target year overflows to Mar 1 (JS Date
+    normalization), which ``date_add(first-of-month, day-1)`` reproduces
+    without make_date's invalid-date NULL/ANSI-error.
     """
     c = _c(ts)
-    return F.when(
-        c < F.lit(MIN_SQLSERVER_DATE).cast("timestamp"),
-        F.make_date(F.year(F.current_date()), F.month(c), F.dayofmonth(c)).cast("timestamp"),
-    ).otherwise(c)
+    rolled = F.date_add(
+        F.make_date(F.year(F.current_date()), F.month(c), F.lit(1)),
+        F.dayofmonth(c) - 1,
+    )
+    tod_us = F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))
+    repaired = F.timestamp_micros(F.unix_micros(rolled.cast("timestamp")) + tod_us)
+    return F.when(c < F.lit(MIN_SQLSERVER_DATE).cast("timestamp"), repaired).otherwise(c)
 
 
 def repair_year_typos(formatted: ColumnOrName, century: str = "20") -> Column:

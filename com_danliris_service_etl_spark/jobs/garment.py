@@ -481,11 +481,19 @@ SPECS = [
             "unit_receipt_note_no",
         ],
         target="dl_fact_garment_pembelian",
+        # Detail grain: 3-branch explode (`GarmentPembelian/run.js`) can emit
+        # multiple rows per 5-part key.
+        grain="group",
     ),
     JobSpec(
         name="Fact Total Hutang Garment from MongoDB to Azure DWH",
         build=build_garment_total_hutang,
         merge_keys=["intern_note_no"],
         target="dl_fact_garment_total_hutang",
+        # Fact grain is intern-note DETAIL (1:N:N via GarmentInternNoteDetails,
+        # `GarmentTotalHutang/run.js:257-283` stages every detail row): the
+        # load must replace a note's detail set wholesale, never dedupe to
+        # one row per note.
+        grain="group",
     ),
 ]

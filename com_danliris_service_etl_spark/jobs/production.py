@@ -353,5 +353,6 @@ SPECS = [
         build=build_packing,
         merge_keys=["code", "lot", "grade"],
         target="dl_fact_packing",
+        grain="group",  # detail grain: packing items may repeat (code, lot, grade)
     ),
 ]

@@ -77,8 +77,15 @@ def build_pembelian(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -> D
 
     joined = (
         pr.alias("pr")
-        .join(ipo.alias("ipo"), F.col("pr.Id") == F.col("ipo.PRId"), "left")
-        .join(ei.alias("ei"), F.col("ipo.Id") == F.col("ei.poId"), "left")
+        # The reference puts `ipo.IsDeleted = 0 AND ei.IsDeleted = 0 AND
+        # ipo.createdby NOT IN (...)` in the WHERE clause AFTER its LEFT
+        # JOINs (`Pembelian/run.js:166`) — null-rejecting predicates that
+        # turn pr->ipo->ei into INNER joins: a PR with no qualifying
+        # IPO/EI emits nothing. Express that directly as inner joins over
+        # the pre-filtered sides (same row set, and Catalyst needn't derive
+        # the conversion).
+        .join(ipo.alias("ipo"), F.col("pr.Id") == F.col("ipo.PRId"), "inner")
+        .join(ei.alias("ei"), F.col("ipo.Id") == F.col("ei.poId"), "inner")
         .join(ed.alias("ed"), F.col("ei.Id") == F.col("ed.EPOItemId"), "left")
         .join(epo.alias("e"), F.col("ei.EPOId") == F.col("e.Id"), "left")
         .join(doi.alias("doi"), F.col("e.Id") == F.col("doi.EPOId"), "left")
@@ -307,11 +314,19 @@ SPECS = [
             "unit_payment_order_no",
         ],
         target="dl_fact_pembelian",
+        # Detail grain: one row per PR->IPO->EI->DO->URN->UPO chain link
+        # (`Pembelian/run.js:165` flattens the full chain); replace-group
+        # keeps legitimately-identical chain rows from collapsing.
+        grain="group",
     ),
     JobSpec(
         name="Fact Total Hutang from MongoDB to Azure DWH",
         build=build_total_hutang,
         merge_keys=["unit_receipt_note_no", "product_code"],
         target="dl_fact_total_hutang",
+        # Detail grain: one row per URN item (`TotalHutang/run.js:156` maps
+        # unitReceiptNote.items); two items of the same product in one URN
+        # are distinct fact rows.
+        grain="group",
     ),
 ]

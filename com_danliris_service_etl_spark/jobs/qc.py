@@ -313,6 +313,7 @@ SPECS = [
         build=build_fabric_qc,
         merge_keys=["qc_code", "pcs_no", "criteria_code"],
         target="dl_fact_fabric_quality_control",
+        grain="group",  # detail grain: QC x pcs x criteria (3-level flatten)
     ),
     JobSpec(
         name="Fact Production Order Status from MongoDB to Azure DWH",
@@ -325,11 +326,13 @@ SPECS = [
         build=build_packing_receipt,
         merge_keys=["code", "product"],
         target="dl_fact_fp_packing_receipt",
+        grain="group",  # detail grain: receipt items may repeat a product
     ),
     JobSpec(
         name="Fact Shipment Document from MongoDB to Azure DWH",
         build=build_shipment_document,
         merge_keys=["shipment_code", "production_order_no", "product_code"],
         target="dl_fact_shipment_document",
+        grain="group",  # detail grain: 4-level inner flatten (run.js:162-198)
     ),
 ]

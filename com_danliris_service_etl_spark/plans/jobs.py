@@ -33,6 +33,12 @@ class JobSpec:
     merge_keys: Sequence[str]
     target: str
     order_col: str | None = None  # winner-picking column for duplicate keys in a batch
+    grain: str = "row"
+    """``row``: merge_keys uniquely identify a fact row (dedupe + upsert).
+    ``group``: the fact is 1:N per key (e.g. intern-note details) — the load
+    replaces every fact row of each batch key with ALL the batch's rows for
+    it, so the detail grain survives (see sinks.merge_upsert replace_group).
+    """
     extra_targets: dict[str, tuple[BuildFn, Sequence[str]]] = field(default_factory=dict)
     """S9 dual-target loads (`DailyOperation/run.js:249,273`): extra
     (target -> (build, merge_keys)) pairs committed in the same run."""
@@ -62,7 +68,14 @@ def run_job(
         wm = store.read_watermark(spec.name)
         df = spec.build(spark, catalog, wm)
         rows = df.count()
-        merge_upsert(spark, spec.target, df, spec.merge_keys, order_col=spec.order_col)
+        merge_upsert(
+            spark,
+            spec.target,
+            df,
+            spec.merge_keys,
+            order_col=spec.order_col,
+            replace_group=(spec.grain == "group"),
+        )
         for target, (build_fn, keys) in spec.extra_targets.items():
             extra = build_fn(spark, catalog, wm)
             merge_upsert(spark, target, extra, keys)

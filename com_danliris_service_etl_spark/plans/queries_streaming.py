@@ -83,8 +83,8 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, event_id, ts_us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us

@@ -35,6 +35,7 @@ def merge_upsert(
     keys: Sequence[str],
     dedupe_updates: bool = True,
     order_col: str | None = None,
+    replace_group: bool = False,
 ) -> None:
     """S6 — upsert ``updates`` into the fact at ``target_path`` on ``keys``.
 
@@ -43,14 +44,25 @@ def merge_upsert(
     re-extracted + updated rows case), ``order_col`` picks the winner
     (latest), matching MERGE's requirement of a unique source per key.
 
-    On Delta: compiles to ``MERGE INTO``. On plain parquet (test image):
-    target anti-join updates, union, write to temp dir, atomic swap. The
-    swap is the only non-scalable piece — a full rewrite of the fact — and
-    exists solely because the local image lacks Delta; on a real cluster the
+    ``replace_group=True`` is the DETAIL-GRAIN mode: ``keys`` identify a
+    replace group (e.g. an intern note whose fact rows are its N details),
+    not a unique row. All fact rows for the batch's keys are deleted and
+    ALL batch rows inserted — the reference's stage-then-
+    ``DL_UPSERT_FACT_*`` shape for 1:N facts (`GarmentTotalHutang/
+    run.js:257-283` stages every detail row of each re-extracted note).
+    No dedupe runs, so the detail grain survives the load.
+
+    On Delta: compiles to ``MERGE INTO`` (row grain) or MERGE-delete +
+    append (group grain). On plain parquet (test image): target anti-join
+    updates, union, write to temp dir, swap-with-backup. The swap is the
+    only non-scalable piece — a full rewrite of the fact — and exists
+    solely because the local image lacks Delta; on a real cluster the
     Delta branch runs and touches only matching files (data-skipping on
     merge keys).
     """
     key_list = list(keys)
+    if replace_group:
+        dedupe_updates = False
     if dedupe_updates:
         if order_col:
             updates = (
@@ -66,6 +78,17 @@ def merge_upsert(
 
         tgt = DeltaTable.forPath(spark, target_path)
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_list)
+        if replace_group:
+            # Delete every fact row whose group key appears in the batch,
+            # then append the batch: detail rows never collapse.
+            (
+                tgt.alias("t")
+                .merge(updates.select(*key_list).distinct().alias("s"), cond)
+                .whenMatchedDelete()
+                .execute()
+            )
+            updates.write.format("delta").mode("append").save(target_path)
+            return
         (
             tgt.alias("t")
             .merge(updates.alias("s"), cond)
@@ -84,7 +107,7 @@ def merge_upsert(
     # (e.g. a kanban with no steps), and a plain equi-anti-join would never
     # match those rows — re-runs would duplicate them. This mirrors the
     # Delta branch's `t.k <=> s.k` condition.
-    upd_keys = updates.select(*key_list)
+    upd_keys = updates.select(*key_list).distinct()
     for k in key_list:
         upd_keys = upd_keys.withColumnRenamed(k, f"__u_{k}")
     cond = None
@@ -95,8 +118,16 @@ def merge_upsert(
     merged = kept.unionByName(updates.select(*target.columns))
     tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(target_path) or ".")
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target_path)
+    # Swap with a recovery copy at every step: old target is renamed aside
+    # (atomic), the new data moved into place (atomic), and only then is the
+    # backup removed — a crash at any point leaves either the old or the new
+    # fact intact on disk (as <target>.old if the final rename didn't run).
+    backup = target_path + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.replace(target_path, backup)
     os.replace(tmp, target_path)
+    shutil.rmtree(backup)
 
 
 def write_fact(

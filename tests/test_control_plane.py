@@ -76,6 +76,36 @@ def test_merge_upsert_dedupes_batch_on_order_col(spark, tmp_path):
     assert len(got) == 1 and got[0].v == "new"
 
 
+def test_merge_upsert_replace_group_detail_grain(spark, tmp_path):
+    """Detail-grain (grain="group") loads: keys identify a 1:N replace group,
+    not a unique row (`GarmentTotalHutang/run.js:257-283` stages every detail
+    row of a re-extracted intern note). All of a batch key's fact rows are
+    replaced by ALL the batch's rows for it — identical detail rows must NOT
+    collapse, and re-running the same batch is idempotent."""
+    target = str(tmp_path / "fact_detail")
+    batch = spark.createDataFrame(
+        # note A: three details, two legitimately identical; note B: one
+        [("A", "p1", 5.0), ("A", "p1", 5.0), ("A", "p2", 7.0), ("B", "p9", 1.0)],
+        "note string, product string, qty double",
+    )
+    merge_upsert(spark, target, batch, keys=["note"], replace_group=True)
+    merge_upsert(spark, target, batch, keys=["note"], replace_group=True)  # idempotent
+    got = sorted(
+        (r.note, r.product, r.qty) for r in spark.read.parquet(target).collect()
+    )
+    assert got == [("A", "p1", 5.0), ("A", "p1", 5.0), ("A", "p2", 7.0), ("B", "p9", 1.0)]
+
+    # re-extraction shrinks note A to two details; note B untouched
+    upd = spark.createDataFrame(
+        [("A", "p1", 6.0), ("A", "p3", 2.0)], "note string, product string, qty double"
+    )
+    merge_upsert(spark, target, upd, keys=["note"], replace_group=True)
+    got = sorted(
+        (r.note, r.product, r.qty) for r in spark.read.parquet(target).collect()
+    )
+    assert got == [("A", "p1", 6.0), ("A", "p3", 2.0), ("B", "p9", 1.0)]
+
+
 def test_date_dimension(spark):
     facts = spark.createDataFrame(
         [(dt.datetime(2024, 2, 29, 10, 0),), (dt.datetime(2024, 2, 29, 23, 0),), (None,)],

@@ -205,7 +205,9 @@ def garment(spark, tmp_path_factory):
 def _clamp(c: str) -> str:
     return (
         f"CASE WHEN {c} < TIMESTAMP '1753-01-01'"
-        f" THEN make_date(year(current_date), month({c}), day({c}))::TIMESTAMP"
+        # setFullYear semantics: keep time-of-day, overflow Feb 29 -> Mar 1
+        f" THEN make_date(year(current_date), month({c}), 1)::TIMESTAMP"
+        f" + (day({c}) - 1) * INTERVAL 1 DAY + ({c} - date_trunc('day', {c}))"
         f" ELSE {c} END"
     )
 

@@ -182,7 +182,9 @@ def _clamp(c: str) -> str:
     """D6 clamp: year → current year for dates below 1753-01-01."""
     return (
         f"CASE WHEN {c} < TIMESTAMP '1753-01-01'"
-        f" THEN make_date(year(current_date), month({c}), day({c}))::TIMESTAMP"
+        # setFullYear semantics: keep time-of-day, overflow Feb 29 -> Mar 1
+        f" THEN make_date(year(current_date), month({c}), 1)::TIMESTAMP"
+        f" + (day({c}) - 1) * INTERVAL 1 DAY + ({c} - date_trunc('day', {c}))"
         f" ELSE {c} END"
     )
 
@@ -255,10 +257,14 @@ def test_golden_pembelian(spark, purchasing):
              upo.upoNo AS interNoteNo, upo.date AS interNoteDate,
              cur.description AS currencyName
       FROM purchaserequests pr
-      LEFT JOIN (SELECT * FROM internalpurchaseorders
-                 WHERE NOT IsDeleted AND createdBy NOT IN ('dev','unit-test')) ipo
+      -- Reference WHERE applies ipo/ei predicates AFTER the LEFT JOINs
+      -- (`Pembelian/run.js:166`), making pr->ipo->ei effectively INNER:
+      -- the oracle mirrors that so PR rows without a qualifying IPO/EI
+      -- are asserted absent, not silently allowed.
+      JOIN (SELECT * FROM internalpurchaseorders
+            WHERE NOT IsDeleted AND createdBy NOT IN ('dev','unit-test')) ipo
         ON pr.Id = ipo.PRId
-      LEFT JOIN (SELECT * FROM externalpurchaseorderitems WHERE NOT IsDeleted) ei
+      JOIN (SELECT * FROM externalpurchaseorderitems WHERE NOT IsDeleted) ei
         ON ipo.Id = ei.poId
       LEFT JOIN externalpurchaseorderdetails ed ON ei.Id = ed.EPOItemId
       LEFT JOIN externalpurchaseorders e ON ei.EPOId = e.Id

@@ -142,25 +142,27 @@ def test_nan_guard_total(spark, v):
 
 
 @SETTINGS
-@given(
-    d=st.dates(dt.date(1600, 1, 1), dt.date(2030, 12, 28)).filter(
-        lambda x: not (x.month == 2 and x.day == 29)
-    )
-)
+@given(d=st.dates(dt.date(1600, 1, 1), dt.date(2030, 12, 28)))
 def test_clamp_min_date_properties(spark, d):
     """D6: dates >= 1753-01-01 pass through untouched; older dates keep
-    month/day but take the current year."""
+    month/day AND time-of-day but take the current year (setFullYear
+    semantics); Feb 29 in a non-leap target year normalizes to Mar 1."""
+    import calendar
+
     from com_danliris_service_etl_spark.functions.dates import clamp_min_date
 
-    ts = dt.datetime.combine(d, dt.time(6))
+    ts = dt.datetime.combine(d, dt.time(18, 30, 15))
     out = _eval(spark, [(ts,)], "v timestamp", clamp_min_date(F.col("v")))[0]
     if d >= dt.date(1753, 1, 1):
         assert out == ts
     else:
-        assert (out.year, out.month, out.day) == (
-            dt.date.today().year, d.month, d.day
-        )
-        assert out.hour == 0  # clamp rebuilds from the date part
+        year = dt.date.today().year
+        if d.month == 2 and d.day == 29 and not calendar.isleap(year):
+            expected = dt.date(year, 3, 1)  # JS Date overflow normalization
+        else:
+            expected = dt.date(year, d.month, d.day)
+        assert out.date() == expected
+        assert (out.hour, out.minute, out.second) == (18, 30, 15)  # tod preserved
 
 
 @SETTINGS

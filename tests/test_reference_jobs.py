@@ -248,6 +248,8 @@ def catalog(spark):
              "DV1", "Div", "C2", "ACC", False, "bob", T),  # D6 clamp row
             (403, "PR-3", d(2024, 2, 3), None, None, None, None, None, None, None,
              None, None, False, "dev", T),  # P4-excluded
+            (404, "PR-4", d(2024, 2, 4), d(2024, 2, 25), "B1", "Budget", "U1", "Unit",
+             "DV1", "Div", "C1", "BAHAN BAKU", False, "alice", T),  # no IPO → dropped
         ),
         "internalpurchaseorders": _df(
             spark,
@@ -260,6 +262,7 @@ def catalog(spark):
             spark,
             "Id long, poId long, EPOId long, IsDeleted boolean",
             (421, 411, 431, False),
+            (422, 412, 431, False),  # PR-2's chain completes through EPO-1
         ),
         "externalpurchaseorderdetails": _df(
             spark,
@@ -526,6 +529,10 @@ def test_pembelian_semantics(spark, catalog):
     df = ALL_SPECS["Fact Pembelian from MongoDB to Azure DWH"].build(spark, catalog, WM)
     rows = {r["purchase_request_no"]: r for r in df.collect()}
     assert "PR-3" not in rows  # P4 exclusion
+    # Reference WHERE applies ipo/ei predicates AFTER its LEFT JOINs
+    # (`Pembelian/run.js:166`), making pr→ipo→ei effectively INNER: a PR
+    # with no qualifying IPO chain never reaches the fact.
+    assert "PR-4" not in rows
     r1 = rows["PR-1"]
     # D1: IPO(2/5) - PR(2/1) = 4 days → '0-7 hari' (M4)
     assert r1["purchase_request_days"] == 4
