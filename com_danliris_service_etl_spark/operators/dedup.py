@@ -101,6 +101,7 @@ def minhash_lsh_pairs(
     n_perms: int = DEFAULT_PERMS,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding over MinHash
     signatures, with the estimated Jaccard (fraction of agreeing
@@ -109,7 +110,15 @@ def minhash_lsh_pairs(
     Scale shape: signatures (1 row/doc) → explode to `bands` rows/doc →
     self-join on (band_idx, band_hash). The join key is a hash, so skew only
     arises from true duplicate clusters — exactly the rows we want colliding.
-    No O(n²) stage exists; cost is O(candidate pairs)."""
+    No O(n²) stage exists; cost is O(candidate pairs).
+
+    ``max_bucket`` is the in-code worst-case cap: an adversarial corpus of
+    near-identical documents collapses into ONE bucket, whose pair fanout is
+    n²/2 — enough to OOM an executor at corpus scale. Buckets are truncated
+    to their ``max_bucket`` smallest member ids (deterministic), bounding
+    any single bucket's output at max_bucket²/2 pairs. For dedup that loses
+    nothing of value: a bucket that large IS one duplicate cluster, and
+    capped members still pair with the cluster's keeper ids."""
     rows_per_band = n_perms // bands
     sig = minhash_signatures(docs, text_col, id_col, n_perms, shingle_k).select(
         id_col, F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
@@ -138,12 +147,17 @@ def minhash_lsh_pairs(
     # shuffle total, and the signature pipeline is computed once — a
     # band-on-band self-join would re-run the whole upstream per side.
     # Bucket sizes equal true duplicate-cluster sizes, so the collect_list
-    # state stays small; a pathological all-identical corpus degrades to
-    # one n² bucket — exactly the same worst case as any LSH formulation —
-    # and would be capped upstream by sampling such clusters.
+    # state stays small in real corpora; slice() enforces the max_bucket
+    # cap so a degenerate all-identical corpus stays bounded (see above).
     grouped = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))).alias("ms"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))),
+                1,
+                max_bucket,
+            ).alias("ms")
+        )
         .filter(F.size("ms") > 1)
     )
     pair_expr = (
@@ -242,29 +256,40 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
+    lsh_bits: int | None = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    Blocking on ``block_col`` (a cluster/partition assignment — here the
-    corpus label; at scale a coarse k-means or LSH bucket id) turns the n²
-    self-join into an equi-join: Σ block² comparisons, shuffle keyed on the
-    block so AQE can split skewed blocks. With ``block_col=None`` it degrades
-    to the exact cross-product baseline (small corpora / verification only).
+    Blocking turns the n² self-join into an equi-join (Σ block²
+    comparisons, shuffle keyed on the block so AQE can split skewed
+    blocks). The block is ``block_col`` if given (a precomputed cluster /
+    k-means assignment); otherwise a COMPUTED sign-bit LSH bucket over the
+    first ``lsh_bits`` dimensions (similarity.signbit_bucket) — no label or
+    prior clustering required, so the operator self-blocks on any corpus.
+    Near-identical vectors share every sign bit, so true near-dups stay
+    co-bucketed; like any LSH blocking it is approximate (pairs straddling
+    a sign flip in the first ``lsh_bits`` dims are missed — more probes =
+    multi-bucket union, the standard recall knob). With both ``block_col``
+    and ``lsh_bits`` None it degrades to the exact cross-product baseline
+    (small corpora / verification only).
     """
     from com_danliris_service_etl_spark.operators.similarity import (
         cosine_prenormed,
         norm,
+        signbit_bucket,
     )
 
-    cols = [F.col(id_col), F.col(vec_col), norm(vec_col).alias("__norm")] + (
-        [F.col(block_col)] if block_col else []
-    )
+    cols = [F.col(id_col), F.col(vec_col), norm(vec_col).alias("__norm")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk"))
+    elif lsh_bits:
+        cols.append(signbit_bucket(vec_col, lsh_bits).alias("__blk"))
     prepped = embeddings.select(*cols)
     a, b = prepped.alias("a"), prepped.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    if block_col or lsh_bits:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
     return (
         a.join(b, cond)
         .select(

@@ -267,24 +267,34 @@ _DD5_DOT = (
 )
 
 
+# Sign-bit LSH bucket over the first 8 dims (mirrors similarity.signbit_bucket;
+# DuckDB arrays are 1-based, Spark's 0-based — same elements).
+_DD5_BUCKET = " + ".join(
+    f"(CASE WHEN {{v}}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+)
+
+
 @register(
     "dd5_embedding_neardup",
     f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      ({_DD5_BUCKET.format(v="embedding")}) AS blk
+               FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({_DD5_DOT.format(a="a.e", b="b.e")}
                    / (sqrt({_DD5_DOT.format(a="a.e", b="a.e")})
                       * sqrt({_DD5_DOT.format(a="b.e", b="b.e")})), 6) AS cos_sim
-      FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label)
+      FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.blk = b.blk)
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
     """,
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by cluster label —
-    the Σ block² scale path (vs n² cross product)."""
+    """Embedding-cosine near-duplicate pairs, blocked on a COMPUTED sign-bit
+    LSH bucket (no label / prior clustering needed) — the Σ block² scale
+    path (vs n² cross product). 2^8 buckets ⇒ mean block = n/256."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.3, block_col="label")
+    return embedding_neardup_pairs(emb, threshold=0.3, lsh_bits=8)
 
 
 @register(

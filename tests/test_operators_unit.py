@@ -341,3 +341,24 @@ def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     }
     assert back[1] == 250.0  # equal-ts tie -> highest tiebreak
     assert back[2] is None  # before the first rate
+
+
+def test_minhash_lsh_degenerate_corpus_capped(spark):
+    """dd2 worst case, capped in code: an all-identical corpus collapses
+    into ONE LSH bucket per band. max_bucket truncates each bucket to its
+    N smallest member ids, so the pair fanout is bounded at C(N,2) instead
+    of C(corpus,2) — and the kept pairs still link every capped member to
+    the cluster's keeper ids."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n, cap = 300, 16
+    docs = spark.createDataFrame(
+        [(i, "the same exact duplicated text appears here again") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=cap).collect()
+    # every band has the same (sorted) capped member set -> exactly C(cap,2)
+    assert len(pairs) == cap * (cap - 1) // 2
+    members = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert members == set(range(cap))  # deterministic: the cap smallest ids
+    assert all(r.est_jaccard == 1.0 for r in pairs)

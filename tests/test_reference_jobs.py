@@ -675,3 +675,53 @@ def test_nightly_schedule_runs_all(spark, catalog, tmp_path):
     assert len(results) == 23
     assert all(r.status == "Successful" for r in results)
     assert all(r.rows >= 1 for r in results)
+
+
+def test_reference_bug_divergences(spark, catalog):
+    """SURVEY §2.14: the six reference crash/mis-compute sites, each pinned
+    to the engine's documented intent-implementing divergence."""
+    # DealTrackingActivity/run.js:77,103 emits `item.title` (always null);
+    # intent: the selected taskTitle.
+    act = ALL_SPECS["Fact Deal Tracking Activity from MongoDB to Azure DWH"].build(
+        spark, catalog, WM
+    ).collect()
+    assert act[0]["title"] == "Follow up"
+
+    # DealTrackingDeal/run.js:109 reads item.contact.lastName (never
+    # selected -> crash when contactName truthy); intent: contactName alone.
+    deal = ALL_SPECS["Fact Deal Tracking Deal from MongoDB to Azure DWH"].build(
+        spark, catalog, WM
+    ).collect()
+    assert deal[0]["contact_name"] == "Budi"
+
+    # DealTrackingStage/run.js:133-138 references stageId/id without item.
+    # (ReferenceError when any deal exists); intent: the row's columns.
+    spec = ALL_SPECS["Fact Deal Tracking Stage from MongoDB to Azure DWH"]
+    build_fn, _keys = spec.extra_targets["dl_fact_deal_tracking_stage_deal"]
+    sd = build_fn(spark, catalog, WM).collect()
+    assert [(r["stage_id"], r["deal_id"]) for r in sd] == [("231", "221")]
+
+    # ProductionOrder/run.js:142: material.replace throws on null material;
+    # intent: null-safe construction string (null when any part is null).
+    po = {
+        r["production_order_no"]: r
+        for r in ALL_SPECS["Fact Production Order from MongoDB to Azure DWH"].build(
+            spark, catalog, WM
+        ).collect()
+    }
+    assert po["PO-2"]["construction"] is None  # null material row survives
+    assert po["PO-1"]["construction"] == "Cotton 2/1 40s 44"
+
+    # MonitoringEvent/run.js:65-67: getOperationRange divides minutes by 60
+    # but is fed minutes (name/unit mismatch); intent: duration in HOURS.
+    me = {
+        r["monitoring_event_code"]: r
+        for r in ALL_SPECS["Fact Monitoring Event from MongoDB to Azure DWH"].build(
+            spark, catalog, WM
+        ).collect()
+    }
+    assert me["ME-1"]["event_range"] == 1.0  # 60 min -> 1 hour
+
+    # GarmentTotalHutang/run.js:134 reads data.roNo (Promise.all array) so
+    # PR enrichment never matches; intent (`item.roNo`) is pinned by
+    # test_garment_total_hutang_asof's category_type assertion.
