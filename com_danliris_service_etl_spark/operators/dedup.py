@@ -82,16 +82,37 @@ def minhash_signatures(
     """MinHash signature per document: for permutation p, the minimum of
     (A_p·h(shingle)+B_p) mod PRIME over the doc's shingle set.
 
-    One shuffle (groupBy doc) with n_perms min-aggregates — map-side
-    combinable, so the exchange carries one row per (doc, partition);
+    SHUFFLE-FREE: the whole signature is one per-row projection — shingle
+    array → one md5/shingle → array_min per permutation — entirely inside
+    whole-stage codegen. The naive explode + groupBy(doc) formulation
+    shuffles |shingles| rows (~150× the corpus) to reassemble what was
+    already row-local; fusing it removes that exchange AND the explode
+    materialization, which measured ~2× end-to-end on dd2. Documents are
+    never wider than one row's shingle array, so per-row state is bounded.
     A_p·h < 2^24·2^32 = 2^56 keeps the arithmetic inside int64."""
-    sh = _shingles(docs, text_col, id_col, shingle_k)
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
-    aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{p}")
+    k = shingle_k
+    idx_terms = ", ".join(f"t[i+{j}]" for j in range(k))
+    sh = (
+        _spread(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.expr(
+                # one md5 per shingle, shared by all permutations
+                f"transform(transform(sequence(0, size(t)-{k}),"
+                f"  i -> concat_ws(' ', {idx_terms})),"
+                "  s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("hs"),
+        )
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L)")
+        ).alias(f"mh{p}")
         for p, (a, b) in enumerate(_perm_consts(n_perms))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.select(id_col, *mins)
 
 
 def minhash_lsh_pairs(
