@@ -100,6 +100,154 @@ def signbit_bucket(vec_col: str, n_bits: int = 8):
     return F.expr(terms)
 
 
+def multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-bit LSH top-k: each query probes its own bucket AND
+    every bucket at Hamming distance 1 (n_bits single-bit flips) — the
+    standard recall fix for LSH's boundary problem (a near-neighbor whose
+    first sign bit flips lands one bucket over; single-probe misses it,
+    multi-probe doesn't).
+
+    Scale shape: the probe set is generated QUERY-side (queries × (n_bits+1)
+    rows — queries are the small side), then one equi-join on the bucket id
+    against the corpus: same shuffle-partitionable plan as single-probe
+    `lsh_bucketed_topk`, just a slightly wider broadcast. The corpus is
+    never exploded. Equivalent predicate: bit_count(q.bucket XOR c.bucket)
+    <= 1 — expressed as an equi-join so Spark never evaluates it pairwise.
+    """
+    from pyspark.sql import Window
+
+    probes = F.array(
+        F.col("__b"), *[F.expr(f"__b ^ {1 << d}") for d in range(n_bits)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("q_norm"),
+            signbit_bucket(vec_col, n_bits).alias("__b"),
+        )
+        .select("query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket"))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_norm"),
+        signbit_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (highest cosine, centroid id as deterministic tiebreak) — the inverted-
+    file cell structure under IVF-style ANN.
+
+    The centroid set is broadcast (it is small by construction — k-means
+    cluster counts are 2^8..2^16 even at billion-vector scale) and the
+    assignment is a broadcast-nested-loop argmax: O(n·C·d) scan work, no
+    shuffle of the corpus. Centroid TRAINING (Lloyd's iterations) happens
+    offline in a real deployment; here any deterministic centroid sample
+    works — the operator contract is the cell assignment + probe, not the
+    quantizer quality."""
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col(cent_id_col).alias("__cent_id"),
+        F.col(cent_vec_col).alias("__cent_vec"),
+        norm(cent_vec_col).alias("__cent_norm"),
+    )
+    v = vectors.withColumn("__v_norm", norm(vec_col))
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim", cosine_prenormed(vec_col, "__cent_vec", "__v_norm", "__cent_norm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cent_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*vectors.columns, F.col("__cent_id").alias(cell_col))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF(nprobe=1) top-k: corpus and queries are both coarse-quantized to
+    their nearest centroid's cell; each query scores only its own cell's
+    inverted list. The candidate join is an equi-join on the cell id —
+    shuffle-partitionable, skew split by AQE — instead of a cross product.
+    Raising recall = probing more cells (rank<=nprobe in the assignment
+    window), the standard IVF knob."""
+    from pyspark.sql import Window
+
+    c = ivf_assign_cells(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        centroids,
+        id_col="neighbor_id",
+        vec_col="c_vec",
+    ).withColumn("c_norm", norm("c_vec"))
+    q = ivf_assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        centroids,
+        id_col="query_id",
+        vec_col="q_vec",
+    ).withColumn("q_norm", norm("q_vec"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -22,19 +22,37 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the GPT-2-style split shape. A run of n chars costs ~ceil(n/4) merged
+# subword tokens (the empirical ~4 chars/token BPE ratio), giving a
+# deterministic token-count estimate with no vocabulary file.
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count, char count, distinct-token count, and mean
-    token length."""
+    """Whitespace token count, char count, distinct-token count, mean token
+    length, plus the BPE-ish counts: regex pre-token count and estimated
+    subword count (ceil(len/4) per pre-token). All narrow per-row codegen
+    expressions — pipelined into the scan at any scale."""
     toks = F.split(F.col(text_col), " ")
     total_len = F.expr(
         f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> acc + length(t))"
     )
+    # Pattern passed as a Column literal — a SQL-string literal would eat
+    # the \s escape (Spark SQL strings process backslashes; DuckDB's don't).
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
     return docs.select(
         id_col,
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars_calc"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.size(pieces).alias("n_bpe_pieces"),
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("long"),
+        ).alias("n_bpe_tokens_est"),
     )
 
 
@@ -91,10 +109,46 @@ def detect_language(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     return out.select(id_col, "lang_actual", pred.alias("lang_pred"))
 
 
+# Rolling-hash parameters: Rabin-Karp polynomial over codepoints, Horner
+# form with a mod at every step so intermediates stay < M·B + cp ≪ 2^63.
+ROLL_W = 8  # window width (chars)
+ROLL_B = 257
+ROLL_M = 1_000_000_007
+
+
+def _window_hashes(text_col: str) -> str:
+    """SQL expr: array of polynomial hashes of every ROLL_W-char window.
+    Direct per-window Horner evaluation (O(n·w), w=8 constant, all inside
+    codegen) — output-identical to the O(n) incremental Rabin-Karp update,
+    which a single SQL expression can't thread state through."""
+    # BIGINT from the first term: intermediates reach M·B ≈ 2.6e11 > 2^31.
+    h = f"CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)"
+    for j in range(1, ROLL_W):
+        h = f"(({h}) * {ROLL_B} + ascii(substring({text_col}, i+{j}, 1))) % {ROLL_M}"
+    return (
+        f"transform(sequence(1, length({text_col}) - {ROLL_W - 1}), i -> {h})"
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Canonical collection fingerprint (sorted distinct tokens → md5) —
-    catches token-reordering duplicates that exact hashing misses."""
+    """Document fingerprints for near-dup detection:
+
+    - ``fingerprint``: canonical sorted-distinct-token md5 — catches
+      token-reordering duplicates that exact hashing misses.
+    - ``rolling_min_hash`` / ``n_distinct_windows``: Rabin-Karp rolling
+      hash over every 8-char window (winnowing-style content sketch —
+      shared substrings produce shared window hashes regardless of where
+      they sit in the document); NULL for documents shorter than one
+      window. The min window hash is the 1-element winnowing selection;
+      the distinct-window count calibrates containment scores."""
     canon = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
     )
-    return docs.select(id_col, F.md5(canon).alias("fingerprint"))
+    wh = _window_hashes(text_col)
+    guard = F.length(text_col) >= ROLL_W
+    return docs.select(
+        id_col,
+        F.md5(canon).alias("fingerprint"),
+        F.when(guard, F.expr(f"array_min({wh})")).alias("rolling_min_hash"),
+        F.when(guard, F.expr(f"size(array_distinct({wh}))")).alias("n_distinct_windows"),
+    )

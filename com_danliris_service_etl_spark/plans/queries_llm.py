@@ -191,6 +191,72 @@ def sim2_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=8)
 
 
+@register(
+    "sim3_multiprobe_topk",
+    _cosine_sql(
+        "WHERE vec_id < 10",
+        "AND bit_count(xor(CAST(" + _BUCKET_SQL.format(v="q.qv") + " AS BIGINT), CAST("
+        + _BUCKET_SQL.format(v="c.cv") + " AS BIGINT))) <= 1",
+    ),
+)
+def sim3_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-bit LSH top-5: each query probes its bucket + all
+    Hamming-distance-1 buckets — the recall fix over sim2, still an
+    equi-join (probes generated query-side, corpus never exploded). The
+    oracle states the equivalent predicate bit_count(xor) <= 1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=8)
+
+
+_IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as centroids
+
+
+def _ivf_sql(n_cells: int = _IVF_CELLS) -> str:
+    dot_ec = _FOLD_DOT.format(a="v.e", b="c.cv")
+    n_e = _FOLD_DOT.format(a="v.e", b="v.e")
+    n_c = _FOLD_DOT.format(a="c.cv", b="c.cv")
+    dot_qn = _FOLD_DOT.format(a="q.qv", b="n.nv")
+    n_q = _FOLD_DOT.format(a="q.qv", b="q.qv")
+    n_n = _FOLD_DOT.format(a="n.nv", b="n.nv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < {n_cells}),
+    assign AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rk
+      FROM (SELECT v.vec_id, c.cent_id,
+                   {dot_ec} / (sqrt({n_e}) * sqrt({n_c})) AS sim
+            FROM v CROSS JOIN cent c)),
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rk = 1),
+    q AS (SELECT v.vec_id AS query_id, v.e AS qv, cells.cell
+          FROM v JOIN cells USING (vec_id) WHERE v.vec_id < 10),
+    n AS (SELECT v.vec_id AS neighbor_id, v.e AS nv, cells.cell
+          FROM v JOIN cells USING (vec_id)),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({dot_qn} / (sqrt({n_q}) * sqrt({n_n})), 6) AS cos_sim
+      FROM q JOIN n USING (cell) WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("sim4_ivf_topk", _ivf_sql())
+def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=1) top-5: corpus + queries coarse-quantized to their
+    nearest of 16 deterministic centroids (first 16 vectors standing in for
+    an offline-trained k-means codebook); candidates = the query's cell
+    only. Equi-join on the cell id — the inverted-file ANN scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_CELLS)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cent, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -198,7 +264,7 @@ def sim2_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txt1_token_stats",
-    """
+    f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_calc,
@@ -206,7 +272,12 @@ def sim2_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
                                                                  t -> length(t))),
                                   (a, b) -> a + b) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS avg_token_len
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           len(regexp_extract_all(text, '{tx.BPE_SPLIT_RE}')) AS n_bpe_pieces,
+           list_reduce(list_prepend(0::BIGINT,
+                                    list_transform(regexp_extract_all(text, '{tx.BPE_SPLIT_RE}'),
+                                                   p -> CAST(ceil(length(p) / 4.0) AS BIGINT))),
+                       (a, b) -> a + b) AS n_bpe_tokens_est
     FROM documents
     """,
 )
@@ -271,17 +342,30 @@ def txt3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.detect_language(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "txt4_fingerprint",
-    """
+def _rolling_sql() -> str:
+    """DuckDB twin of text._window_hashes: same Horner steps, same window
+    positions (range() end-exclusive = sequence() end-inclusive + 1)."""
+    h = "CAST(ascii(substring(text, i, 1)) AS BIGINT)"
+    for j in range(1, tx.ROLL_W):
+        h = f"(({h}) * {tx.ROLL_B} + ascii(substring(text, i+{j}, 1))) % {tx.ROLL_M}"
+    wh = f"list_transform(range(1, length(text) - {tx.ROLL_W - 2}), i -> {h})"
+    return f"""
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-             AS fingerprint
+             AS fingerprint,
+           CASE WHEN length(text) >= {tx.ROLL_W}
+                THEN list_min({wh}) END AS rolling_min_hash,
+           CASE WHEN length(text) >= {tx.ROLL_W}
+                THEN len(list_distinct({wh})) END AS n_distinct_windows
     FROM documents
-    """,
-)
+    """
+
+
+@register("txt4_fingerprint", _rolling_sql())
 def txt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (sorted-distinct-token) fingerprint for reorder-resistant dedup."""
+    """Canonical (sorted-distinct-token) fingerprint for reorder-resistant
+    dedup + Rabin-Karp rolling-window content sketch (min window hash,
+    distinct-window count)."""
     return tx.fingerprint(_t(spark, sf_dir, "documents"))
 
 
@@ -364,3 +448,55 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame): the 1:N mapInPandas fanout shape for media pipelines."""
     frames = mm.frame_sample(_t(spark, sf_dir, "documents"), frame_bytes=32, every_n=2)
     return frames.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data funnel
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_sql() -> str:
+    en = _hits_sql(LANG_MARKERS["en"])
+    return f"""
+    WITH lang AS ({_langid_sql()}),
+    qual AS (
+      SELECT doc_id,
+             round(CAST({en} AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+                   + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 0.5
+                   + least(CAST(list_reduce(list_prepend(0, list_transform(
+                                  string_split(text, ' '), t -> length(t))),
+                                (a, b) -> a + b) AS DOUBLE)
+                           / len(string_split(text, ' ')) / 10.0, 1.0) * 0.2,
+                   6) AS quality
+      FROM documents),
+    keep AS (SELECT min(doc_id) AS keeper_id FROM documents GROUP BY md5(text))
+    SELECT d.doc_id, d.source, d.n_chars, lang.lang_pred, qual.quality
+    FROM documents d
+    JOIN lang USING (doc_id)
+    JOIN qual USING (doc_id)
+    WHERE d.doc_id IN (SELECT keeper_id FROM keep)
+      AND lang.lang_pred = 'en' AND qual.quality >= 0.5
+    """
+
+
+@register("llm1_clean_corpus", _clean_corpus_sql())
+def llm1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data preprocessing funnel — language filter ∘
+    quality threshold ∘ exact-dedup keeper — as ONE declarative plan, the
+    shape a 100 TB corpus actually runs nightly. Catalyst fuses the three
+    per-row stages (langid, quality) into the scan; the only shuffles are
+    the dedup digest groupBy and the keeper semi-join, both keyed on
+    uniformly-distributed hashes. Each stage is individually verified by
+    txt3 / txt2 / dd1; this query verifies their composition."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = tx.detect_language(docs).select("doc_id", "lang_pred")
+    qual = tx.quality_score(docs).select("doc_id", "quality")
+    keep = dd.exact_dedup_groups(docs).select("keeper_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(keep, F.col("doc_id") == F.col("keeper_id"), "left_semi")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )

@@ -362,3 +362,40 @@ def test_minhash_lsh_degenerate_corpus_capped(spark):
     members = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
     assert members == set(range(cap))  # deterministic: the cap smallest ids
     assert all(r.est_jaccard == 1.0 for r in pairs)
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """sim3 recall property: multi-probe candidates are a superset of
+    single-probe's (same buckets plus Hamming-1 neighbors), so for every
+    query the rank-1 multi-probe neighbor is at least as similar."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        multiprobe_lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 5)
+    single = {
+        (r.query_id, r.rank): r.cos_sim for r in lsh_bucketed_topk(emb, q, k=3).collect()
+    }
+    multi = {
+        (r.query_id, r.rank): r.cos_sim
+        for r in multiprobe_lsh_topk(emb, q, k=3).collect()
+    }
+    # every query that had any single-probe hit still has hits, and the
+    # best multi-probe hit is >= the best single-probe hit
+    for (qid, rank), sim_s in single.items():
+        if rank == 1:
+            assert multi[(qid, 1)] >= sim_s
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """sim4 structure: every vector lands in exactly one cell, and the cell
+    is one of the centroid ids."""
+    from com_danliris_service_etl_spark.operators.similarity import ivf_assign_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter(emb.vec_id < 8)
+    cells = ivf_assign_cells(emb, cent).collect()
+    assert len(cells) == emb.count()  # 1:1 — argmax picks exactly one cell
+    assert {r.cell for r in cells} <= set(range(8))
