@@ -1,0 +1,114 @@
+"""Physical-plan assertions: the SCALE.md claims, pinned.
+
+Each test renders `explain("formatted")` and asserts the plan SHAPE —
+pushdown reached the scan, dimensions broadcast, fused operators stay
+shuffle-free — so a regression that silently re-introduces an exchange or
+un-pushes a filter fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """The fused MinHash signature is one per-row projection: the ONLY
+    exchange in the plan is the deliberate parallelism repartition
+    (_spread) — no aggregation shuffle of shingle rows."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    # formatted explain prints each node twice (tree line + detail header);
+    # "Node (" matches only the tree line.
+    assert plan.count("Exchange (") == 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_broadcast_dim_join_plans_broadcast(spark):
+    """J3: an explicitly-broadcast dimension probe must plan
+    BroadcastHashJoin — never a shuffled sort-merge join."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["j3_broadcast_dim_join"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_watermark_predicate_pushed_to_scan(spark):
+    """S4/P2: the incremental watermark predicate reaches the parquet scan
+    as a pushed filter (row-group skipping at scale), and the scan's
+    ReadSchema is pruned to the projected columns."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_orderkey", "l_shipdate")
+    plan = _plan(q)
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0], plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" not in read_schema, plan
+
+
+def test_asof_sort_strategy_linear(spark):
+    """J7: the union-sort as-of join must not window over a per-row
+    partition key (the quadratic join-then-filter shape); its plan carries
+    no monotonically_increasing_id and no range-condition join."""
+    import datetime as dt
+
+    from com_danliris_service_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "USD", dt.datetime(2024, 2, 1))], "id long, code string, at timestamp"
+    )
+    right = spark.createDataFrame(
+        [("USD", dt.datetime(2024, 1, 1), 1.0)],
+        "code string, rate_date timestamp, rate double",
+    )
+    df = asof_join(
+        left, right, left_on="at", right_on="rate_date",
+        by=[("code", "code")], tiebreak="rate", strategy="sort",
+    )
+    plan = _plan(df)
+    assert "monotonically_increasing_id" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """dd1: the digest groupBy must plan a partial (map-side) aggregate
+    before the exchange — the exchange carries one row per (digest,
+    partition), not raw documents."""
+    from com_danliris_service_etl_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup_groups(docs))
+    # partial + final aggregate around exactly one exchange
+    assert plan.count("HashAggregate (") == 2, plan
+    assert plan.count("Exchange (") == 1, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("HashAggregate") < tree.index("Exchange") < tree.rindex(
+        "HashAggregate"
+    ), plan  # top-down tree: final agg, exchange, partial agg
+
+
+def test_multiprobe_corpus_not_exploded(spark):
+    """sim3: probe generation must stay on the (small) query side — the
+    corpus scan feeds the join directly with no Generate/explode above it."""
+    from com_danliris_service_etl_spark.operators.similarity import multiprobe_lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(multiprobe_lsh_topk(emb, emb.filter(emb.vec_id < 3), k=3))
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one Generate (the query-side probe explode)
+    assert plan.count("Generate (") == 1, plan
