@@ -500,3 +500,51 @@ def llm1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keep, F.col("doc_id") == F.col("keeper_id"), "left_semi")
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm2_hash_split",
+    """
+    SELECT doc_id,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                  THEN 'train'
+                WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def llm2_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id-hash bucket: shuffle-free
+    per-row projection, stable under corpus growth, verified (not sampled)
+    — the reproducible-split primitive a training pipeline needs."""
+    from com_danliris_service_etl_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm3_quota_sample",
+    """
+    SELECT doc_id, lang, source, sample_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 50
+    """,
+)
+def llm3_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(lang, source) quota downsampling (hash-ranked,
+    cap 50): the anti-domination lever for mixed corpora, with a kept set
+    that is stable across partitionings and reruns."""
+    from com_danliris_service_etl_spark.operators.sampling import quota_per_group
+
+    return quota_per_group(_t(spark, sf_dir, "documents"), cap=50)

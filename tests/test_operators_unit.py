@@ -399,3 +399,41 @@ def test_ivf_cells_partition_corpus(spark):
     cells = ivf_assign_cells(emb, cent).collect()
     assert len(cells) == emb.count()  # 1:1 — argmax picks exactly one cell
     assert {r.cell for r in cells} <= set(range(8))
+
+
+def test_hash_split_stable_under_append(spark):
+    """llm2 property: a row's split assignment depends only on its id, so
+    appending new rows never moves an existing row between splits."""
+    from com_danliris_service_etl_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = docs.limit(100)
+    full_assign = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    small_assign = {r.doc_id: r.split for r in hash_split(small).collect()}
+    assert small_assign == {k: full_assign[k] for k in small_assign}
+    # rough proportions at 500 docs: train dominates, all three present
+    from collections import Counter
+
+    c = Counter(full_assign.values())
+    assert c["train"] > c["val"] + c["test"]
+    assert set(c) == {"train", "val", "test"}
+
+
+def test_quota_per_group_caps_and_is_stable(spark):
+    """llm3 property: no group exceeds the cap, and the kept set is
+    independent of input partitioning (hash rank, not arrival order)."""
+    from com_danliris_service_etl_spark.operators.sampling import quota_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept1 = {r.doc_id for r in quota_per_group(docs, cap=10).collect()}
+    kept2 = {
+        r.doc_id for r in quota_per_group(docs.repartition(13), cap=10).collect()
+    }
+    assert kept1 == kept2
+    sizes = (
+        quota_per_group(docs, cap=10)
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 10 for r in sizes)
