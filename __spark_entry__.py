@@ -42,6 +42,8 @@ _PRIORITY = [
     "sim3_multiprobe_topk",
     "sim4_ivf_topk",
     "llm1_clean_corpus",
+    "llm2_hash_split",
+    "llm3_quota_sample",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -82,6 +84,8 @@ _RECORD_LAST = [
     "d6_min_date_clamp",        # clamp property test + golden _clamp oracle
     "e4_explode_inner",         # e2/e3/e5 recorded; shipment golden test
     "dd1_exact_dedup",          # digest groupBy; keeper semantics inside llm1
+    "o3_top_n",                 # o1/o2 recorded cover the ordering family
+    "w2_last_in_group",         # w1 recorded; last-in-group in job goldens
 ]
 
 
