@@ -44,6 +44,9 @@ _PRIORITY = [
     "llm1_clean_corpus",
     "llm2_hash_split",
     "llm3_quota_sample",
+    "g1_rollup_corpus",
+    "g2_pivot_status_matrix",
+    "w4_moving_avg",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -86,6 +89,9 @@ _RECORD_LAST = [
     "dd1_exact_dedup",          # digest groupBy; keeper semantics inside llm1
     "o3_top_n",                 # o1/o2 recorded cover the ordering family
     "w2_last_in_group",         # w1 recorded; last-in-group in job goldens
+    "p3_soft_delete",           # trivial flag filter; every job golden has it
+    "p7_empty_string_guard",    # r1 green; guard logic re-pinned by T-family
+    "j5_correlated_subquery",   # r1 green; join family recorded via j1/j3-j7
 ]
 
 

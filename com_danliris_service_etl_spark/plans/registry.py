@@ -74,6 +74,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries,
         queries_gaps,
         queries_llm,
+        queries_olap,
         queries_scalars,
         queries_streaming,
     )

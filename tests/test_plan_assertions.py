@@ -112,3 +112,35 @@ def test_multiprobe_corpus_not_exploded(spark):
     assert "BroadcastHashJoin" in plan, plan
     # exactly one Generate (the query-side probe explode)
     assert plan.count("Generate (") == 1, plan
+
+
+def test_rollup_is_one_expand_one_exchange(spark):
+    """g1: all rollup grains come from a single Expand + hash aggregate —
+    one shuffle for every grain, never one query per grain."""
+    from com_danliris_service_etl_spark.plans.queries_olap import g1_rollup_corpus
+
+    plan = _plan(g1_rollup_corpus(spark, SF))
+    assert plan.count("Expand (") == 1, plan
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_pivot_crosstab_single_exchange(spark):
+    """g2: the declared-values crosstab is ONE conditional hash aggregate
+    (pivot()'s two-aggregate PivotFirst shape is deliberately avoided)."""
+    from com_danliris_service_etl_spark.plans.queries_olap import (
+        g2_pivot_status_matrix,
+    )
+
+    plan = _plan(g2_pivot_status_matrix(spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_moving_avg_one_window_one_exchange(spark):
+    """w4: both frames (3-row moving avg + running total) share one
+    Window operator over one partition-key shuffle and one sort."""
+    from com_danliris_service_etl_spark.plans.queries_olap import w4_moving_avg
+
+    plan = _plan(w4_moving_avg(spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Window (") == 1, plan
+    assert plan.count("Sort (") == 1, plan
