@@ -47,6 +47,7 @@ _PRIORITY = [
     "g1_rollup_corpus",
     "g2_pivot_status_matrix",
     "w4_moving_avg",
+    "a6_stats_profile",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -92,6 +93,7 @@ _RECORD_LAST = [
     "p3_soft_delete",           # trivial flag filter; every job golden has it
     "p7_empty_string_guard",    # r1 green; guard logic re-pinned by T-family
     "j5_correlated_subquery",   # r1 green; join family recorded via j1/j3-j7
+    "e2_explode_roundtrip",     # r1 green; e3/e5 recorded + shipment goldens
 ]
 
 

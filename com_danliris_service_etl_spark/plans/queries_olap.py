@@ -143,3 +143,45 @@ def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profile (ordered-set + moment aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_stats_profile",
+    """
+    SELECT lang,
+           count(DISTINCT source)::BIGINT              AS n_sources,
+           round(quantile_cont(n_chars, 0.5), 4)       AS p50_chars,
+           round(quantile_cont(n_chars, 0.95), 4)      AS p95_chars,
+           round(stddev_samp(n_chars), 4)              AS sd_chars,
+           round(corr(n_chars, length(text)::DOUBLE), 6) AS corr_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def a6_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: exact distinct-count, interpolated
+    percentiles (Spark `percentile` and DuckDB `quantile_cont` share the
+    rank = p·(n-1) linear-interpolation definition — verified equal to
+    6dp), sample stddev and Pearson correlation. The moment aggregates
+    (stddev/corr) are map-side combinable; `percentile` is the EXACT
+    ordered-set form, which buffers each group's values — right for a
+    bounded-cardinality profile like this, while an unbounded-group
+    profile at 100 TB would switch to `approx_percentile` (t-digest,
+    mergeable, bounded memory) and forgo cross-engine hash equality.
+    count(DISTINCT) plans as Spark's two-phase distinct aggregate —
+    partial dedup before the shuffle, no full value set on one node."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        F.round(
+            F.corr("n_chars", F.length("text").cast("double")), 6
+        ).alias("corr_len"),
+    )
