@@ -1,0 +1,113 @@
+"""Data-layout maintenance: the table-keeping a 100 TB deployment needs
+between query runs.
+
+The reference never compacts — each nightly run INSERTs its batch and SQL
+Server's storage engine hides the layout (`Pembelian/run.js:313`). On a
+parquet/object-store lake the layout IS the performance: a nightly
+incremental MERGE leaves one small file per micro-batch per partition,
+and a year of nightlies turns every scan into an open-file storm (listing
++ footer reads dominate, row-group skipping stops working). These
+operators keep the layout healthy with Spark-native building blocks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def fact_layout_stats(spark: SparkSession, path: str) -> dict:
+    """File-level layout report for a parquet fact: file count, total
+    bytes, mean file size. Driver-side listing of METADATA only (never
+    data) — the signal `compact_small_files` acts on, and the number an
+    operator alerts on (mean_bytes far below the target ⇒ compact)."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        sizes += [
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "mean_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite a parquet fact into ~target-sized files.
+
+    The partition count is sized from the data (total_bytes /
+    target_file_bytes), not the core count, and applied with
+    `repartition` — a round-robin full shuffle that equalizes output file
+    sizes regardless of input skew. `coalesce` would be shuffle-free but
+    inherits upstream skew and caps parallelism of the read stage, so it
+    is the wrong tool for a layout rewrite whose entire point is uniform
+    files. With ``partition_by`` the repartition keys on the partition
+    columns so each output directory is written by few tasks (no
+    N-files-per-partition-per-task explosion).
+
+    The rewrite lands in a temp dir and swaps in with a recovery copy at
+    every step (same protocol as merge_upsert's fallback): old data is
+    renamed aside, new data moved into place, backup removed last — a
+    crash leaves either the old or the new layout intact. On Delta/
+    Iceberg deployments this whole operator is `OPTIMIZE`; this is the
+    plain-parquet equivalent. Returns {before, after} layout stats."""
+    before = fact_layout_stats(spark, path)
+    n_parts = max(1, -(-before["total_bytes"] // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if partition_by:
+        df = df.repartition(n_parts, *[F.col(c) for c in partition_by])
+    else:
+        df = df.repartition(n_parts)
+
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    backup = path.rstrip("/") + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.replace(path, backup)
+    os.replace(tmp, path)
+    shutil.rmtree(backup)
+    return {"before": before, "after": fact_layout_stats(spark, path)}
+
+
+def write_partitioned_fact(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Date-partitioned fact layout: `PARTITIONED BY (date)` directories so
+    incremental readers (watermark scans, per-day reprocessing) prune at
+    the DIRECTORY level — zero I/O for untouched days, which is the
+    difference between a nightly job reading one day and reading the whole
+    100 TB fact. `maxRecordsPerFile` bounds the largest file a hot day can
+    produce; the per-day repartition keeps each directory written by one
+    task under normal volume."""
+    dated = df.withColumn("__p_date", F.to_date(F.col(date_col)))
+    (
+        dated.repartition(F.col("__p_date"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("__p_date")
+        .parquet(path)
+    )
