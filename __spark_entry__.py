@@ -48,6 +48,8 @@ _PRIORITY = [
     "g2_pivot_status_matrix",
     "w4_moving_avg",
     "a6_stats_profile",
+    "u3_intersect_except",
+    "sk1_sketch_accuracy",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -94,6 +96,8 @@ _RECORD_LAST = [
     "p7_empty_string_guard",    # r1 green; guard logic re-pinned by T-family
     "j5_correlated_subquery",   # r1 green; join family recorded via j1/j3-j7
     "e2_explode_roundtrip",     # r1 green; e3/e5 recorded + shipment goldens
+    "a4_surrogate_key",         # r1 green; ordinal property-pinned in tests
+    "d1_d3_d4_date_arithmetic", # r1 green; date family recorded via d2/d5-d7
 ]
 
 

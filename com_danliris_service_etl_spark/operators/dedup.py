@@ -115,6 +115,27 @@ def minhash_signatures(
     return sh.select(id_col, *mins)
 
 
+def _band_structs(n_perms: int, bands: int) -> F.Column:
+    """array<struct<band_idx, band_hash>> over an in-scope `sig` array:
+    band b's key is md5 of its rows' stringified mins joined with ':' —
+    an unambiguous key both engines render identically."""
+    rows_per_band = n_perms // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col("sig")[p] for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(":", *[p.cast("string") for p in parts])
+                ).alias("band_hash"),
+            )
+        )
+    return F.array(*band_cols)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -140,7 +161,6 @@ def minhash_lsh_pairs(
     any single bucket's output at max_bucket²/2 pairs. For dedup that loses
     nothing of value: a bucket that large IS one duplicate cluster, and
     capped members still pair with the cluster's keeper ids."""
-    rows_per_band = n_perms // bands
     sig = minhash_signatures(docs, text_col, id_col, n_perms, shingle_k).select(
         id_col, F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
     )
@@ -148,19 +168,8 @@ def minhash_lsh_pairs(
     # Carry the full signature through the band explode so candidate pairs
     # can be verified in the SAME join — one aggregation shuffle + one
     # equi-join total, no signature re-join stages.
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col("sig")[p] for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            # concat_ws over the stringified bigints: an unambiguous band
-            # key both engines render identically.
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(":", *[p.cast("string") for p in parts])).alias("band_hash"),
-            )
-        )
     banded = sig.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
+        F.col(id_col), F.col("sig"), F.explode(_band_structs(n_perms, bands)).alias("band")
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
     # Group members per (band, hash) bucket and generate the i<j pairs
@@ -194,6 +203,78 @@ def minhash_lsh_pairs(
     )
     return (
         grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+        .distinct()
+    )
+
+
+def incremental_minhash_lsh_pairs(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Nightly-shape near-dup: dedup a NEW batch against a PERSISTED
+    signature store without re-hashing the existing corpus.
+
+    ``corpus_sigs`` is the stored output of :func:`minhash_signatures`
+    over the already-ingested corpus (id + mh0..mhN — ~n_perms longs per
+    document, the compact state a 100 TB deployment persists and appends
+    to). Only the new batch pays the shingle/md5 signature cost; both
+    sides band, bucket together, and pairs are kept only when at least
+    one member is new — old-old pairs were already emitted by previous
+    runs. Emitted (doc_a, doc_b, est_jaccard) rows are a superset
+    restriction of the full-corpus :func:`minhash_lsh_pairs` output:
+    exactly its pairs that involve a new document (pinned by
+    `test_incremental_lsh_matches_full_minus_old`). After the run, the
+    store advances by appending the new batch's signatures."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perms, shingle_k)
+
+    def prep(sigs: DataFrame, is_new: bool) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig"),
+            F.lit(is_new).alias("is_new"),
+        )
+
+    tagged = prep(corpus_sigs, False).unionByName(prep(new_sigs, True))
+    banded = tagged.select(
+        F.col(id_col),
+        "sig",
+        "is_new",
+        F.explode(_band_structs(n_perms, bands)).alias("band"),
+    ).select(id_col, "sig", "is_new", "band.band_idx", "band.band_hash")
+
+    grouped = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(id_col).alias("id"), "sig", "is_new")
+                    )
+                ),
+                1,
+                max_bucket,
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (m, i) -> "
+        "  transform(slice(ms, i + 2, size(ms)), n -> struct("
+        "    m.id AS doc_a, n.id AS doc_b, (m.is_new OR n.is_new) AS keep,"
+        "    aggregate(zip_with(m.sig, n.sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
+        f"              0, (acc, v) -> acc + v) / CAST({float(n_perms)} AS DOUBLE)"
+        "    AS est_jaccard))))"
+    )
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p.keep"))
         .select("p.doc_a", "p.doc_b", "p.est_jaccard")
         .distinct()
     )

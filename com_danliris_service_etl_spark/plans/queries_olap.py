@@ -185,3 +185,87 @@ def a6_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr("n_chars", F.length("text").cast("double")), 6
         ).alias("corr_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond UNION (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u3_intersect_except",
+    """
+    SELECT o_custkey, 'both_f_o' AS set_op FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT o_custkey, 'f_not_p' AS set_op FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT with SQL (distinct) semantics: customers active
+    in both F and O order states, plus F-customers never seen in P.
+    Spark plans both as distinct-aggregated semi/anti hash joins — the
+    pre-join distinct collapses each side to unique keys before any
+    shuffle, so the join sides are bounded by key cardinality, not row
+    count; both branches then union without a shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    both = keys("F").intersect(keys("O")).withColumn("set_op", F.lit("both_f_o"))
+    # subtract == SQL EXCEPT (distinct); exceptAll would be bag semantics —
+    # it removes ONE right occurrence per key and leaves a duplicated
+    # left key alive, which is not what EXCEPT means.
+    f_not_p = keys("F").subtract(keys("P")).withColumn("set_op", F.lit("f_not_p"))
+    return both.unionByName(f_not_p)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches with verified accuracy (HLL / t-digest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sk1_sketch_accuracy",
+    """
+    SELECT lang,
+           count(DISTINCT doc_id)::BIGINT AS n_exact,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sk1_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path, with its accuracy bound VERIFIED
+    in-query: HyperLogLog++ (`approx_count_distinct`, rsd 1%) and
+    t-digest (`approx_percentile`, accuracy 10000) are mergeable,
+    constant-memory sketches — the structures a real deployment uses
+    where exact distinct/percentile would shuffle every value. Sketch
+    estimates differ across engines by construction, so the oracle can't
+    compare them directly; instead the query emits the EXACT values plus
+    booleans asserting the sketch landed within tolerance (5% on
+    distinct, 5% of the exact median), and the oracle pins those flags
+    TRUE — a cross-engine-checkable accuracy contract rather than an
+    unverifiable estimate dump."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_exact"),
+        F.approx_count_distinct("doc_id", rsd=0.01).alias("n_hll"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("p50_tdig"),
+    )
+    tol_n = F.col("n_exact").cast("double") * 0.05
+    tol_p = F.abs(F.col("p50_exact")) * 0.05
+    return agg.select(
+        "lang",
+        "n_exact",
+        (F.abs(F.col("n_hll") - F.col("n_exact")) <= tol_n).alias("hll_ok"),
+        (F.abs(F.col("p50_tdig") - F.col("p50_exact")) <= tol_p).alias("p50_ok"),
+    )

@@ -437,3 +437,34 @@ def test_quota_per_group_caps_and_is_stable(spark):
         .collect()
     )
     assert all(r["count"] <= 10 for r in sizes)
+
+
+def test_incremental_lsh_matches_full_minus_old(spark):
+    """Incremental dedup contract: banding a new batch against the
+    persisted corpus signatures yields exactly the full-corpus LSH pairs
+    that involve a new document — same est_jaccard, no old-old pairs,
+    and the old side never re-pays the signature stage."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        incremental_minhash_lsh_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k[0] >= 250 or k[1] >= 250
+    }
+    store = minhash_signatures(old)  # the persisted state
+    inc = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_minhash_lsh_pairs(store, new).collect()
+    }
+    assert inc == expected
+    assert any(k[0] < 250 for k in inc), "cross old-new pairs must appear"
