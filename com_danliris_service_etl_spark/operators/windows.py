@@ -55,8 +55,65 @@ def surrogate_key(df: DataFrame, order_by: Column | Sequence[Column], out_col: s
     `TotalHutang/run.js:208`).
 
     NOTE (scale): a global row_number() serializes through one partition.
-    Fine for dimension-sized data; for fact-scale surrogate keys use
-    `monotonically_increasing_id()` (sparse but parallel) instead.
+    Fine for dimension-sized data; for fact-scale dense keys use
+    :func:`surrogate_key_distributed` (identical output, parallel), or
+    `monotonically_increasing_id()` when sparse ids suffice.
     """
     order = [order_by] if isinstance(order_by, Column) else list(order_by)
     return df.withColumn(out_col, F.row_number().over(Window.orderBy(*order)))
+
+
+def surrogate_key_distributed(
+    df: DataFrame,
+    order_by: Column | Sequence[Column],
+    out_col: str = "sk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fact-scale surrogate key: identical output to :func:`surrogate_key`
+    (dense 1..N in global `order_by` order — pinned by
+    `test_surrogate_key_distributed_equals_global`) without the global
+    window's single-partition serialization.
+
+    Two passes over a range shuffle: (1) `repartitionByRange(order)` puts
+    each partition in a disjoint, ordered key range; per-partition row
+    counts (one tiny metadata row per partition) come to the driver —
+    the same deliberate small-collect as the watermark lookup — and
+    cumulate into start offsets. (2) a per-partition `row_number`
+    (parallel: one window group per partition id) plus the partition's
+    offset yields the global dense rank.
+
+    The ranged output is pinned with `localCheckpoint` before the counts
+    pass: separate DataFrame actions re-plan and re-run the shuffle, and
+    RangePartitioner's sampled boundaries are not stable across runs, so
+    un-pinned passes can disagree on which partition a row is in
+    (observed: overlapping offsets → duplicate keys). Materializing the
+    shuffle once (executor memory/disk — the same cost zipWithIndex-
+    style operators pay) makes both passes read identical partitions.
+    Cost: one range shuffle materialized once + one pid shuffle, all
+    partitions in parallel — vs funneling 100 TB through one task."""
+    order = [order_by] if isinstance(order_by, Column) else list(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.withColumn(
+            out_col, F.row_number().over(w) + off_map[F.col("__pid")]
+        )
+        .drop("__pid")
+    )

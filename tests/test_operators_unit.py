@@ -468,3 +468,32 @@ def test_incremental_lsh_matches_full_minus_old(spark):
     }
     assert inc == expected
     assert any(k[0] < 250 for k in inc), "cross old-new pairs must appear"
+
+
+def test_surrogate_key_distributed_equals_global(spark):
+    """The range-partitioned two-pass surrogate key must produce exactly
+    the global-window assignment — dense 1..N in key order — while never
+    funneling the data through one partition."""
+    from com_danliris_service_etl_spark.operators.windows import (
+        surrogate_key,
+        surrogate_key_distributed,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    order = [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+    ]
+    want = {
+        tuple(r)
+        for r in surrogate_key(li, order, "sk").collect()
+    }
+    got = {
+        tuple(r)
+        for r in surrogate_key_distributed(li, order, "sk", num_partitions=7).collect()
+    }
+    assert got == want
