@@ -173,29 +173,47 @@ def ivf_assign_cells(
     (highest cosine, centroid id as deterministic tiebreak) — the inverted-
     file cell structure under IVF-style ANN.
 
-    The centroid set is broadcast (it is small by construction — k-means
-    cluster counts are 2^8..2^16 even at billion-vector scale) and the
-    assignment is a broadcast-nested-loop argmax: O(n·C·d) scan work, no
-    shuffle of the corpus. Centroid TRAINING (Lloyd's iterations) happens
-    offline in a real deployment; here any deterministic centroid sample
-    works — the operator contract is the cell assignment + probe, not the
-    quantizer quality."""
-    from pyspark.sql import Window
+    The centroid set is collapsed to ONE cid-sorted array row and
+    broadcast (small by construction — k-means cluster counts are
+    2^8..2^16 even at billion-vector scale), and the argmax runs PER ROW
+    as a higher-order-function fold inside codegen: O(n·C·d) scan work
+    and ZERO shuffle of the corpus. (An earlier form scored via
+    broadcast-nested-loop then took the argmax with a row_number window
+    — that sort-shuffles n·C scored rows, a full extra pass over the
+    corpus that this fold eliminates. For C·d too large for one array
+    cell, the fallback is that join plus a map-side-combinable
+    `max_by` groupBy — still no sort.) Ties break to the lowest
+    centroid id: the array is cid-sorted and the fold's strict `>`
+    keeps the first maximum. Centroid TRAINING (Lloyd's iterations)
+    happens offline in a real deployment; here any deterministic
+    centroid sample works — the operator contract is the cell
+    assignment + probe, not the quantizer quality."""
+    cent_arr = centroids.select(
+        F.struct(
+            F.col(cent_id_col).cast("long").alias("cid"),
+            F.expr(
+                f"transform({cent_vec_col}, x -> cast(x AS DOUBLE))"
+            ).alias("cvec"),
+            norm(cent_vec_col).alias("cnorm"),
+        ).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
 
-    cent = centroids.select(
-        F.col(cent_id_col).alias("__cent_id"),
-        F.col(cent_vec_col).alias("__cent_vec"),
-        norm(cent_vec_col).alias("__cent_norm"),
+    dot = (
+        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> cast(x AS DOUBLE) * y),"
+        " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    v = vectors.withColumn("__v_norm", norm(vec_col))
-    scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "__sim", cosine_prenormed(vec_col, "__cent_vec", "__v_norm", "__cent_norm")
+    argmax = F.expr(
+        "aggregate("
+        f"  transform(__cents, c -> struct({dot} / (__v_norm * c.cnorm) AS sim,"
+        "                                  c.cid AS cid)),"
+        "  struct(cast('-Infinity' AS DOUBLE) AS sim, cast(NULL AS BIGINT) AS cid),"
+        "  (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END"
+        ").cid"
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cent_id"))
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(*vectors.columns, F.col("__cent_id").alias(cell_col))
+        vectors.withColumn("__v_norm", norm(vec_col))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(*vectors.columns, argmax.alias(cell_col))
     )
 
 
