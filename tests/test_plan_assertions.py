@@ -144,3 +144,21 @@ def test_moving_avg_one_window_one_exchange(spark):
     assert plan.count("Exchange (") == 1, plan
     assert plan.count("Window (") == 1, plan
     assert plan.count("Sort (") == 1, plan
+
+
+def test_ivf_assign_cells_shuffle_free(spark):
+    """sim4's cell assignment: the per-row argmax fold must add NO
+    exchange beyond the single-row centroid-array broadcast — the corpus
+    is never shuffled or sorted to pick its cell."""
+    from com_danliris_service_etl_spark.operators.similarity import ivf_assign_cells
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.filter(emb.vec_id < 8)
+    plan = _plan(ivf_assign_cells(emb, cent))
+    assert "Sort (" not in plan, plan
+    assert "Window (" not in plan, plan
+    # the only shuffle exchange feeds the single-row centroid-array
+    # aggregate, not the corpus (the broadcast of that row is counted
+    # separately: "BroadcastExchange (" also contains "Exchange (")
+    n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert n_shuffles <= 1, plan
