@@ -50,6 +50,7 @@ _PRIORITY = [
     "a6_stats_profile",
     "u3_intersect_except",
     "sk1_sketch_accuracy",
+    "s11_scd2_history",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -98,6 +99,7 @@ _RECORD_LAST = [
     "e2_explode_roundtrip",     # r1 green; e3/e5 recorded + shipment goldens
     "a4_surrogate_key",         # r1 green; ordinal property-pinned in tests
     "d1_d3_d4_date_arithmetic", # r1 green; date family recorded via d2/d5-d7
+    "txt2_quality_score",       # r1 green; scoring re-pinned inside llm1
 ]
 
 

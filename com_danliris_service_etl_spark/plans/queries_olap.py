@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from com_danliris_service_etl_spark.plans.registry import _t, register
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
 
 # ---------------------------------------------------------------------------
 # Grouping sets / ROLLUP
@@ -268,4 +268,47 @@ def sk1_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.abs(F.col("n_hll") - F.col("n_exact")) <= tol_n).alias("hll_ok"),
         (F.abs(F.col("p50_tdig") - F.col("p50_exact")) <= tol_p).alias("p50_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension history (SCD Type 2, bulk form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s11_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(ts)) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    starts AS (
+      SELECT user_id, event_type, ts_us, event_id FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)
+    SELECT user_id, event_type, ts_us AS valid_from,
+           lead(ts_us) OVER w2 AS valid_to,
+           (lead(ts_us) OVER w2 IS NULL) AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def s11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 bulk backfill (`operators/scd.py::scd2_from_changelog`):
+    the full versioned history of each user's event_type rebuilt from the
+    changelog in one pass — change points via lag, validity intervals via
+    lead, both windows sharing a single (user_id, time) shuffle+sort.
+    The incremental sibling `scd2_apply` (close-and-open per batch) and
+    `point_in_time_lookup` are pinned by tests/test_scd.py; this query
+    pins the set-based form against the oracle. The reference overwrites
+    dimensions in place (Type 1, `Pembelian/run.js` nightly re-MERGE) —
+    history is an engine extension its warehouse cannot answer."""
+    from com_danliris_service_etl_spark.operators.scd import scd2_from_changelog
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    return scd2_from_changelog(
+        ev, keys=["user_id"], tracked=["event_type"], ts_col="ts_us",
+        tiebreak=["event_id"],
     )
