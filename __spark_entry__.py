@@ -51,6 +51,7 @@ _PRIORITY = [
     "u3_intersect_except",
     "sk1_sketch_accuracy",
     "s11_scd2_history",
+    "j10_range_join",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -100,6 +101,7 @@ _RECORD_LAST = [
     "a4_surrogate_key",         # r1 green; ordinal property-pinned in tests
     "d1_d3_d4_date_arithmetic", # r1 green; date family recorded via d2/d5-d7
     "txt2_quality_score",       # r1 green; scoring re-pinned inside llm1
+    "txt3_langid",              # r1 green; langid re-pinned inside llm1
 ]
 
 

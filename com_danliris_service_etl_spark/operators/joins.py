@@ -310,3 +310,60 @@ def latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    equi_keys: Sequence[tuple[str, str]] = (),
+    bin_width: int = 1,
+) -> DataFrame:
+    """Interval join — each point row pairs with every interval row whose
+    (lo, hi] contains it — WITHOUT the naive theta-join's all-pairs scan.
+
+    Spark has no native range join, and expressing this as
+    `join(cond=(pt > lo) & (pt <= hi))` plans BroadcastNestedLoopJoin /
+    cartesian: O(|points|·|intervals|) compares. The standard fix is BIN
+    BUCKETING: both sides map to fixed-width bins of the point domain —
+    a point to the single bin it falls in, an interval to every bin it
+    overlaps (`sequence(floor(lo/w), floor(hi/w))` exploded) — and the
+    join becomes an EQUI-join on (equi_keys…, bin) with the interval
+    predicate left as a residual filter. Each matching pair meets in
+    EXACTLY one bin (the point's own), so no dedup pass is needed.
+
+    Cost: the interval side replicates ceil(len/w)+1× — choose
+    ``bin_width`` ≈ the typical interval length so replication is ~2×.
+    The shuffle is an ordinary hash exchange on (keys, bin): AQE splits
+    hot bins, and both sides prune columns before the explode. Degenerate
+    inputs (one interval spanning the whole domain) replicate that
+    interval |domain|/w times — bounded by interval length, never by
+    |points|·|intervals|.
+
+    ``equi_keys`` maps point-side column → interval-side column; interval
+    semantics are (lo, hi] (exclusive start — a point ON the boundary
+    belongs to the earlier interval's end, matching session semantics).
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width))
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    cond = p["__bin"] == iv["__bin"]
+    for pk, ik in equi_keys:
+        cond = cond & (p[pk] == iv[ik])
+    residual = (p[point_col] > iv[lo_col]) & (p[point_col] <= iv[hi_col])
+    return (
+        p.join(iv, cond & residual, "inner")
+        .drop(p["__bin"])
+        .drop(iv["__bin"])
+    )

@@ -312,3 +312,56 @@ def s11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id"], tracked=["event_type"], ts_col="ts_us",
         tiebreak=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_range_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           count(*)::BIGINT AS n_follow,
+           min(epoch_us(v.ts) - epoch_us(p.ts)) AS first_follow_us
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type IN ('view', 'click')
+     AND epoch_us(v.ts) >  epoch_us(p.ts)
+     AND epoch_us(v.ts) <= epoch_us(p.ts) + 1800000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-purchase attribution window: view/click events within 30 min
+    AFTER each purchase by the same user, via the binned
+    `operators/joins.py::range_join` — an equi-join on (user, 30-min
+    bin) with the interval predicate residual, never the
+    BroadcastNestedLoopJoin a raw BETWEEN condition would plan. Bin
+    width == window length, so each purchase interval replicates at most
+    2x. Purchases with no follow-up events drop out (inner semantics),
+    mirrored by the oracle's plain JOIN."""
+    from com_danliris_service_etl_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    win_us = 30 * 60 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("lo_us"),
+        (F.col("ts_us") + win_us).alias("hi_us"),
+    )
+    follows = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts_us"
+    )
+    joined = range_join(
+        follows, purchases, "ts_us", "lo_us", "hi_us",
+        equi_keys=[("user_id", "p_user")], bin_width=win_us,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.min(F.col("ts_us") - F.col("lo_us")).alias("first_follow_us"),
+    )

@@ -497,3 +497,34 @@ def test_surrogate_key_distributed_equals_global(spark):
         for r in surrogate_key_distributed(li, order, "sk", num_partitions=7).collect()
     }
     assert got == want
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    """The binned range join must produce exactly the naive interval
+    theta-join's pairs, for bin widths smaller, equal, and larger than
+    the interval length (replication-path and single-bin-path both)."""
+    from com_danliris_service_etl_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(u, t) for u in (1, 2) for t in range(0, 100, 7)], "u long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 40), (2, 33, 34), (2, 90, 200), (1, 200, 300)],
+        "iu long, lo long, hi long",
+    )
+    naive = {
+        (r.u, r.t, r.lo)
+        for r in pts.join(
+            ivs,
+            (pts.u == ivs.iu) & (pts.t > ivs.lo) & (pts.t <= ivs.hi),
+        ).collect()
+    }
+    assert naive  # the fixture must actually exercise matches
+    for w in (3, 10, 64):
+        got = {
+            (r.u, r.t, r.lo)
+            for r in range_join(
+                pts, ivs, "t", "lo", "hi", equi_keys=[("u", "iu")], bin_width=w
+            ).collect()
+        }
+        assert got == naive, f"bin_width={w}"
