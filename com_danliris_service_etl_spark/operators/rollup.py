@@ -1,0 +1,88 @@
+"""Hypertable-style continuous aggregates: time-bucketed rollups
+maintained INCREMENTALLY.
+
+A 100 TB event stream is queried through its rollups (events per hour per
+type, revenue per day, …), and recomputing them from raw history every
+night is the thing that doesn't scale — the nightly batch touches a
+handful of recent buckets, so only those should be recomputed. This is
+TimescaleDB's continuous-aggregate / materialized-view-maintenance idea
+expressed as a pure Spark transform over MERGEABLE partial aggregates:
+the stored state keeps (count, sum, min, max) per bucket, which combine
+associatively, so "merge a new batch in" is a tiny aggregation of the
+batch plus a full-outer combine on the bucket key — never a scan of raw
+history. (avg is derived sum/count at read time; percentile-style
+rollups would store a mergeable sketch the same way — see
+sk1_sketch_accuracy.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_aggregate(
+    events: DataFrame,
+    ts_col: str,
+    bucket_us: int,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """One rollup grain over a batch: (time bucket, group…) → mergeable
+    partials. A single map-side-combinable shuffle on (bucket, groups)."""
+    bucket = (F.floor(F.col(ts_col) / F.lit(bucket_us)) * bucket_us).alias(
+        "bucket_us"
+    )
+    return events.groupBy(bucket, *group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_rollup(existing: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Combine two rollup states (both in `bucket_aggregate` shape) into
+    one. Because every stored aggregate is mergeable, the combine is a
+    null-safe full-outer join on the bucket/group key with element-wise
+    (sum, sum, min, max) — cost O(|touched buckets|), independent of raw
+    history size. With the state stored partitioned/bucketed on the key,
+    the join co-locates and the nightly maintenance never shuffles the
+    existing state. Identical input order or batch split produces an
+    identical state (associative + commutative), pinned by
+    `test_incremental_rollup_equals_full_recompute`."""
+    key_list = list(keys)
+    d = delta
+    for c in [*key_list, "n", "sum_v", "min_v", "max_v"]:
+        d = d.withColumnRenamed(c, f"__d_{c}")
+    cond = None
+    for k in key_list:
+        eq = F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = existing.join(d, cond, "full_outer")
+
+    def pick_key(k: str) -> F.Column:
+        return F.coalesce(F.col(k), F.col(f"__d_{k}")).alias(k)
+
+    def merge_min(c: str) -> F.Column:
+        return F.least(F.col(c), F.col(f"__d_{c}"))
+
+    def merge_max(c: str) -> F.Column:
+        return F.greatest(F.col(c), F.col(f"__d_{c}"))
+
+    return j.select(
+        *[pick_key(k) for k in key_list],
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__d_n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("sum_v"), F.lit(0.0))
+            + F.coalesce(F.col("__d_sum_v"), F.lit(0.0))
+        ).alias("sum_v"),
+        # Spark's least/greatest SKIP nulls (return the non-null extreme),
+        # which is exactly what a bucket present on only one side needs.
+        merge_min("min_v").alias("min_v"),
+        merge_max("max_v").alias("max_v"),
+    )

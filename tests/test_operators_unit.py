@@ -528,3 +528,43 @@ def test_range_join_matches_naive_theta_join(spark):
             ).collect()
         }
         assert got == naive, f"bin_width={w}"
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """Continuous-aggregate contract: folding the event stream in as two
+    batches through merge_rollup produces exactly the single-pass rollup
+    of the full stream — count/sum/min/max all mergeable, and buckets
+    seen by only one batch survive the merge."""
+    from com_danliris_service_etl_spark.operators.rollup import (
+        bucket_aggregate,
+        merge_rollup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("event_id", "ts_us", "event_type", "value")
+    )
+    hour_us = 3600 * 1_000_000
+    keys = ["bucket_us", "event_type"]
+
+    full = bucket_aggregate(ev, "ts_us", hour_us, ["event_type"], "value")
+    b1 = bucket_aggregate(
+        ev.filter(F.col("event_id") % 2 == 0), "ts_us", hour_us, ["event_type"], "value"
+    )
+    b2 = bucket_aggregate(
+        ev.filter(F.col("event_id") % 2 == 1), "ts_us", hour_us, ["event_type"], "value"
+    )
+    merged = merge_rollup(b1, b2, keys)
+
+    def canon(df):
+        return {
+            (r.bucket_us, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+            for r in df.collect()
+        }
+
+    assert canon(merged) == canon(full)
+    # merging an empty delta is the identity
+    empty = b2.filter(F.lit(False))
+    assert canon(merge_rollup(full, empty, keys)) == canon(full)
