@@ -1,13 +1,16 @@
-"""Multidimensional OLAP extensions beyond the reference's flat GROUP BYs:
-ROLLUP subtotals, a pivoted crosstab, and sliding window-frame aggregates.
+"""OLAP / warehouse extensions beyond the reference's flat GROUP BYs:
+ROLLUP subtotals, a crosstab, window frames, statistical profiles,
+INTERSECT/EXCEPT, verified sketches, SCD Type-2 history, and a binned
+range join.
 
 The reference aggregates only at a single grain per query (e.g.
-`Pembelian/run.js:165` groups once and loads one fact table per grain);
-an analytics engine serving the same warehouse should produce the
-subtotal/crosstab shapes downstream BI derives from those facts in one
-pass. All three run as single-shuffle Catalyst plans (Expand for rollup,
-pivot-on-known-values for the crosstab, one window for the moving
-aggregate) and each pairs with an exact DuckDB oracle.
+`Pembelian/run.js:165` groups once and loads one fact table per grain)
+and overwrites dimensions in place; an analytics engine serving the same
+warehouse should answer the subtotal/crosstab/history shapes downstream
+BI derives from those facts — in one pass each. Every query here pairs
+with an exact DuckDB oracle, and the plan shapes (single Expand+shuffle
+rollup, single-aggregate crosstab, shared-sort windows) are pinned by
+tests/test_plan_assertions.py.
 """
 
 from __future__ import annotations
