@@ -52,6 +52,7 @@ _PRIORITY = [
     "sk1_sketch_accuracy",
     "s11_scd2_history",
     "j10_range_join",
+    "llm5_decontamination",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -102,6 +103,8 @@ _RECORD_LAST = [
     "d1_d3_d4_date_arithmetic", # r1 green; date family recorded via d2/d5-d7
     "txt2_quality_score",       # r1 green; scoring re-pinned inside llm1
     "txt3_langid",              # r1 green; langid re-pinned inside llm1
+    "mm1_binary_metadata",      # r1 green; trivial sha2/octet_length scan,
+                                # mm2/mm3 carry the multimodal evidence
 ]
 
 

@@ -404,3 +404,50 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its
+    DISTINCT word k-shingles that appear anywhere in the benchmark
+    (eval-set) corpus — the standard pre-training hygiene check that a
+    training corpus doesn't contain the test set.
+
+    Scale shape: the benchmark's distinct shingles collapse to ONE
+    sorted-array row and broadcast (eval sets are tiny against a 100 TB
+    corpus — MMLU-sized benchmarks are a few MB of shingles), and each
+    corpus row scores itself with `array_intersect` against that array:
+    ZERO shuffle of the corpus, the whole check pipelined into the scan.
+    A benchmark too large to broadcast would fall back to the exploded
+    shingle semi-join (one corpus shuffle). Documents with fewer than k
+    tokens drop out (no shingles — mirrored in the oracle). The score is
+    a double division of two exact ints, bit-identical across engines."""
+    idx_terms = ", ".join(f"t[i+{j}]" for j in range(k))
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(t)-{k}),"
+        f" i -> concat_ws(' ', {idx_terms})))"
+    )
+    bench_arr = (
+        _shingles(benchmark, text_col, id_col, k)
+        .select("s")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("s")).alias("__bench"))
+    )
+    toks = (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= k)
+        .select(id_col, sh_arr.alias("__sh"))
+    )
+    n_sh = F.size("__sh").cast("long")
+    n_hit = F.size(F.array_intersect(F.col("__sh"), F.col("__bench"))).cast("long")
+    return toks.crossJoin(F.broadcast(bench_arr)).select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_hit.alias("n_hit"),
+        (n_hit.cast("double") / n_sh.cast("double")).alias("contamination"),
+    )

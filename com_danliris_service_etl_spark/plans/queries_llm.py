@@ -548,3 +548,44 @@ def llm3_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.sampling import quota_per_group
 
     return quota_per_group(_t(spark, sf_dir, "documents"), cap=50)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _decontamination_sql(k: int = 3, bench_max_id: int = 20) -> str:
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, {shingle} AS s
+           FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+           WHERE len(t) >= {k}),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {bench_max_id}),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= {bench_max_id}),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY doc_id),
+    hit AS (SELECT c.doc_id, count(*)::BIGINT AS n_hit
+            FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           coalesce(h.n_hit, 0)::DOUBLE / t.n_shingles::DOUBLE AS contamination
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+    """
+
+
+@register("llm5_decontamination", _decontamination_sql())
+def llm5_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus hygiene: per-document fraction of distinct
+    3-shingles that appear in a held-out benchmark set (docs 0..19 stand
+    in for the eval set). The corpus side is scored per-row against the
+    broadcast benchmark shingle array
+    (`operators/dedup.py::contamination_scores`) — zero corpus shuffle;
+    the oracle computes the same overlap via an exploded semi-join. The
+    downstream decontamination filter is `contamination < threshold`."""
+    from com_danliris_service_etl_spark.operators.dedup import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return contamination_scores(corpus, bench)
