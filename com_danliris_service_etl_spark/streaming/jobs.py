@@ -185,3 +185,64 @@ def run_incremental_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    bucket_us: int = 3600 * 1_000_000,
+) -> None:
+    """Continuous aggregate maintained BY the stream: each micro-batch
+    folds its mergeable partials into the stored rollup state via
+    `foreachBatch(merge_rollup)` — the Structured-Streaming form of the
+    hypertable rollup (`operators/rollup.py`). Per batch the work is one
+    map-side-combinable aggregation of the batch plus an
+    O(touched-buckets) combine with the state; raw history is never
+    rescanned. The checkpoint makes delivery exactly-once per batch; the
+    combine itself is NOT idempotent (counts would double), which is
+    exactly why the checkpoint, not the operator, carries the
+    redelivery guarantee — same division of labor as a Kafka offset
+    commit. Read-side consumers see (bucket, group) → count/sum/min/max
+    and derive avg at query time."""
+    import os
+
+    from com_danliris_service_etl_spark.operators.rollup import (
+        bucket_aggregate,
+        merge_rollup,
+    )
+
+    ev = streaming_events(spark, sf_dir).select(
+        "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        sess = batch_df.sparkSession
+        delta = bucket_aggregate(batch_df, "ts_us", bucket_us, ["event_type"], "value")
+        if not os.path.exists(state_path):
+            delta.write.mode("overwrite").parquet(state_path)
+            return
+        state = sess.read.parquet(state_path)
+        merged = merge_rollup(state, delta, ["bucket_us", "event_type"])
+        # the merged plan READS state_path, so it lands in a temp dir and
+        # swaps in with a recovery copy (same protocol as merge_upsert /
+        # compact_small_files) — never overwrite a path being read.
+        tmp = state_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        backup = state_path + ".old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.replace(state_path, backup)
+        os.replace(tmp, state_path)
+        shutil.rmtree(backup)
+
+    q = (
+        ev.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from com_danliris_service_etl_spark.plans.registry import load_all
 from com_danliris_service_etl_spark.streaming.jobs import run_streaming_windowed_counts
 from tests.conftest import SF_DIR, assert_frames_match
@@ -41,3 +43,34 @@ def test_incremental_merge_idempotent(spark, tmp_path):
     # Re-deliver everything with a NEW checkpoint: MERGE keeps keys unique.
     run_incremental_merge(spark, SF_DIR, target, str(tmp_path / "cp2"))
     assert spark.read.parquet(target).count() == n_events
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The stream-maintained continuous aggregate must equal the one-pass
+    batch rollup of the same events once the stream drains."""
+    from com_danliris_service_etl_spark.operators.rollup import bucket_aggregate
+    from com_danliris_service_etl_spark.streaming.jobs import run_streaming_rollup
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "rollup_state")
+    run_streaming_rollup(
+        spark, sf, state, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .select("event_type", "value", "ts_us")
+    )
+    want = {
+        (r.bucket_us, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in bucket_aggregate(
+            ev, "ts_us", 3600 * 1_000_000, ["event_type"], "value"
+        ).collect()
+    }
+    got = {
+        (r.bucket_us, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == want
