@@ -53,6 +53,7 @@ _PRIORITY = [
     "s11_scd2_history",
     "j10_range_join",
     "llm5_decontamination",
+    "txt5_tfidf_top_terms",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -105,6 +106,8 @@ _RECORD_LAST = [
     "txt3_langid",              # r1 green; langid re-pinned inside llm1
     "mm1_binary_metadata",      # r1 green; trivial sha2/octet_length scan,
                                 # mm2/mm3 carry the multimodal evidence
+    "sim1_cosine_topk",         # r1 green; exact baseline, ANN family
+                                # recorded via sim2/sim3/sim4
 ]
 
 

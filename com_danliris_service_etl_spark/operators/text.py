@@ -152,3 +152,49 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.when(guard, F.expr(f"array_min({wh})")).alias("rolling_min_hash"),
         F.when(guard, F.expr(f"size(array_distinct({wh}))")).alias("n_distinct_windows"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf · ln(N/df)) — the keyword/salience primitive behind corpus
+    exploration, topic labeling, and quality heuristics.
+
+    Scale shape: term frequencies are one (doc, term) shuffle with
+    map-side combine; document frequencies are one (term) shuffle whose
+    output is vocabulary-sized and BROADCAST back onto the tf rows (a
+    natural-language vocabulary is MBs even at corpus scale — were it
+    not, the join falls back to shuffle on the uniformly-distributed
+    term key); the corpus row count joins as a broadcast 1-row
+    aggregate, keeping the whole plan declarative (no driver-side
+    count() action). Ranking orders by the ROUNDED score so float-ulp
+    differences in ln() across engines cannot flip ranks, with the term
+    itself as the total-order tiebreak."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -589,3 +589,37 @@ def llm5_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") < 20)
     corpus = docs.filter(F.col("doc_id") >= 20)
     return contamination_scores(corpus, bench)
+
+
+@register(
+    "txt5_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, tfidf, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def txt5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document
+    (`operators/text.py::tfidf_top_terms`): tf and df each one
+    map-side-combinable shuffle, vocabulary-sized df table broadcast
+    back, ranks computed over the ROUNDED score so ln() ulp differences
+    can't flip cross-engine order."""
+    from com_danliris_service_etl_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
