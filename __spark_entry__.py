@@ -54,6 +54,7 @@ _PRIORITY = [
     "j10_range_join",
     "llm5_decontamination",
     "txt5_tfidf_top_terms",
+    "llm6_weighted_sample",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -108,6 +109,8 @@ _RECORD_LAST = [
                                 # mm2/mm3 carry the multimodal evidence
     "sim1_cosine_topk",         # r1 green; exact baseline, ANN family
                                 # recorded via sim2/sim3/sim4
+    "dd3_simhash",              # r1 green; dedup family recorded via
+                                # dd2/dd4/dd5 + llm5
 ]
 
 

@@ -67,3 +67,44 @@ def quota_per_group(
         .filter(F.col("__rk") <= cap)
         .select(id_col, *group_cols, F.col("__rk").alias("sample_rank"))
     )
+
+
+def weighted_sample_per_group(
+    docs: DataFrame,
+    weight_col: str,
+    group_cols: tuple[str, ...] = ("lang",),
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per group —
+    the corpus-mixing primitive (upweight high-quality or rare-domain
+    documents) — via A-ES exponential keys: each row draws u ∈ (0,1)
+    from its id hash and ranks by u^(1/w); the top-k per group is a
+    weighted sample without replacement (Efraimidis-Spirakis). Same
+    shape as `quota_per_group`: one shuffle on the group key, top-k via
+    window — and because u comes from the id hash, the sample is
+    reproducible across engines, partitionings, and reruns. The rank key
+    is ROUNDED (12dp) with the id as tiebreak so libm pow() ulp
+    differences across engines cannot flip ranks. Weights must be
+    positive; rows with w <= 0 are excluded (a zero-weight row is never
+    sampled)."""
+    from pyspark.sql import Window
+
+    # u in (0,1): first 8 md5 hex chars as uint32, +1 to avoid u=0
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("weight").cast("double")), 12)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__key").desc(), F.col(id_col)
+    )
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .select(id_col, *group_cols, F.col(weight_col).alias("weight"))
+        .withColumn("__key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, *group_cols, "weight", "sample_rank")
+    )

@@ -623,3 +623,36 @@ def txt5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm6_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars AS weight,
+             round(pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          ::DOUBLE + 1.0) / 4294967297.0,
+                       1.0 / n_chars::DOUBLE), 12) AS k
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, lang, weight,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+               AS sample_rank
+      FROM keyed)
+    SELECT doc_id, lang, weight, sample_rank
+    FROM ranked WHERE sample_rank <= 50
+    """,
+)
+def llm6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential keys, `operators/sampling.py::weighted_sample_per_group`)
+    — longer documents proportionally likelier, per-lang top-50,
+    reproducible from the id hash alone. Ranked on the rounded key with
+    id tiebreak so pow() ulp differences can't flip cross-engine order."""
+    from com_danliris_service_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    return weighted_sample_per_group(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars"
+    )

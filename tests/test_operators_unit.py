@@ -568,3 +568,22 @@ def test_incremental_rollup_equals_full_recompute(spark):
     # merging an empty delta is the identity
     empty = b2.filter(F.lit(False))
     assert canon(merge_rollup(full, empty, keys)) == canon(full)
+
+
+def test_weighted_sample_properties(spark):
+    """llm6 properties: the kept set is invariant to input partitioning,
+    caps respected per group, and the weighting actually biases the
+    sample — sampled docs average longer than the corpus."""
+    from com_danliris_service_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = weighted_sample_per_group(docs, "n_chars", k=20)
+    s2 = weighted_sample_per_group(docs.repartition(11), "n_chars", k=20)
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    sizes = s1.groupBy("lang").count().collect()
+    assert all(r["count"] <= 20 for r in sizes)
+    mean_sampled = s1.agg(F.avg("weight")).first()[0]
+    mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_sampled > mean_corpus
