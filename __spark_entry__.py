@@ -55,6 +55,7 @@ _PRIORITY = [
     "llm5_decontamination",
     "txt5_tfidf_top_terms",
     "llm6_weighted_sample",
+    "dd6_dedup_clusters",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -111,6 +112,8 @@ _RECORD_LAST = [
                                 # recorded via sim2/sim3/sim4
     "dd3_simhash",              # r1 green; dedup family recorded via
                                 # dd2/dd4/dd5 + llm5
+    "dd4_ngram_jaccard",        # r1 green; dedup family recorded via
+                                # dd2/dd5/dd6 + llm5
 ]
 
 

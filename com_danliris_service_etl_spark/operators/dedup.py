@@ -451,3 +451,68 @@ def contamination_scores(
         n_hit.alias("n_hit"),
         (n_hit.cast("double") / n_sh.cast("double")).alias("contamination"),
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup PAIR graph → (doc_id,
+    cluster_id = min id reachable): the step that turns candidate pairs
+    (dd2/dd4/dd5) into dedup clusters with one keeper each, which is
+    what a dedup pipeline actually deletes against.
+
+    Iterative min-label propagation (hash-to-min): every node starts
+    labeled with itself; each round takes the min of its own and all
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter ≤ O(log n) on near-dup clusters (they are dense —
+    near-clique — so typically 2-3 rounds). Each round is one join of
+    the edge list against current labels plus a min-aggregation — all
+    hash-partitioned on node id, no global structure. Lineage is
+    truncated every round with `localCheckpoint` (iterative DataFrame
+    joins otherwise stack plans until planning time explodes — the
+    standard Spark iterative-algorithm discipline). Convergence is a
+    driver-side count of changed labels: one tiny action per round, the
+    same deliberate control-plane collect as the watermark lookup.
+    Raises RuntimeError if max_iter rounds don't converge (a diameter
+    that large means the input is not a near-dup graph)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                (F.least(F.col("lbl"), F.col("nbr_lbl")) != F.col("lbl")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")

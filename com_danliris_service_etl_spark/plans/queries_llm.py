@@ -656,3 +656,42 @@ def llm6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         _t(spark, sf_dir, "documents"), weight_col="n_chars"
     )
+
+
+@register(
+    "dd6_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({minhash}) mh
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(lbl)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
+    """.format(minhash=_minhash_sql()),
+)
+def dd6_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: connected components over the
+    dd2 candidate graph via iterative min-label propagation
+    (`operators/dedup.py::dedup_clusters`); cluster_id = min doc id
+    reachable = the cluster's keeper. The oracle computes the same
+    components with a recursive transitive-closure CTE — feasible on the
+    oracle's pair counts, while the Spark side's per-round join +
+    min-aggregate is the 100 TB formulation. This is the registry's
+    iterative-algorithm representative: the loop runs driver-side with
+    one convergence count per round and localCheckpoint lineage
+    truncation."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    return dedup_clusters(minhash_lsh_pairs(_t(spark, sf_dir, "documents")))

@@ -587,3 +587,16 @@ def test_weighted_sample_properties(spark):
     mean_sampled = s1.agg(F.avg("weight")).first()[0]
     mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
     assert mean_sampled > mean_corpus
+
+
+def test_dedup_clusters_known_graph(spark):
+    """Connected components on a hand-built pair graph: two chains and an
+    isolated pair; labels converge to each component's min id."""
+    from com_danliris_service_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
