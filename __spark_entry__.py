@@ -56,6 +56,7 @@ _PRIORITY = [
     "txt5_tfidf_top_terms",
     "llm6_weighted_sample",
     "dd6_dedup_clusters",
+    "st4_session_window_native",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -114,6 +115,8 @@ _RECORD_LAST = [
                                 # dd2/dd4/dd5 + llm5
     "dd4_ngram_jaccard",        # r1 green; dedup family recorded via
                                 # dd2/dd5/dd6 + llm5
+    "j4_group_join",            # r1 green; nest/explode pinned by e-family
+                                # rows + shipment/packing goldens
 ]
 
 

@@ -112,3 +112,51 @@ def st3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("session_end_us"),
         )
     )
+
+
+@register(
+    "st4_session_window_native",
+    """
+    WITH gaps AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                       OR lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts_us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM gaps)
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def st4_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE `session_window` aggregation (the
+    operator a Structured Streaming job uses verbatim, vs st3's
+    lag+cumsum batch formulation): Spark merges per-user gap-windows
+    inside one aggregation — a single shuffle on the session-window
+    key — and defines session end = last event + gap, which the oracle
+    mirrors as max(ts)+30min over the same lag-derived sessions. Two
+    independent formulations of one semantics, both green, is the
+    strongest pin that the session boundaries are right."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts_utc"), "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
