@@ -57,6 +57,7 @@ _PRIORITY = [
     "llm6_weighted_sample",
     "dd6_dedup_clusters",
     "st4_session_window_native",
+    "q1_data_quality",
     # changed this round (fused minhash / LSH-bucket dd5 / widened txt1+txt4
     # / st3 oracle cast)
     "dd2_minhash_lsh",
@@ -117,6 +118,8 @@ _RECORD_LAST = [
                                 # dd2/dd5/dd6 + llm5
     "j4_group_join",            # r1 green; nest/explode pinned by e-family
                                 # rows + shipment/packing goldens
+    "e3_explode_3level",        # r1 green; 3-level flatten pinned by the
+                                # FabricQC golden + e5 recorded
 ]
 
 

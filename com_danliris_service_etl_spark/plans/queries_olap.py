@@ -368,3 +368,56 @@ def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_follow"),
         F.min(F.col("ts_us") - F.col("lo_us")).alias("first_follow_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_data_quality",
+    """
+    SELECT 'completeness(o_totalprice)' AS check,
+           (count(o_totalprice)::DOUBLE / count(*)::DOUBLE) AS metric,
+           (count(o_totalprice)::DOUBLE / count(*)::DOUBLE) >= 1.0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey)',
+           (count(*) - count(DISTINCT o_orderkey))::DOUBLE,
+           count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0.0,1000000.0)',
+           count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000)::DOUBLE,
+           count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'referential_integrity(o_custkey)',
+           count(*)::DOUBLE,
+           count(*) = 0
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q1_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish gate (`operators/quality.py`): completeness,
+    key uniqueness, value range, and orders→customer referential
+    integrity as one metrics report. Each scalar check is a single
+    two-phase aggregate over the scan; the FK check is a left-anti
+    probe against the distinct dimension keys. The reference loads
+    blindly (SURVEY §2.14 crash sites are uncontracted inputs) — this
+    is the check a nightly run reads before it MERGEs."""
+    from com_danliris_service_etl_spark.operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return Q.run_checks(
+        [
+            Q.completeness(orders, "o_totalprice"),
+            Q.uniqueness(orders, ["o_orderkey"]),
+            Q.in_range(orders, "o_totalprice", 0.0, 1_000_000.0),
+            Q.referential_integrity(orders, customer, "o_custkey", "c_custkey"),
+        ]
+    )

@@ -600,3 +600,42 @@ def test_dedup_clusters_known_graph(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_quality_checks_detect_violations(spark):
+    """Each constraint must actually fire: inject nulls, dupes,
+    out-of-range values, and a dangling FK, and read the report."""
+    from com_danliris_service_etl_spark.operators import quality as Q
+
+    child = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (2, 99, None), (3, None, 7.0)],
+        "id long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    report = {
+        r.check: (r.metric, r.passed)
+        for r in Q.run_checks(
+            [
+                Q.completeness(child, "v"),
+                Q.uniqueness(child, ["id"]),
+                Q.in_range(child, "v", 0.0, 100.0),
+                Q.referential_integrity(child, parent, "fk", "pk"),
+            ]
+        ).collect()
+    }
+    assert report["completeness(v)"] == (0.75, False)
+    assert report["uniqueness(id)"] == (1.0, False)          # id=2 twice
+    assert report["in_range(v,0.0,100.0)"] == (1.0, False)   # v=-1
+    assert report["referential_integrity(fk)"] == (1.0, False)  # fk=99
+    # NULL fk (id=3) is NOT a dangling reference — SQL FK semantics
+
+    clean = spark.createDataFrame([(1, 10, 5.0)], "id long, fk long, v double")
+    ok = Q.run_checks(
+        [
+            Q.completeness(clean, "v"),
+            Q.uniqueness(clean, ["id"]),
+            Q.in_range(clean, "v", 0.0, 100.0),
+            Q.referential_integrity(clean, parent, "fk", "pk"),
+        ]
+    ).collect()
+    assert all(r.passed for r in ok)
