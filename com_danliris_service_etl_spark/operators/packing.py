@@ -1,0 +1,105 @@
+"""Sequence packing and chunking operators for LLM training-data prep.
+
+Packing (concat-and-chunk): order documents within a stream, take a
+running token total, and assign each document to the fixed-size context
+window ("pack") its first token lands in — the standard way training
+examples are packed so no context-window capacity is wasted. One window
+function over (stream, order); at 100 TB the stream key (`lang` here)
+keeps every stream's cumulative sum independent, so the work
+parallelizes across streams instead of serializing through one global
+single-partition window. More streams (e.g. lang × shard) = more
+parallelism, with pack ids unique per stream.
+
+Chunking: RAG-style fixed-size token windows with overlap, generated as
+a per-row ``sequence()`` + ``explode`` — a narrow 1:N fanout pipelined
+straight into the parquet scan; no shuffle at any scale.
+
+Reference parity note: the reference ETL (danliris/com-danliris-service-etl)
+has no packing/chunking — these extend the engine for training-data
+pipelines per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_assignments(
+    docs: DataFrame,
+    budget: int = 256,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document pack assignment: cumulative whitespace-token count
+    within the stream, then ``pack_id = floor(tokens_before / budget)``.
+
+    A document straddling a pack boundary is attributed to the pack its
+    first token lands in (concat-and-chunk semantics: the tokenizer-side
+    writer later splits the byte stream exactly at budget boundaries; the
+    assignment here decides ordering and locality)."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    prev = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(F.col(stream_col), F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(prev), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("tokens_before") / F.lit(float(budget))).cast("long")
+        )
+    )
+
+
+def pack_summary(assignments: DataFrame, budget: int = 256, stream_col: str = "lang") -> DataFrame:
+    """Aggregate pack manifest: docs per pack, token total, doc-id span,
+    fill ratio vs the budget. Map-side-combinable single shuffle on
+    (stream, pack_id) — the same key the window stage already
+    partitioned by, so AQE coalesces rather than re-shuffles."""
+    return assignments.groupBy(stream_col, "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size chunks (RAG indexing shape): one chunk per
+    ``stride`` tokens, each ``window`` tokens long (shorter at the tail).
+
+    Pure per-row fanout — ``sequence(0, n-1, stride)`` exploded, then an
+    array ``slice`` per start. No shuffle; at 100 TB this pipelines into
+    the scan and the output is written partition-local. The chunk text is
+    emitted as an md5 so downstream exact-dedup of chunks is a plain
+    digest groupBy (and the driver's canonicalizer never sees arrays)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, window)
+    return chunked.select(
+        F.col(id_col),
+        F.floor(F.col("_start") / F.lit(float(stride))).cast("long").alias("chunk_idx"),
+        F.size(piece).alias("chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

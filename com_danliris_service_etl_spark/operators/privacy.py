@@ -1,0 +1,56 @@
+"""Privacy operators: pseudonymization, generalization, k-anonymity audit.
+
+The reference ETL copies person-identifying columns (buyer names, staff
+names) verbatim into warehouse facts (e.g. DimBuyer loads in
+danliris/com-danliris-service-etl; `Pembelian/run.js` carries buyer.name
+through to the fact). A modern pipeline must be able to do the opposite —
+ship the same facts with direct identifiers pseudonymized and
+quasi-identifiers generalized. All narrow per-row expressions plus one
+window; scales as a single shuffle on the quasi-identifier key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pseudonymize_k_anon(
+    df: DataFrame,
+    key_col: str,
+    hash_cols: Sequence[str],
+    band_col: str,
+    band_width: float,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hash direct identifiers (md5 — deterministic so joins across
+    pseudonymized tables still work), generalize the numeric column into
+    ``band_width``-sized bands, count each quasi-identifier group's size
+    with one window, and suppress the sensitive value (to ``'*'``) in
+    groups smaller than ``k``.
+
+    Plan shape: one shuffle, on (band, *quasi_cols) — the window and the
+    suppression reuse the same partitioning. At 100 TB the quasi groups
+    are the natural partition key and skew is bounded by band_width."""
+    band = (F.floor(F.col(band_col) / F.lit(float(band_width))).cast("long") * int(band_width)).alias(
+        f"{band_col}_band"
+    )
+    w = Window.partitionBy(f"{band_col}_band", *quasi_cols)
+    out = df.select(
+        F.col(key_col),
+        *[F.md5(F.col(c).cast("string")).alias(f"{c}_pseudo") for c in hash_cols],
+        band,
+        *[F.col(c) for c in quasi_cols],
+        F.col(sensitive_col),
+    )
+    return (
+        out.withColumn("k_anon", F.count("*").over(w))
+        .withColumn(
+            sensitive_col,
+            F.when(F.col("k_anon") < k, F.lit("*")).otherwise(F.col(sensitive_col)),
+        )
+    )

@@ -198,3 +198,84 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition features: top-token fraction, duplicate
+    unigram fraction, duplicate bigram fraction, and a composite
+    ``is_repetitive`` flag — the quality rules used to drop boilerplate
+    and degenerate (looping) documents from a training corpus.
+
+    The distinct-token and bigram ratios are pure per-row array
+    expressions (codegen, no shuffle). The top-token count is computed
+    relationally — explode → (doc, token) count → per-doc max — i.e. one
+    map-side-combinable shuffle keyed on (doc_id, token); the
+    expression-only alternative (count each distinct token with a
+    filter() scan) is O(distinct·n) per row, which a pathological
+    100 MB single-token document would turn quadratic."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+            f" i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_row = docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("_n_distinct"),
+        F.size(bigrams).alias("_n_bi"),
+        F.size(F.array_distinct(bigrams)).alias("_n_bi_distinct"),
+    )
+    top = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy(id_col)
+        .agg(F.max("tf").alias("_top_tf"))
+    )
+    out = per_row.join(top, id_col)
+    top_frac = F.round(F.col("_top_tf") / F.col("n_tokens"), 6)
+    dup_uni = F.round(1.0 - F.col("_n_distinct") / F.col("n_tokens"), 6)
+    dup_bi = F.when(F.col("_n_bi") > 0, F.round(1.0 - F.col("_n_bi_distinct") / F.col("_n_bi"), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        id_col,
+        F.col("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup_uni.alias("dup_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        ((top_frac > 0.2) | (dup_bi > 0.9)).alias("is_repetitive"),
+    )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index dictionary build: per term — document frequency,
+    collection frequency, and an order-canonical digest of the postings
+    list ``doc:tf,doc:tf,…`` (sorted by doc id).
+
+    Scale shape: one (doc, term) shuffle with map-side combine for tf,
+    then one (term) shuffle that materializes each term's postings. The
+    md5 digest stands in for writing the posting payload; a real index
+    writer would range-partition terms and spill long postings in
+    doc-id-sorted runs — the aggregation key and sort order here are
+    exactly those. Hot terms (stopwords) are the skew risk at 100 TB:
+    cap or stoplist them upstream, or salt the term key (operators/
+    skew.py) — the digest is order-canonical either way."""
+    toks = docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("doc"), F.col("tf")))),
+            lambda x: F.concat_ws(":", x["doc"].cast("string"), x["tf"].cast("string")),
+        ),
+        ",",
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("coll_freq"),
+        F.md5(postings).alias("postings_md5"),
+    )
