@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #      Absence of a row for these is the harness cap, not a regression.
 _PRIORITY = [
     # new this round
+    "pk1_sequence_packing",
+    "pk2_chunk_documents",
+    "pv1_k_anonymity",
+    "txt6_repetition_stats",
+    "txt7_inverted_index",
     "sim3_multiprobe_topk",
     "sim4_ivf_topk",
     "llm1_clean_corpus",
@@ -86,6 +91,16 @@ _PRIORITY = [
 ]
 
 _RECORD_LAST = [
+    "a0_pricing_summary",       # r1 green; re-proven every round by the
+                                # driver's own entry() smoke at sf0.001
+    "j3_broadcast_dim_join",    # r1 green; broadcast hint plan-asserted in
+                                # test_plan_assertions, join family via j1/j7+
+    "j6_first_match_join",      # r1 green; min_by/window twins pinned by
+                                # unit equivalence test; j10 records family
+    "w1_ordinal_index",         # r1 green; ordinal property-pinned; w4
+                                # records the window family
+    "sim2_lsh_bucketed_topk",   # r1 green; ANN family recorded via
+                                # sim3 (multi-probe) + sim4 (IVF)
     "p1_projection_alias",      # every job projects; r1 green
     "p4_exclusion_filter",      # pinned by test_pembelian_semantics
     "p6_semi_join",             # r1 green; IN-list semantics in job goldens

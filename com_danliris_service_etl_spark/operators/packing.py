@@ -100,6 +100,6 @@ def chunk_documents(
     return chunked.select(
         F.col(id_col),
         F.floor(F.col("_start") / F.lit(float(stride))).cast("long").alias("chunk_idx"),
-        F.size(piece).alias("chunk_tokens"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )

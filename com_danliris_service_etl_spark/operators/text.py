@@ -224,7 +224,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     ).otherwise(F.array().cast("array<string>"))
     per_row = docs.select(
         F.col(id_col),
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("_n_distinct"),
         F.size(bigrams).alias("_n_bi"),
         F.size(F.array_distinct(bigrams)).alias("_n_bi_distinct"),

@@ -44,10 +44,11 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         if table == "events":
-            # events.parquet carries INT64 TIMESTAMP(NANOS); Spark refuses
-            # it unless told to surface nanos as a plain long. Set the
-            # (runtime-settable) SQL conf here, in the query path, so ANY
-            # caller-provided session — not just session.py's — can read it.
+            # Older events.parquet generations carried INT64
+            # TIMESTAMP(NANOS), which Spark refuses unless told to surface
+            # nanos as a plain long. The conf is runtime-settable and a
+            # no-op for MICROS data, so set it unconditionally — ANY
+            # caller-provided session can then read either generation.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         _TABLE_CACHE[key] = df
@@ -56,13 +57,29 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` replaced by `ts_us` (epoch MICROS long) and `ts_utc`
-    (micros TimestampType) — the parquet column is TIMESTAMP(NANOS), which
-    Spark reads as a nanos long (session.py nanosAsLong) and DuckDB truncates
-    to a micros TIMESTAMP; epoch-micros is the representation both engines
-    agree on exactly (oracle side: ``epoch_us(ts)``)."""
+    (micros TimestampType) — epoch-micros is the representation Spark and
+    DuckDB agree on exactly (oracle side: ``epoch_us(ts)``), whatever the
+    parquet generation's physical type:
+
+    - TIMESTAMP(MICROS, adjusted=false) → Spark TIMESTAMP_NTZ: converted
+      with ``timestampdiff`` against an NTZ epoch literal, which is
+      session-timezone-independent (the driver's session tz is unknown);
+    - legacy TIMESTAMP(NANOS) → nanos long via nanosAsLong: ``div 1000``;
+    - TIMESTAMP(MICROS, adjusted=true) → Spark TIMESTAMP: ``unix_micros``.
+    """
     ev = _t(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        ts_us = F.expr("ts div 1000")
+    elif ts_type == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        )
+    else:
+        ts_us = F.unix_micros(F.col("ts"))
     return (
-        ev.withColumn("ts_us", F.expr("ts div 1000"))
+        ev.withColumn("ts_us", ts_us)
         .withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
         .drop("ts")
     )
@@ -75,6 +92,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_gaps,
         queries_llm,
         queries_olap,
+        queries_pipeline,
         queries_scalars,
         queries_streaming,
     )

@@ -44,9 +44,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp — read as raw nanos longs and convert explicitly
-        # (timestamp_micros(ns div 1000)) where event-time semantics matter.
+        # Older events.parquet generations carried TIMESTAMP(NANOS); Spark
+        # has no nanos timestamp, so read those as raw nanos longs. No-op
+        # for the current MICROS fixtures — plans/registry.py:_events
+        # adapts to whichever physical type it finds.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

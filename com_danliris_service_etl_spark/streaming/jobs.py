@@ -16,7 +16,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos long
+        # TIMESTAMP(MICROS, adjusted=false) — matches the current fixture
+        # generation; see plans/registry.py:_events for the legacy-NANOS note
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -26,8 +28,9 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture with event-time restored from the
-    nanos long (see session.py nanosAsLong note)."""
+    """readStream over the events fixture with event-time normalized to a
+    micros TimestampType (session-tz-independent NTZ→epoch conversion,
+    same expression as plans/registry.py:_events)."""
     # The file stream source requires a directory: stream the sf dir with a
     # glob filter selecting the events table.
     raw = (
@@ -35,7 +38,13 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts_us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        ),
+    ).withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -133,7 +142,7 @@ def run_streaming_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = streaming_events(spark, sf_dir).select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", "ts_us"
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
@@ -172,7 +181,7 @@ def run_incremental_merge(
     from com_danliris_service_etl_spark.sources.sinks import merge_upsert
 
     ev = streaming_events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+        "event_id", "user_id", "event_type", "value", "ts_us"
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -214,7 +223,7 @@ def run_streaming_rollup(
     )
 
     ev = streaming_events(spark, sf_dir).select(
-        "event_type", "value", F.expr("ts div 1000").alias("ts_us")
+        "event_type", "value", "ts_us"
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -540,11 +540,10 @@ def test_incremental_rollup_equals_full_recompute(spark):
         merge_rollup,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .select("event_id", "ts_us", "event_type", "value")
+    from com_danliris_service_etl_spark.plans.registry import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts_us", "event_type", "value"
     )
     hour_us = 3600 * 1_000_000
     keys = ["bucket_us", "event_type"]

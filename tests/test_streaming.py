@@ -57,12 +57,9 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         spark, sf, state, checkpoint_dir=str(tmp_path / "ckpt")
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf}/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .select("event_type", "value", "ts_us")
-    )
+    from com_danliris_service_etl_spark.plans.registry import _events
+
+    ev = _events(spark, sf).select("event_type", "value", "ts_us")
     want = {
         (r.bucket_us, r.event_type): (r.n, round(r.sum_v, 6), r.min_v, r.max_v)
         for r in bucket_aggregate(
