@@ -54,3 +54,42 @@ def pseudonymize_k_anon(
             F.when(F.col("k_anon") < k, F.lit("*")).otherwise(F.col(sensitive_col)),
         )
     )
+
+
+# Backslash-free patterns (Spark string literals process backslash escapes,
+# DuckDB's don't — see the verify-skill escaping gotcha): character classes
+# and [.] only, valid in both Java regex and RE2.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[+][0-9]{2} [0-9]{3}-[0-9]{7}"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII scrub pass: count and redact email addresses and international
+    phone numbers. Pure per-row Catalyst regex — no UDF, no shuffle; at
+    100 TB this pipelines into the scan and the redacted text streams
+    straight to the sink. Patterns are backslash-free so the same literal
+    means the same regex in Java (Spark) and RE2 (DuckDB oracle).
+
+    Output keeps the redacted text as an md5 digest (the driver's
+    canonicalizer hashes values; emitting megabytes of redacted text per
+    row would just slow the compare) plus the match counts and a flag —
+    the real pipeline would write the redacted text itself."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -309,3 +309,94 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# Int8 quantization: per-vector symmetric scale (max|x|/127). The fold
+# accumulates the quantized dot product in BIGINT — exact integer
+# arithmetic — so only the two de-scale multiplies are float ops, and the
+# whole score is bit-identical across engines and partitionings.
+_QUANT = (
+    "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) / {s}) AS BIGINT))"
+)
+_MAXABS = (
+    "aggregate(transform({v}, x -> abs(CAST(x AS DOUBLE))),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
+)
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _scale_sql(vec_col: str) -> str:
+    m = _MAXABS.format(v=vec_col)
+    return f"(CASE WHEN {m} = 0.0 THEN 1.0 ELSE {m} / 127.0 END)"
+
+
+def quantize_int8(vec_col: str):
+    """(scale, int8 codes) for a float vector: scale = max|x|/127 (1.0 for
+    an all-zero vector so the division is total), codes = round(x/scale).
+    4x memory vs float32, 8x vs the double intermediates — the reason a
+    100 TB corpus's ANN index fits a cluster's RAM at all."""
+    s = _scale_sql(vec_col)
+    return F.expr(s), F.expr(_QUANT.format(v=vec_col, s=s))
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by int8-quantized dot product, with the exact
+    double-precision dot product carried alongside so every row
+    self-reports its quantization error (`score_err`).
+
+    Plan shape mirrors the exact baseline (corpus streamed once, queries
+    broadcast, per-query top-k window) — quantization changes the
+    arithmetic, not the dataflow; on a real deployment the int8 codes are
+    precomputed and stored, shrinking the scan 4x."""
+    from pyspark.sql import Window
+
+    q_scale, q_codes = quantize_int8(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        q_scale.alias("q_scale"),
+        q_codes.alias("q_q"),
+    )
+    c_scale, c_codes = quantize_int8(vec_col)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        c_scale.alias("c_scale"),
+        c_codes.alias("c_q"),
+    )
+    qdot = F.expr(_QDOT.format(a="q_q", b="c_q"))
+    exact = F.expr(_DOT.format(a="q_vec", b="c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (qdot * F.col("q_scale") * F.col("c_scale")).alias("_qscore"),
+            exact.alias("_exact"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_qscore").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_qscore"), 6).alias("q_dot"),
+            F.round(F.col("_exact"), 6).alias("exact_dot"),
+            F.round(F.abs(F.col("_qscore") - F.col("_exact")), 6).alias("score_err"),
+            "rank",
+        )
+    )

@@ -279,3 +279,69 @@ def inverted_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.sum("tf").alias("coll_freq"),
         F.md5(postings).alias("postings_md5"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking for the corpus's own top-``n_terms``
+    collection-frequency terms (a self-contained relevance benchmark —
+    no external query set needed): per term, the top-``k`` documents by
+    BM25 score with Okapi parameters (k1, b) and the standard
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` idf.
+
+    Relational all the way down: one (doc, term) shuffle for tf, one
+    (term) shuffle for df, corpus stats (N, avgdl) as a 1-row broadcast
+    cross join, then a per-term top-k window. At 100 TB the tf/df
+    aggregations are map-side combinable and the term-partitioned window
+    is the per-partition-top-k shape; hot (stopword) terms are the skew
+    risk — the query-term set is tiny and broadcast, so only matching
+    postings survive the semi-join before the window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    doclen = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    top_terms = (
+        df_.orderBy(F.col("cf").desc(), F.col("term")).limit(n_terms)
+        .select("term", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("_score").desc(), F.col("doc"))
+    return (
+        tf.join(F.broadcast(top_terms), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "term", "doc", "tf", F.round(F.col("_score"), 4).alias("bm25"), "rank"
+        )
+    )
