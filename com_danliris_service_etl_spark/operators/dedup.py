@@ -36,9 +36,15 @@ def _spread(df: DataFrame) -> DataFrame:
     """Small corpora often arrive as one parquet file = one partition; the
     per-token/shingle hashing below is CPU-bound, so spread rows across the
     cluster first (one cheap shuffle of the compact doc rows buys full
-    parallelism for the expensive explode+hash stages). At 100 TB the input
-    already has thousands of partitions and AQE elides the extra exchange."""
+    parallelism for the expensive explode+hash stages). CONDITIONAL: a
+    well-partitioned input (≥ the cluster's parallelism) is passed through
+    untouched — an unconditional repartition(defaultParallelism) would
+    DOWN-partition a 100 TB input into a handful of giant partitions, the
+    opposite of its purpose. The partition count comes from the plan, not
+    a job."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
@@ -193,7 +199,7 @@ def minhash_lsh_pairs(
     pair_expr = (
         "flatten(transform(ms, (m, i) -> "
         "  transform(slice(ms, i + 2, size(ms)), n -> struct("
-        "    m.id AS doc_a, n.id AS doc_b,"
+        "    m.id AS doc_a, n.id AS doc_b, m.sig AS sig_a, n.sig AS sig_b,"
         "    aggregate(zip_with(m.sig, n.sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
         # CAST to DOUBLE: a bare float literal parses as DECIMAL, and a
         # decimal(17,6) column reaches pandas as object Decimals that
@@ -201,10 +207,25 @@ def minhash_lsh_pairs(
         f"              0, (acc, v) -> acc + v) / CAST({float(n_perms)} AS DOUBLE)"
         "    AS est_jaccard))))"
     )
+    # SHUFFLE-FREE dedup of cross-band repeats: a pair colliding in k>1
+    # bands is kept only in its FIRST colliding band — detectable locally
+    # because the full signatures ride along: band b collides iff the raw
+    # b-th signature slices are equal (≡ band_hash equality, sans md5
+    # collisions). This replaces a global `.distinct()` — a full extra
+    # shuffle of the pair set, which at near-dup-heavy corpora is the
+    # largest intermediate in the job. (With max_bucket truncation a pair
+    # evicted from its first band's bucket is dropped entirely — the cap
+    # is already documented as lossy for degenerate mega-clusters.)
+    rpb = n_perms // bands
+    first_band = (
+        "band_idx = 0 OR NOT exists(sequence(0, band_idx - 1),"
+        f" b -> slice(p.sig_a, b * {rpb} + 1, {rpb})"
+        f" == slice(p.sig_b, b * {rpb} + 1, {rpb}))"
+    )
     return (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        grouped.select("band_idx", F.explode(F.expr(pair_expr)).alias("p"))
+        .filter(F.expr(first_band))
         .select("p.doc_a", "p.doc_b", "p.est_jaccard")
-        .distinct()
     )
 
 
@@ -268,15 +289,24 @@ def incremental_minhash_lsh_pairs(
         "flatten(transform(ms, (m, i) -> "
         "  transform(slice(ms, i + 2, size(ms)), n -> struct("
         "    m.id AS doc_a, n.id AS doc_b, (m.is_new OR n.is_new) AS keep,"
+        "    m.sig AS sig_a, n.sig AS sig_b,"
         "    aggregate(zip_with(m.sig, n.sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
         f"              0, (acc, v) -> acc + v) / CAST({float(n_perms)} AS DOUBLE)"
         "    AS est_jaccard))))"
     )
+    # Same shuffle-free first-colliding-band dedup as minhash_lsh_pairs:
+    # cross-band repeats are filtered locally from the carried signatures
+    # instead of a global distinct over the pair set.
+    rpb = n_perms // bands
+    first_band = (
+        "band_idx = 0 OR NOT exists(sequence(0, band_idx - 1),"
+        f" b -> slice(p.sig_a, b * {rpb} + 1, {rpb})"
+        f" == slice(p.sig_b, b * {rpb} + 1, {rpb}))"
+    )
     return (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .filter(F.col("p.keep"))
+        grouped.select("band_idx", F.explode(F.expr(pair_expr)).alias("p"))
+        .filter(F.col("p.keep") & F.expr(first_band))
         .select("p.doc_a", "p.doc_b", "p.est_jaccard")
-        .distinct()
     )
 
 

@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 4
 
+# HONEST-LABELING CONTRACT: the decode/resize steps in this module are
+# deterministic byte-arithmetic STUBS (the image has no PIL/librosa/
+# ffmpeg). Any wiring of a real decoder MUST flip this flag — tests pin
+# both the flag and the stubs' exact byte arithmetic, so fake features
+# can never silently be mistaken for real decode output downstream.
+DECODE_IS_STUB = True
+
 FEATURES_SCHEMA = (
     "doc_id long, n_bytes long, features array<double>"
 )

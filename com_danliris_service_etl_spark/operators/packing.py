@@ -4,11 +4,14 @@ Packing (concat-and-chunk): order documents within a stream, take a
 running token total, and assign each document to the fixed-size context
 window ("pack") its first token lands in — the standard way training
 examples are packed so no context-window capacity is wasted. One window
-function over (stream, order); at 100 TB the stream key (`lang` here)
-keeps every stream's cumulative sum independent, so the work
-parallelizes across streams instead of serializing through one global
-single-partition window. More streams (e.g. lang × shard) = more
-parallelism, with pack ids unique per stream.
+function over (stream, order). The stream key is COMPOSITE by default:
+(`lang`, shard), with shard a deterministic md5 bucket of the doc id —
+`lang` alone gives only ~dozens of streams at 100 TB, i.e. a dozens-way
+parallelism ceiling and one giant window partition per language; the
+shard dimension multiplies the stream count so the cumulative windows
+spread across the cluster. Pack ids are unique per stream, and each
+stream's assignment depends only on its own members (pinned by
+`test_pack_sharding_preserves_per_stream_assignment`).
 
 Chunking: RAG-style fixed-size token windows with overlap, generated as
 a per-row ``sequence()`` + ``explode`` — a narrow 1:N fanout pipelined
@@ -25,6 +28,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+DEFAULT_PACK_SHARDS = 4
+
+
+def pack_shard(id_col: str, n_shards: int) -> F.Column:
+    """Deterministic stream shard in [0, n_shards): first 8 md5 hex chars
+    of the stringified id — same hash-bucket recipe as sampling.hash_split,
+    stable across engines (DuckDB mirror: ('0x' || substring(md5(id::
+    VARCHAR), 1, 8))::BIGINT % n_shards) and under append."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % n_shards).alias("shard")
+
+
 def pack_assignments(
     docs: DataFrame,
     budget: int = 256,
@@ -32,22 +47,34 @@ def pack_assignments(
     order_col: str = "doc_id",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int = DEFAULT_PACK_SHARDS,
 ) -> DataFrame:
     """Per-document pack assignment: cumulative whitespace-token count
-    within the stream, then ``pack_id = floor(tokens_before / budget)``.
+    within the (stream, shard) stream, then ``pack_id =
+    floor(tokens_before / budget)``.
 
     A document straddling a pack boundary is attributed to the pack its
     first token lands in (concat-and-chunk semantics: the tokenizer-side
     writer later splits the byte stream exactly at budget boundaries; the
-    assignment here decides ordering and locality)."""
+    assignment here decides ordering and locality).
+
+    ``n_shards`` multiplies the parallelism: the cumulative window
+    partitions on (stream_col, shard), so the stream count — and with it
+    the cluster-wide parallelism ceiling — scales with the shard count
+    instead of saturating at the number of languages. ``n_shards=1``
+    recovers the single-stream-per-language form (shard column constant
+    0)."""
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    shard = (
+        pack_shard(id_col, n_shards) if n_shards > 1 else F.lit(0).cast("long").alias("shard")
+    )
     prev = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(stream_col, "shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        docs.select(F.col(stream_col), F.col(id_col), n_tok.alias("n_tokens"))
+        docs.select(F.col(stream_col), shard, F.col(id_col), n_tok.alias("n_tokens"))
         .withColumn(
             "tokens_before",
             F.coalesce(F.sum("n_tokens").over(prev), F.lit(0).cast("long")),
@@ -61,9 +88,9 @@ def pack_assignments(
 def pack_summary(assignments: DataFrame, budget: int = 256, stream_col: str = "lang") -> DataFrame:
     """Aggregate pack manifest: docs per pack, token total, doc-id span,
     fill ratio vs the budget. Map-side-combinable single shuffle on
-    (stream, pack_id) — the same key the window stage already
+    (stream, shard, pack_id) — the same key the window stage already
     partitioned by, so AQE coalesces rather than re-shuffles."""
-    return assignments.groupBy(stream_col, "pack_id").agg(
+    return assignments.groupBy(stream_col, "shard", "pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),

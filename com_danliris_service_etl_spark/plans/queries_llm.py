@@ -251,10 +251,14 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(nprobe=1) top-5: corpus + queries coarse-quantized to their
     nearest of 16 deterministic centroids (first 16 vectors standing in for
     an offline-trained k-means codebook); candidates = the query's cell
-    only. Equi-join on the cell id — the inverted-file ANN scale path."""
+    only. Equi-join on the cell id — the inverted-file ANN scale path.
+    Queries are corpus rows, so the query_filter fast path assigns cells
+    in ONE pass over the materialized index."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < _IVF_CELLS)
-    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cent, k=5)
+    return sim.ivf_topk(
+        emb, None, cent, k=5, query_filter=F.col("vec_id") < 10
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -22,33 +22,42 @@ from com_danliris_service_etl_spark.plans.registry import _t, register
 # ---------------------------------------------------------------------------
 
 _PACK_BUDGET = 256
+_PACK_SHARDS = pk.DEFAULT_PACK_SHARDS
 
 
 @register(
     "pk1_sequence_packing",
     f"""
     WITH a AS (
-      SELECT lang, doc_id,
+      SELECT lang,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {_PACK_SHARDS} AS shard,
+             doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              COALESCE(CAST(sum(len(string_split(text, ' '))) OVER (
-                 PARTITION BY lang ORDER BY doc_id
+                 PARTITION BY lang,
+                   ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                     % {_PACK_SHARDS}
+                 ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
                0) AS tokens_before
       FROM documents),
-    b AS (SELECT lang, doc_id, n_tokens,
+    b AS (SELECT lang, shard, doc_id, n_tokens,
                  CAST(floor(tokens_before / {float(_PACK_BUDGET)}) AS BIGINT) AS pack_id
           FROM a)
-    SELECT lang, pack_id, count(*) AS n_docs,
+    SELECT lang, shard, pack_id, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc,
            round(CAST(sum(n_tokens) AS DOUBLE) / {float(_PACK_BUDGET)}, 6) AS fill_ratio
-    FROM b GROUP BY lang, pack_id
+    FROM b GROUP BY lang, shard, pack_id
     """,
 )
 def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk pack manifest: cumulative token count per language
-    stream → fixed-budget pack assignment → per-pack summary. One window
-    + one same-key aggregation; streams parallelize independently."""
+    """Concat-and-chunk pack manifest: cumulative token count per
+    (language, md5-shard) stream → fixed-budget pack assignment →
+    per-pack summary. One window + one same-key aggregation; the
+    composite stream key keeps parallelism proportional to shard count
+    instead of capping at the number of languages."""
     docs = _t(spark, sf_dir, "documents")
     return pk.pack_summary(pk.pack_assignments(docs, budget=_PACK_BUDGET), budget=_PACK_BUDGET)
 

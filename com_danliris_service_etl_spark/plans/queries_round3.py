@@ -1,0 +1,306 @@
+"""Round-3 registrations: oracle-checked queries for the operators that
+were implemented earlier but had no driver-visible correctness row —
+BM25 ranking, int8-quantized top-k, incremental LSH dedup, PII
+redaction, incremental rollup maintenance, and the binary resize
+transform.
+
+Oracle SQL is kept expression-for-expression identical to the Spark plan
+(same hash inputs, same fold order, same rounding), per the repo-wide
+cross-engine determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators import dedup as dd
+from com_danliris_service_etl_spark.operators import multimodal as mm
+from com_danliris_service_etl_spark.operators import privacy as pv
+from com_danliris_service_etl_spark.operators import rollup as rl
+from com_danliris_service_etl_spark.operators import similarity as sim
+from com_danliris_service_etl_spark.operators import text as tx
+from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# txt8: BM25 ranking (operators/text.py::bm25_topk)
+# ---------------------------------------------------------------------------
+
+_BM25_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc, term),
+    dfq AS (SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term),
+    doclen AS (SELECT doc_id AS doc,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM doclen),
+    top_terms AS (SELECT term, df FROM dfq ORDER BY cf DESC, term LIMIT 3),
+    scored AS (
+      SELECT tf.term, tf.doc, tf.tf,
+             round(ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                   * ((tf.tf * 2.2)
+                      / (tf.tf + 1.2 * (0.25 + (0.75 * d.dl)
+                                               / (s.sum_dl / s.n_docs)))),
+                   4) AS bm25
+      FROM tf JOIN top_terms t USING (term)
+              JOIN doclen d ON tf.doc = d.doc
+              CROSS JOIN stats s)
+    SELECT term, doc, tf, bm25, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY bm25 DESC, doc) AS rank
+      FROM scored)
+    WHERE rank <= 10
+"""
+
+
+@register("txt8_bm25_topk", _BM25_SQL)
+def txt8_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) top-10 documents for the corpus's 3 highest
+    collection-frequency terms (`operators/text.py::bm25_topk`).
+    Relational all the way down — tf/df map-side-combinable shuffles,
+    1-row stats broadcast, rounded-score ranking so ln() ulp differences
+    can't flip cross-engine order."""
+    return tx.bm25_topk(_t(spark, sf_dir, "documents"), n_terms=3, k=10)
+
+
+# ---------------------------------------------------------------------------
+# sim5: int8-quantized top-k (operators/similarity.py::int8_topk)
+# ---------------------------------------------------------------------------
+
+_MAXABS_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform({v}, x -> abs(x))),"
+    " (acc, u) -> CASE WHEN u > acc THEN u ELSE acc END)"
+)
+_QDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, u) -> acc + u)"
+)
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0,"
+    " list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, u) -> acc + u)"
+)
+
+
+def _int8_sql() -> str:
+    m = _MAXABS_SQL.format(v="e")
+    qdot = _QDOT_SQL.format(a="q.qq", b="c.cq")
+    exact = _DOT_SQL.format(a="q.qv", b="c.cv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sc AS (SELECT vec_id, e,
+                  (CASE WHEN {m} = 0.0 THEN 1.0 ELSE {m} / 127.0 END) AS s
+           FROM v),
+    qd AS (SELECT vec_id, e, s,
+                  list_transform(e, x -> CAST(round(x / s) AS BIGINT)) AS codes
+           FROM sc),
+    q AS (SELECT vec_id AS query_id, e AS qv, s AS qs, codes AS qq
+          FROM qd WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, e AS cv, s AS cs, codes AS cq FROM qd),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             (({qdot}) * q.qs) * c.cs AS qscore,
+             {exact} AS exact
+      FROM q JOIN c ON query_id <> neighbor_id)
+    SELECT query_id, neighbor_id,
+           round(qscore, 6) AS q_dot,
+           round(exact, 6) AS exact_dot,
+           round(abs(qscore - exact), 6) AS score_err,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qscore DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("sim5_int8_topk", _int8_sql())
+def sim5_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized dot-product top-5 with per-row quantization error
+    (`operators/similarity.py::int8_topk`): per-vector symmetric scale,
+    exact BIGINT accumulation (order-independent), only the two
+    de-scale multiplies in float — bit-identical across engines. The
+    ranking key is the quantized score; `score_err` self-reports the
+    recall cost of the 4x scan shrink."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# dd7: incremental LSH dedup (operators/dedup.py::incremental_minhash_lsh_pairs)
+# ---------------------------------------------------------------------------
+
+_DD7_SPLIT = 250
+
+
+@register(
+    "dd7_incremental_lsh",
+    f"""
+    SELECT * FROM ({_minhash_sql()})
+    WHERE doc_a >= {_DD7_SPLIT} OR doc_b >= {_DD7_SPLIT}
+    """,
+)
+def dd7_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly dedup shape at 100 TB: near-dup candidates for a NEW
+    batch (doc_id >= 250) against a PERSISTED signature store built
+    from the old corpus — only the new batch pays the shingle/md5
+    signature cost. Output contract: exactly the full-corpus dd2 pairs
+    that involve a new document (the oracle states it that way), so the
+    incremental path is verified against the batch path, not just
+    smoke-run."""
+    docs = _t(spark, sf_dir, "documents")
+    old_sigs = dd.minhash_signatures(docs.filter(F.col("doc_id") < _DD7_SPLIT))
+    new_docs = docs.filter(F.col("doc_id") >= _DD7_SPLIT)
+    return dd.incremental_minhash_lsh_pairs(old_sigs, new_docs)
+
+
+# ---------------------------------------------------------------------------
+# pv2: PII redaction (operators/privacy.py::pii_redact)
+# ---------------------------------------------------------------------------
+
+# Deterministic PII injection: the synthetic corpus contains no emails or
+# phone numbers, so the query plants them on a known id pattern — the
+# redaction then has real positives AND real negatives to prove on. The
+# injected strings are derived from doc_id only (reproducible cross-engine).
+_PV2_SQL = (
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +62 812-3456789'
+                     ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '__EMAIL__')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '__PHONE__')) AS BIGINT) AS n_phones,
+           (len(regexp_extract_all(text, '__EMAIL__')) > 0
+            OR len(regexp_extract_all(text, '__PHONE__')) > 0) AS has_pii,
+           md5(regexp_replace(regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+                              '__PHONE__', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """
+    .replace("__EMAIL__", pv.PII_EMAIL)
+    .replace("__PHONE__", pv.PII_PHONE)
+)
+
+
+@register("pv2_pii_redact", _PV2_SQL)
+def pv2_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (`operators/privacy.py::pii_redact`) over the corpus with
+    deterministically injected emails (doc_id % 3 == 0) and phone numbers
+    (doc_id % 5 == 0): match counts, flag, and the digest of the redacted
+    text. Pure Catalyst regex — pipelines into the scan, zero shuffle;
+    the backslash-free patterns mean the same literal is the same regex
+    in Java and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +62 812-3456789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pv.pii_redact(aug)
+
+
+# ---------------------------------------------------------------------------
+# g3: incremental rollup maintenance (operators/rollup.py::merge_rollup)
+# ---------------------------------------------------------------------------
+
+_G3_BUCKET_US = 3600 * 1_000_000
+
+
+@register(
+    "g3_rollup_incremental",
+    f"""
+    SELECT CAST(floor(epoch_us(ts) / {_G3_BUCKET_US}) AS BIGINT)
+             * {_G3_BUCKET_US} AS bucket_us,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def g3_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (`operators/rollup.py`): the event
+    stream split into an 'already rolled up' half and a 'tonight's batch'
+    half (by event_id parity), each aggregated to mergeable partials,
+    then combined with `merge_rollup` — and the oracle recomputes the
+    rollup from ALL raw history in one pass. Merged-incremental ==
+    full-recompute is exactly the invariant that lets the nightly job
+    touch O(new buckets) instead of rescanning raw history at 100 TB."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "ts_us")
+    state = rl.bucket_aggregate(
+        ev.filter(F.col("event_id") % 2 == 0), "ts_us", _G3_BUCKET_US,
+        ["event_type"], "value",
+    )
+    delta = rl.bucket_aggregate(
+        ev.filter(F.col("event_id") % 2 == 1), "ts_us", _G3_BUCKET_US,
+        ["event_type"], "value",
+    )
+    merged = rl.merge_rollup(state, delta, ["bucket_us", "event_type"])
+    return merged.select(
+        "bucket_us",
+        "event_type",
+        "n",
+        F.round(F.col("sum_v"), 2).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm4: binary resize transform (operators/multimodal.py::resize_payloads)
+# ---------------------------------------------------------------------------
+
+_MM4_TARGET = 64
+
+_MM4_SQL = f"""
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN repeat('00', {_MM4_TARGET})
+                ELSE substring(repeat(hx, ({_MM4_TARGET} // n) + 1),
+                               1, {_MM4_TARGET * 2}) END AS resized_hex,
+           n AS n_bytes_in
+    FROM d
+"""
+
+
+@register("mm4_resize_payloads", _MM4_SQL)
+def mm4_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→binary Arrow transform (`operators/multimodal.py::
+    resize_payloads`): the resize/transcode plumbing shape — payload in,
+    fixed-64-byte payload out through `mapInPandas`, 1:1 rows, no
+    shuffle. The resizer itself is the documented deterministic stub
+    (truncate-or-cycle; no PIL in the image), which makes it oracle-able:
+    DuckDB mirrors the byte cycling on the hex payload. Emitted as hex —
+    raw binary can't cross the driver's canonicalizer."""
+    out = mm.resize_payloads(
+        _t(spark, sf_dir, "documents"), target_bytes=_MM4_TARGET
+    )
+    return out.select(
+        "doc_id", F.hex(F.col("resized")).alias("resized_hex"), "n_bytes_in"
+    )

@@ -44,12 +44,14 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is None:
         if table == "events":
-            # Older events.parquet generations carried INT64
-            # TIMESTAMP(NANOS), which Spark refuses unless told to surface
-            # nanos as a plain long. The conf is runtime-settable and a
-            # no-op for MICROS data, so set it unconditionally — ANY
-            # caller-provided session can then read either generation.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Footer-driven dispatch (sources/events_meta.py): only a
+            # legacy TIMESTAMP(NANOS) fixture needs the nanosAsLong conf;
+            # the common micros path leaves the caller's session untouched.
+            from com_danliris_service_etl_spark.sources.events_meta import (
+                configure_session_for_events,
+            )
+
+            configure_session_for_events(spark, sf_dir)
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         _TABLE_CACHE[key] = df
     return df
@@ -59,25 +61,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` replaced by `ts_us` (epoch MICROS long) and `ts_utc`
     (micros TimestampType) — epoch-micros is the representation Spark and
     DuckDB agree on exactly (oracle side: ``epoch_us(ts)``), whatever the
-    parquet generation's physical type:
+    parquet generation's physical type. The per-generation dispatch lives
+    in sources/events_meta.py, shared with the streaming read path."""
+    from com_danliris_service_etl_spark.sources.events_meta import (
+        events_ts_kind,
+        events_ts_us_expr,
+    )
 
-    - TIMESTAMP(MICROS, adjusted=false) → Spark TIMESTAMP_NTZ: converted
-      with ``timestampdiff`` against an NTZ epoch literal, which is
-      session-timezone-independent (the driver's session tz is unknown);
-    - legacy TIMESTAMP(NANOS) → nanos long via nanosAsLong: ``div 1000``;
-    - TIMESTAMP(MICROS, adjusted=true) → Spark TIMESTAMP: ``unix_micros``.
-    """
     ev = _t(spark, sf_dir, "events")
-    ts_type = ev.schema["ts"].dataType.simpleString()
-    if ts_type == "bigint":
-        ts_us = F.expr("ts div 1000")
-    elif ts_type == "timestamp_ntz":
-        ts_us = F.expr(
-            "timestampdiff(MICROSECOND,"
-            " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
-        )
-    else:
-        ts_us = F.unix_micros(F.col("ts"))
+    ts_us = events_ts_us_expr(events_ts_kind(sf_dir))
     return (
         ev.withColumn("ts_us", ts_us)
         .withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
@@ -93,6 +85,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_llm,
         queries_olap,
         queries_pipeline,
+        queries_round3,
         queries_scalars,
         queries_streaming,
     )

@@ -13,38 +13,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # TIMESTAMP(MICROS, adjusted=false) — matches the current fixture
-        # generation; see plans/registry.py:_events for the legacy-NANOS note
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(sf_dir: str) -> T.StructType:
+    """Explicit readStream schema for the events fixture, with the `ts`
+    field type resolved from the parquet FOOTER (sources/events_meta.py) —
+    the fixture's physical timestamp type has flipped between rounds, and
+    a hardcoded type would fail at runtime with a parquet schema mismatch
+    on a regenerated fixture. Batch (`plans/registry.py::_events`) and
+    streaming share the same dispatch helper."""
+    from com_danliris_service_etl_spark.sources.events_meta import (
+        events_spark_ts_type,
+        events_ts_kind,
+    )
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", events_spark_ts_type(events_ts_kind(sf_dir))),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with event-time normalized to a
-    micros TimestampType (session-tz-independent NTZ→epoch conversion,
-    same expression as plans/registry.py:_events)."""
+    micros TimestampType (same footer-driven dispatch as the batch path)."""
+    from com_danliris_service_etl_spark.sources.events_meta import (
+        configure_session_for_events,
+        events_ts_us_expr,
+    )
+
+    kind = configure_session_for_events(spark, sf_dir)
     # The file stream source requires a directory: stream the sf dir with a
     # glob filter selecting the events table.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts_us",
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
-        ),
-    ).withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+    return raw.withColumn("ts_us", events_ts_us_expr(kind)).withColumn(
+        "ts_utc", F.timestamp_micros(F.col("ts_us"))
+    )
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

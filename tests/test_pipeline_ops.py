@@ -27,7 +27,9 @@ def test_pack_assignment_straddles_to_first_token_pack(spark):
     )
     rows = {
         r.doc_id: (r.tokens_before, r.pack_id)
-        for r in pack_assignments(docs, budget=10, stream_col="lang").collect()
+        for r in pack_assignments(
+            docs, budget=10, stream_col="lang", n_shards=1
+        ).collect()
     }
     assert rows == {0: (0, 0), 1: (4, 0), 2: (8, 0), 3: (12, 1)}
 
@@ -36,15 +38,57 @@ def test_pack_streams_are_independent(spark):
     docs = spark.createDataFrame(
         [(1, "a b c", "en"), (2, "d e f", "id"), (3, "g h i", "en")], _DOC_SCHEMA
     )
-    out = pack_assignments(docs, budget=4, stream_col="lang").collect()
+    out = pack_assignments(docs, budget=4, stream_col="lang", n_shards=1).collect()
     by_id = {r.doc_id: r.tokens_before for r in out}
     # id-stream doc 2 is unaffected by en-stream cumulative count
     assert by_id == {1: 0, 2: 0, 3: 3}
 
 
+def test_pack_sharding_scales_stream_count(spark):
+    # default composite (lang, shard) key: stream count grows past the
+    # number of languages — the 100 TB parallelism lever.
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en" if i % 2 else "id") for i in range(40)], _DOC_SCHEMA
+    )
+    out = pack_assignments(docs, budget=4)
+    n_streams = out.select("lang", "shard").distinct().count()
+    n_langs = out.select("lang").distinct().count()
+    assert n_langs == 2
+    assert n_streams > n_langs  # sharding multiplied the streams
+    assert out.select("shard").distinct().count() > 1
+
+
+def test_pack_sharding_preserves_per_stream_assignment(spark):
+    # Each (lang, shard) stream's assignment equals running the
+    # single-stream packer over just that stream's documents: sharding
+    # adds parallelism without changing any stream's internal packing.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (1 + i % 5)), "en" if i % 3 else "id") for i in range(30)],
+        _DOC_SCHEMA,
+    )
+    sharded = pack_assignments(docs, budget=6, n_shards=4)
+    got = {
+        (r.lang, r.shard, r.doc_id): (r.tokens_before, r.pack_id)
+        for r in sharded.collect()
+    }
+    from com_danliris_service_etl_spark.operators.packing import pack_shard
+
+    member = docs.withColumn("shard", pack_shard("doc_id", 4))
+    for lang, shard in {(k[0], k[1]) for k in got}:
+        sub = member.filter((F.col("lang") == lang) & (F.col("shard") == shard)).drop(
+            "shard"
+        )
+        solo = {
+            (lang, shard, r.doc_id): (r.tokens_before, r.pack_id)
+            for r in pack_assignments(sub, budget=6, n_shards=1).collect()
+        }
+        for key, val in solo.items():
+            assert got[key] == val
+
+
 def test_pack_summary_single_pack_totals(spark):
     docs = spark.createDataFrame([(1, "a b c d", "en"), (2, "e f", "en")], _DOC_SCHEMA)
-    rows = pack_summary(pack_assignments(docs, budget=6), budget=6).collect()
+    rows = pack_summary(pack_assignments(docs, budget=6, n_shards=1), budget=6).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r.pack_id, r.n_docs, r.pack_tokens, r.first_doc, r.last_doc) == (0, 2, 6, 1, 2)
@@ -85,8 +129,14 @@ def test_k_anonymity_suppresses_small_groups(spark):
     got = {r.id: (r.seg, r.k_anon) for r in out.collect()}
     assert got[0] == ("SEG_A", 5)
     assert got[10] == ("*", 2)
-    # direct identifier never escapes in clear
-    assert not any("name" in (r.name_pseudo or "") for r in out.select(F.col("name_pseudo")).collect())
+    # the pseudo column IS the md5 of the identifier (deterministic, so
+    # joins across pseudonymized tables still line up) — checked against
+    # an independently computed digest for a known row
+    import hashlib
+
+    pseudo = {r.id: r.name_pseudo for r in out.select("id", "name_pseudo").collect()}
+    assert pseudo[0] == hashlib.md5(b"name0").hexdigest()
+    assert pseudo[10] == hashlib.md5(b"n10").hexdigest()
 
 
 def test_repetition_flags_degenerate_doc(spark):
