@@ -24,6 +24,7 @@ def nest_children(
     array_col: str,
     child_cols: Sequence[str] | None = None,
     order_by: str | None = None,
+    parent_key_unique: bool = False,
 ) -> DataFrame:
     """Assemble child rows into an array<struct> column on the parent.
 
@@ -31,19 +32,55 @@ def nest_children(
     (`ShipmentDocument/run.js:145-150`, `PackingReceipt/run.js:121-123`).
     ``order_by`` pins array order (the reference relies on DB return order —
     SURVEY.md §7.4 determinism risk).
+
+    ``parent_key_unique=True`` is the single-shuffle fast path for the
+    common case where ``parent_key`` is the parent's primary key: parent
+    and child rows UNION on the key and ONE groupBy carries the parent
+    struct (first non-null) and collects the child array together —
+    replacing groupBy(child) + parent join (two extra exchanges: the agg
+    output and the parent side both reshuffle for the sort-merge join).
+    Semantic deltas vs the join form, both explode-equivalent: childless
+    parents get an EMPTY array instead of NULL (explode/explode_outer
+    treat them identically), and duplicate parent keys would COLLAPSE —
+    hence the explicit opt-in flag rather than a default.
     """
     cols = list(child_cols) if child_cols else [c for c in child.columns if c != child_fk]
     if order_by:
-        # sort_array over (key, struct) keeps the array deterministically ordered
-        agg = F.sort_array(
-            F.collect_list(F.struct(F.col(order_by).alias("__ord"), *[F.col(c).alias(c) for c in cols]))
+        cstruct = F.struct(
+            F.col(order_by).alias("__ord"), *[F.col(c).alias(c) for c in cols]
         )
+    else:
+        cstruct = F.struct(*[F.col(c).alias(c) for c in cols])
+
+    if parent_key_unique:
+        pcols = parent.columns
+        p = parent.select(
+            F.col(parent_key).alias("__k"),
+            F.struct(*[F.col(c) for c in pcols]).alias("__p"),
+        )
+        c = child.select(F.col(child_fk).alias("__k"), cstruct.alias("__c"))
+        u = p.unionByName(c, allowMissingColumns=True)
+        arr = F.collect_list("__c")  # skips the parent rows' null __c
+        if order_by:
+            arr = F.transform(F.sort_array(arr), lambda s: s.dropFields("__ord"))
+        return (
+            u.groupBy("__k")
+            .agg(F.first("__p", ignorenulls=True).alias("__p"), arr.alias(array_col))
+            # left-join semantics: orphan children (no parent row) drop out
+            .filter(F.col("__p").isNotNull())
+            .select(*[F.col(f"__p.{c}").alias(c) for c in pcols], array_col)
+        )
+
+    if order_by:
+        # sort_array over (key, struct) keeps the array deterministically ordered
         arrays = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
-            F.transform(agg, lambda s: s.dropFields("__ord")).alias(array_col)
+            F.transform(
+                F.sort_array(F.collect_list(cstruct)), lambda s: s.dropFields("__ord")
+            ).alias(array_col)
         )
     else:
         arrays = child.groupBy(F.col(child_fk).alias(parent_key)).agg(
-            F.collect_list(F.struct(*[F.col(c).alias(c) for c in cols])).alias(array_col)
+            F.collect_list(cstruct).alias(array_col)
         )
     return parent.join(arrays, parent_key, "left")
 

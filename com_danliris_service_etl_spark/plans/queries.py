@@ -573,7 +573,7 @@ def e2_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nested = nest_children(
         o, li, parent_key="o_orderkey", child_fk="l_orderkey", array_col="items",
-        order_by="l_linenumber",
+        order_by="l_linenumber", parent_key_unique=True,
     )
     return explode_inner(nested, "items").select(
         "o_orderkey", "o_orderdate", "l_linenumber", "l_partkey", "l_quantity"
@@ -594,7 +594,7 @@ def e5_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     nested = nest_children(
         o, li, parent_key="o_orderkey", child_fk="l_orderkey", array_col="items",
-        order_by="l_linenumber",
+        order_by="l_linenumber", parent_key_unique=True,
     )
     return explode_left(nested, "items").select(
         "o_orderkey", "o_orderdate", "l_linenumber", "l_quantity"
