@@ -20,6 +20,7 @@ from com_danliris_service_etl_spark.operators import privacy as pv
 from com_danliris_service_etl_spark.operators import rollup as rl
 from com_danliris_service_etl_spark.operators import similarity as sim
 from com_danliris_service_etl_spark.operators import text as tx
+from com_danliris_service_etl_spark.plans.queries_gaps import _DD5_BUCKET, _DD5_DOT
 from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
 from com_danliris_service_etl_spark.plans.registry import _events, _t, register
 
@@ -303,4 +304,66 @@ def mm4_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", F.hex(F.col("resized")).alias("resized_hex"), "n_bytes_in"
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm7: end-to-end semantic dedup (dd5 pairs → dd6 clusters → keepers)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    return f"""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                                ({_DD5_BUCKET.format(v="embedding")}) AS blk
+                         FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.blk = b.blk
+      WHERE round({_DD5_DOT.format(a="a.e", b="b.e")}
+                  / (sqrt({_DD5_DOT.format(a="a.e", b="a.e")})
+                     * sqrt({_DD5_DOT.format(a="b.e", b="b.e")})), 6)
+            >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT emb.vec_id,
+           CAST(COALESCE(c.cluster_id, emb.vec_id) AS BIGINT) AS cluster_id,
+           (COALESCE(c.cluster_id, emb.vec_id) = emb.vec_id) AS is_keeper
+    FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+    """
+
+
+@register("llm7_semantic_dedup", _semantic_dedup_sql())
+def llm7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SEMANTIC-dedup funnel a training corpus runs, composed
+    end-to-end: embedding-cosine near-dup pairs (sign-bit LSH blocked,
+    `dd5`) → connected components (`dedup_clusters`, iterative min-label
+    propagation) → per-vector verdict: its cluster id (own id when
+    unclustered) and whether it is the cluster's keeper (min id). The
+    downstream delete is `filter(is_keeper)`. Each stage is individually
+    oracle-verified (dd5, dd6); this query verifies the composition the
+    way llm1 does for the lexical funnel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.3, lsh_bits=8)
+    clusters = dd.dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    cl = clusters.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("__cl")
+    )
+    return (
+        emb.select("vec_id")
+        .join(cl, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("__cl"), F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce(F.col("__cl"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_keeper"
+            ),
+        )
     )

@@ -207,6 +207,79 @@ def run_incremental_merge(
     q.awaitTermination()
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def fold_incremental_lsh(
+    batch_df: DataFrame,
+    sig_store_path: str,
+    pairs_out_path: str,
+) -> None:
+    """One micro-batch of the streaming dedup loop: near-dup-check the
+    batch against the persisted MinHash signature store, append the
+    candidate pairs to the output, then advance the store by appending
+    the batch's signatures. Only the batch ever pays signature cost; the
+    store is the compact per-document state (id + 16 longs) a 100 TB
+    deployment keeps. Factored out of the foreachBatch closure so tests
+    drive multiple batches through the EXACT production fold."""
+    import os
+
+    from com_danliris_service_etl_spark.operators.dedup import (
+        incremental_minhash_lsh_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sess = batch_df.sparkSession
+    if os.path.exists(sig_store_path):
+        store = sess.read.parquet(sig_store_path)
+        pairs = incremental_minhash_lsh_pairs(store, batch_df)
+    else:
+        # first batch: no prior corpus — all pairs are batch-internal
+        pairs = minhash_lsh_pairs(batch_df)
+    pairs.write.mode("append").parquet(pairs_out_path)
+    minhash_signatures(batch_df).write.mode("append").parquet(sig_store_path)
+
+
+def run_streaming_incremental_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    sig_store_path: str,
+    pairs_out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """The nightly near-dup loop as a stream: `readStream(documents) →
+    foreachBatch(fold_incremental_lsh)`. Checkpoint + append-only outputs
+    give exactly-once per batch; across batches the emitted pair set
+    equals the full-corpus `minhash_lsh_pairs` (each pair appears in the
+    batch where its LATER document arrives — pinned by
+    `test_streaming_incremental_lsh_folds_to_full`)."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_incremental_lsh(batch_df, sig_store_path, pairs_out_path)
+
+    q = (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_rollup(
     spark: SparkSession,
     sf_dir: str,

@@ -71,3 +71,53 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_lsh_folds_to_full(spark, tmp_path):
+    """Driving two batches through the production fold must reproduce the
+    full-corpus pair set exactly: batch-1 pairs come from its internal
+    dedup, every pair involving a batch-2 document from the incremental
+    check against the persisted signature store."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+    from com_danliris_service_etl_spark.streaming.jobs import fold_incremental_lsh
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs_out")
+
+    from pyspark.sql import functions as F
+
+    fold_incremental_lsh(docs.filter(F.col("doc_id") < 250), store, out)
+    fold_incremental_lsh(docs.filter(F.col("doc_id") >= 250), store, out)
+
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+    # the store advanced to one signature row per document
+    assert spark.read.parquet(store).count() == docs.count()
+
+
+def test_streaming_incremental_lsh_job_runs(spark, tmp_path):
+    """readStream wiring: the availableNow drain over the fixture emits the
+    same pair set as the batch operator (single micro-batch here)."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_incremental_lsh,
+    )
+
+    out = str(tmp_path / "pairs")
+    run_streaming_incremental_lsh(
+        spark,
+        SF_DIR,
+        sig_store_path=str(tmp_path / "sigs"),
+        pairs_out_path=out,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert spark.read.parquet(out).count() == minhash_lsh_pairs(docs).count()
