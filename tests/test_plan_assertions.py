@@ -162,3 +162,52 @@ def test_ivf_assign_cells_shuffle_free(spark):
     # separately: "BroadcastExchange (" also contains "Exchange (")
     n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert n_shuffles <= 1, plan
+
+
+def test_minhash_lsh_pairs_two_exchanges_no_pair_distinct(spark):
+    """dd2's pair stage: exactly the spread repartition + the band-bucket
+    aggregation — cross-band dedup is the LOCAL first-colliding-band
+    filter, so no third exchange (the old global distinct) may reappear."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 2, plan
+
+
+def test_nest_children_unique_path_single_shuffle(spark):
+    """The parent_key_unique nest path is ONE aggregation exchange: union
+    carries the parent struct through the same groupBy that collects the
+    child array (no join-side exchanges)."""
+    from com_danliris_service_etl_spark.operators.explode import nest_children
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = nest_children(
+        o, li, parent_key="o_orderkey", child_fk="l_orderkey",
+        array_col="items", order_by="l_linenumber", parent_key_unique=True,
+    )
+    plan = _plan(nested)
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ivf_topk_query_filter_single_assignment(spark):
+    """sim4's query_filter path quantizes the corpus ONCE: both join sides
+    derive from the materialized assignment, so the plan contains exactly
+    one aggregate subtree for the centroid codebook build and no second
+    cell-assignment pass."""
+    from com_danliris_service_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 16)
+    out = ivf_topk(emb, None, cent, k=5, query_filter=F.col("vec_id") < 10)
+    plan = _plan(out)
+    # the assignment was checkpointed: the plan scans the materialized RDD,
+    # not two copies of the quantization pipeline
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "aggregate(" not in plan.split("Scan ExistingRDD")[0], plan
