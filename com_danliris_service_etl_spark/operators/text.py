@@ -61,10 +61,7 @@ def _marker_hits(text_col: str, markers: tuple[str, ...]) -> Column:
     return F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({in_list})))")
 
 
-def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + aggregate score:
-    stopword ratio (fluency proxy), distinct-token ratio (repetition
-    penalty), and mean token length (gibberish guard)."""
+def _quality_parts(text_col: str) -> tuple[Column, Column, Column]:
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks).cast("double")
     stop_ratio = _marker_hits(text_col, LANG_MARKERS["en"]).cast("double") / n
@@ -75,38 +72,64 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         )
         / n
     )
-    score = stop_ratio * 0.3 + distinct_ratio * 0.5 + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2
+    return stop_ratio, distinct_ratio, avg_len
+
+
+def quality_col(text_col: str = "text") -> Column:
+    """The rounded aggregate quality score as a pure COLUMN expression —
+    composable into other per-row projections (llm1 fuses it with langid
+    into one scan-side select instead of joining quality_score's output
+    back on the id)."""
+    stop_ratio, distinct_ratio, avg_len = _quality_parts(text_col)
+    score = (
+        stop_ratio * 0.3
+        + distinct_ratio * 0.5
+        + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + aggregate score:
+    stopword ratio (fluency proxy), distinct-token ratio (repetition
+    penalty), and mean token length (gibberish guard)."""
+    stop_ratio, distinct_ratio, avg_len = _quality_parts(text_col)
     return docs.select(
         id_col,
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality"),
+        quality_col(text_col).alias("quality"),
     )
 
 
-def detect_language(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-token language ID: score = hits per language; argmax with
-    alphabetical tiebreak (deterministic)."""
-    out = docs.select(
-        id_col,
-        F.col("lang").alias("lang_actual"),
-        *[
-            _marker_hits(text_col, LANG_MARKERS[lang]).alias(f"s_{lang}")
-            for lang in sorted(LANG_MARKERS)
-        ],
-    )
+def language_pred_col(text_col: str = "text") -> Column:
+    """Marker-token language-ID argmax (alphabetical tiebreak) as a pure
+    COLUMN expression. The per-language hit counts appear in several
+    comparisons; whole-stage codegen's subexpression elimination computes
+    each once per row."""
     langs = sorted(LANG_MARKERS)
+    hits = {lang: _marker_hits(text_col, LANG_MARKERS[lang]) for lang in langs}
     pred = None
     for lang in langs:  # first maximum in alphabetical order wins
         cond = None
         for other in langs:
             if other == lang:
                 continue
-            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            c = hits[lang] >= hits[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    return out.select(id_col, "lang_actual", pred.alias("lang_pred"))
+    return pred
+
+
+def detect_language(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID: score = hits per language; argmax with
+    alphabetical tiebreak (deterministic)."""
+    return docs.select(
+        id_col,
+        F.col("lang").alias("lang_actual"),
+        language_pred_col(text_col).alias("lang_pred"),
+    )
 
 
 # Rolling-hash parameters: Rabin-Karp polynomial over codepoints, Horner

@@ -488,19 +488,24 @@ def _clean_corpus_sql() -> str:
 def llm1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data preprocessing funnel — language filter ∘
     quality threshold ∘ exact-dedup keeper — as ONE declarative plan, the
-    shape a 100 TB corpus actually runs nightly. Catalyst fuses the three
-    per-row stages (langid, quality) into the scan; the only shuffles are
-    the dedup digest groupBy and the keeper semi-join, both keyed on
+    shape a 100 TB corpus actually runs nightly. The langid and quality
+    stages are pure per-row expressions, so they are FUSED into the scan
+    projection (`language_pred_col`/`quality_col`) rather than computed
+    as separate frames and joined back on the id — two whole join
+    shuffles gone; the only remaining shuffles are the dedup digest
+    groupBy and the keeper semi-join, both keyed on
     uniformly-distributed hashes. Each stage is individually verified by
     txt3 / txt2 / dd1; this query verifies their composition."""
     docs = _t(spark, sf_dir, "documents")
-    lang = tx.detect_language(docs).select("doc_id", "lang_pred")
-    qual = tx.quality_score(docs).select("doc_id", "quality")
     keep = dd.exact_dedup_groups(docs).select("keeper_id")
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            tx.language_pred_col().alias("lang_pred"),
+            tx.quality_col().alias("quality"),
+        )
         .join(keep, F.col("doc_id") == F.col("keeper_id"), "left_semi")
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     )
