@@ -69,6 +69,42 @@ def quota_per_group(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Corpus MIXING by per-group sampling rate — the standard lever for
+    composing a training mixture ("web at 0.3, books at 1.0, code at
+    0.8"): each row keeps iff its id-hash bucket (out of ``resolution``)
+    falls below its group's rate. Deterministic Bernoulli-by-hash:
+
+    - zero shuffle — the keep decision is a per-row projection pipelined
+      into the scan (the rates table is a plain literal CASE; even as a
+      joined table it would broadcast);
+    - append-stable and engine-reproducible like every sampler here (the
+      decision is a pure function of the id);
+    - rates compose with reruns: raising a group's rate keeps a SUPERSET
+      of the previously kept rows (the bucket threshold just moves up),
+      which makes incremental mixture changes cheap to materialize.
+
+    Rows whose group is absent from ``rates`` use ``default_rate``.
+    Emits every row with its (bucket, rate, kept) verdict so audits can
+    see the negative space; the pipeline filter is `kept`."""
+    bucket = _hash_bucket(id_col, resolution)
+    rate = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == g
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
+    return docs.select(id_col, group_col, bucket, rate.alias("rate")).withColumn(
+        "kept", F.col("bucket") < F.col("rate") * resolution
+    )
+
+
 def weighted_sample_per_group(
     docs: DataFrame,
     weight_col: str,

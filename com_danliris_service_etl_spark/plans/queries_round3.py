@@ -308,6 +308,47 @@ def mm4_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# llm8: deterministic corpus mixing by per-source sampling rate
+# ---------------------------------------------------------------------------
+
+# rates over the fixture's actual sources: a dropped source (rate 0), two
+# downsampled ones, a fully-kept one; unlisted sources ride default_rate=1.0
+_MIX_RATES = {"src0": 0.0, "src1": 0.3, "src2": 1.0, "src3": 0.5}
+_MIX_RES = 1_000_000
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {float(r)}" for g, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, source,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+             % {_MIX_RES} AS bucket,
+           CASE {cases} ELSE 1.0 END AS rate,
+           (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MIX_RES}
+            < (CASE {cases} ELSE 1.0 END) * {_MIX_RES}) AS kept
+    FROM documents
+    """
+
+
+@register("llm8_mixture_sample", _mixture_sql())
+def llm8_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition: per-source sampling rates ("web at
+    0.3, books at 1.0, wiki at 0.8") applied as a deterministic
+    Bernoulli-by-id-hash keep decision
+    (`operators/sampling.py::mixture_sample`). Zero shuffle — a per-row
+    projection pipelined into the scan; append-stable; and raising a rate
+    keeps a superset of the previous mixture (the threshold just moves),
+    so mixture iteration re-materializes only the delta."""
+    from com_danliris_service_etl_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), rates=_MIX_RATES, resolution=_MIX_RES
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm7: end-to-end semantic dedup (dd5 pairs → dd6 clusters → keepers)
 # ---------------------------------------------------------------------------
 

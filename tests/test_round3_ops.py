@@ -102,3 +102,34 @@ def test_decode_stub_honest_labeling_contract():
     assert mm.resize_stub(b"ab", 5) == b"ababa"
     assert mm.resize_stub(b"", 3) == b"\x00\x00\x00"
     assert mm.resize_stub(b"abcdef", 4) == b"abcd"
+
+
+def test_mixture_sample_monotone_in_rate(spark):
+    # raising a group's rate keeps a SUPERSET of the previously kept rows —
+    # the property that makes mixture iteration an incremental delta
+    from com_danliris_service_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "web") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    low = {r.doc_id for r in mixture_sample(docs, {"web": 0.3}).collect() if r.kept}
+    high = {r.doc_id for r in mixture_sample(docs, {"web": 0.7}).collect() if r.kept}
+    assert low <= high
+    assert len(low) < len(high) <= 200
+    # rate 0 drops everything; rate 1 keeps everything
+    none = [r.kept for r in mixture_sample(docs, {"web": 0.0}).collect()]
+    assert not any(none)
+    full = [r.kept for r in mixture_sample(docs, {"web": 1.0}).collect()]
+    assert all(full)
+
+
+def test_mixture_sample_default_rate_for_unlisted_groups(spark):
+    from com_danliris_service_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", "web"), (2, "b", "books")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.rate for r in mixture_sample(docs, {"web": 0.2}, default_rate=0.9).collect()}
+    assert got == {"web": 0.2, "books": 0.9}
