@@ -52,6 +52,7 @@ _PRIORITY = [
     "mm4_resize_payloads",
     "llm7_semantic_dedup",
     "llm8_mixture_sample",
+    "g4_retention_cohorts",
     # (b) changed this round: pk1 grew the composite (lang, shard) stream
     # key (schema change); dd2's cross-band dedup moved from distinct to
     # first-band filtering; sim4 reuses one centroid aggregation; llm1

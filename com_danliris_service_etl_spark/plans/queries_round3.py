@@ -308,6 +308,55 @@ def mm4_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g4: retention cohorts over the event stream
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "g4_retention_cohorts",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / {_WEEK_US}) AS BIGINT) AS week
+      FROM events),
+    coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT c.cohort_week, uw.week - c.cohort_week AS weeks_since,
+           count(*)::BIGINT AS n_users
+    FROM uw JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def g4_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users bucketed by first-active
+    week, counted per (cohort, weeks-since-cohort) cell. Three map-side-
+    combinable shuffles on uniformly-distributed keys — (user, week)
+    distinct, per-user min, final cell count; the (user, week) grain rows
+    are distinct by construction, so the cell count is a plain count(*),
+    never a count-distinct over raw events. At 100 TB the distinct grain
+    is the big stage and is exactly the pre-aggregation a warehouse
+    would persist (one row per user-week)."""
+    ev = _events(spark, sf_dir)
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts_us") / F.lit(_WEEK_US)).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm8: deterministic corpus mixing by per-source sampling rate
 # ---------------------------------------------------------------------------
 
