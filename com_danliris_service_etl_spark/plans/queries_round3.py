@@ -357,6 +357,68 @@ def g4_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g5: ordered funnel conversion over the event stream
+# ---------------------------------------------------------------------------
+
+_G5_SQL = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+    v AS (SELECT user_id, min(ts) AS v_ts FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(ts) AS c_ts FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(ts) AS p_ts FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase
+"""
+
+
+@register("g5_funnel_conversion", _G5_SQL)
+def g5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing event
+    times): how many users reach each step. ONE shuffle: funnel-relevant
+    events group per user, sort row-locally, and an `aggregate` fold
+    walks the sequence as a tiny state machine (first view, first click
+    after it, first purchase after that — greedy-earliest matching,
+    which is optimal for subsequence existence). The oracle states the
+    same semantics relationally (three conditional min-aggregations);
+    two independent formulations agreeing is the pin. At 100 TB the fold
+    form wins: the relational form re-shuffles the event table once per
+    funnel step."""
+    ev = _events(spark, sf_dir)
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    per_user = (
+        ev.select("user_id", code.alias("code"), F.col("ts_us").alias("ts"))
+        .filter(F.col("code").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "aggregate("
+                "  array_sort(collect_list(struct(ts, code))),"
+                "  struct(CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c,"
+                "         CAST(NULL AS BIGINT) AS p),"
+                "  (s, e) -> struct("
+                "    CASE WHEN s.v IS NULL AND e.code = 1 THEN e.ts ELSE s.v END AS v,"
+                "    CASE WHEN s.c IS NULL AND s.v IS NOT NULL AND e.code = 2"
+                "              AND e.ts > s.v THEN e.ts ELSE s.c END AS c,"
+                "    CASE WHEN s.p IS NULL AND s.c IS NOT NULL AND e.code = 3"
+                "              AND e.ts > s.c THEN e.ts ELSE s.p END AS p))"
+            ).alias("st")
+        )
+    )
+    return per_user.agg(
+        F.count("st.v").alias("n_view"),
+        F.count("st.c").alias("n_click"),
+        F.count("st.p").alias("n_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # llm8: deterministic corpus mixing by per-source sampling rate
 # ---------------------------------------------------------------------------
 
