@@ -390,6 +390,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     lsh_bits: int | None = 8,
+    materialize_prepped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
@@ -405,6 +406,14 @@ def embedding_neardup_pairs(
     multi-bucket union, the standard recall knob). With both ``block_col``
     and ``lsh_bits`` None it degrades to the exact cross-product baseline
     (small corpora / verification only).
+
+    ``materialize_prepped=True`` localCheckpoints the prepped (id, vec,
+    norm, bucket) frame before the self-join: a self-join otherwise
+    recomputes the scan + norms + buckets on BOTH sides. Materializing
+    is the "build the near-dup index once" move — right when a consumer
+    iterates over the pairs anyway (connected components in llm7), wrong
+    as a default (a one-shot pair listing shouldn't pin the prepped
+    corpus in storage).
     """
     from com_danliris_service_etl_spark.operators.similarity import (
         cosine_prenormed,
@@ -418,6 +427,8 @@ def embedding_neardup_pairs(
     elif lsh_bits:
         cols.append(signbit_bucket(vec_col, lsh_bits).alias("__blk"))
     prepped = embeddings.select(*cols)
+    if materialize_prepped:
+        prepped = prepped.localCheckpoint()
     a, b = prepped.alias("a"), prepped.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col or lsh_bits:

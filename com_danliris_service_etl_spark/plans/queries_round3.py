@@ -503,7 +503,9 @@ def llm7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verified (dd5, dd6); this query verifies the composition the
     way llm1 does for the lexical funnel."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = dd.embedding_neardup_pairs(emb, threshold=0.3, lsh_bits=8)
+    pairs = dd.embedding_neardup_pairs(
+        emb, threshold=0.3, lsh_bits=8, materialize_prepped=True
+    )
     clusters = dd.dedup_clusters(pairs, id_a="id_a", id_b="id_b")
     cl = clusters.select(
         F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("__cl")
