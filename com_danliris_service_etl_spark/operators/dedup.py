@@ -310,6 +310,90 @@ def incremental_minhash_lsh_pairs(
     )
 
 
+def band_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded form of a signature store: one (band_idx, band_hash, id, sig)
+    row per band per document — the layout a 100 TB deployment PERSISTS
+    (bucketed/partitioned on (band_idx, band_hash)) so nightly dedup can
+    probe it without re-banding or re-shuffling history."""
+    s = sigs.select(
+        id_col, F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
+    )
+    return s.select(
+        F.col(id_col), "sig", F.explode(_band_structs(n_perms, bands)).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+
+
+def incremental_lsh_pairs_join(
+    store_banded: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """STORE-STREAMING incremental near-dup: the nightly shape where the
+    historical signature store never shuffles at all.
+
+    `incremental_minhash_lsh_pairs` unions old+new signatures and
+    re-bands + re-groups EVERYTHING — at 100 TB that re-shuffles the
+    entire store every night just to find the handful of buckets the new
+    batch touches. This form instead:
+
+    - bands only the NEW batch (tiny) and BROADCASTS it;
+    - probes the persisted banded store (`band_signatures` layout) with a
+      plain equi-join on (band_idx, band_hash) — the store side streams
+      through map tasks, zero exchange, and with the store bucketed on
+      the band key even the join-side partitioning is free;
+    - emits old×new pairs from the join and new×new pairs from the
+      in-batch `minhash_lsh_pairs`, each deduped to its first colliding
+      band locally (same `exists`-over-earlier-bands trick).
+
+    Output is set-identical to `incremental_minhash_lsh_pairs` on the
+    same inputs (pinned by `test_incremental_join_form_matches_group_form`);
+    the group form's `max_bucket` safety cap has no equivalent here, so
+    degenerate mega-clusters should be capped upstream (keeper-only
+    store) or via salting."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perms, shingle_k)
+    new_banded = band_signatures(new_sigs, id_col, n_perms, bands).select(
+        F.col(id_col).alias("__new_id"),
+        F.col("sig").alias("__new_sig"),
+        "band_idx",
+        "band_hash",
+    )
+    rpb = n_perms // bands
+    est = (
+        "aggregate(zip_with(sig, __new_sig, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),"
+        f" 0, (acc, v) -> acc + v) / CAST({float(n_perms)} AS DOUBLE)"
+    )
+    first_band = (
+        "band_idx = 0 OR NOT exists(sequence(0, band_idx - 1),"
+        f" b -> slice(sig, b * {rpb} + 1, {rpb})"
+        f" == slice(__new_sig, b * {rpb} + 1, {rpb}))"
+    )
+    old_new = (
+        store_banded.join(
+            F.broadcast(new_banded), ["band_idx", "band_hash"]
+        )
+        .filter(F.col(id_col) != F.col("__new_id"))
+        .filter(F.expr(first_band))
+        .select(
+            F.least(F.col(id_col), F.col("__new_id")).alias("doc_a"),
+            F.greatest(F.col(id_col), F.col("__new_id")).alias("doc_b"),
+            F.expr(est).alias("est_jaccard"),
+        )
+    )
+    new_new = minhash_lsh_pairs(
+        new_docs, text_col, id_col, n_perms, bands, shingle_k
+    )
+    return old_new.unionByName(new_new)
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hex_chars: int = 4
 ) -> DataFrame:

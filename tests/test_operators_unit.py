@@ -638,3 +638,60 @@ def test_quality_checks_detect_violations(spark):
         ]
     ).collect()
     assert all(r.passed for r in ok)
+
+def test_incremental_join_form_matches_group_form(spark):
+    """The store-streaming join form (banded store probed by the broadcast
+    new batch — the layout where history never shuffles) must emit the
+    same pair set as the union+regroup incremental form."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_pairs_join,
+        incremental_minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    store_sigs = minhash_signatures(old)
+
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_minhash_lsh_pairs(store_sigs, new).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_lsh_pairs_join(band_signatures(store_sigs), new).collect()
+    }
+    assert got == want
+    assert any(k[0] < 250 for k in got), "cross old-new pairs must appear"
+
+
+def test_incremental_join_form_store_side_never_shuffles(spark):
+    """Plan shape of the store probe: the only exchanges belong to the
+    (tiny) new-batch side — the banded store streams map-side through a
+    broadcast join."""
+    import contextlib
+    import io
+
+    from com_danliris_service_etl_spark.operators.dedup import (
+        band_signatures,
+        incremental_lsh_pairs_join,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    # the persisted store, as a materialized frame (stand-in for the
+    # bucketed table a deployment reads back)
+    store = band_signatures(minhash_signatures(old)).localCheckpoint()
+
+    # probe-only plan (old×new part): store ⋈ broadcast(new bands)
+    probe = incremental_lsh_pairs_join(store, new)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
