@@ -593,16 +593,20 @@ def dedup_clusters(
     labeled with itself; each round takes the min of its own and all
     neighbors' labels; converged when no label changes. Rounds needed =
     graph diameter ≤ O(log n) on near-dup clusters (they are dense —
-    near-clique — so typically 2-3 rounds). Each round is one join of
-    the edge list against current labels plus a min-aggregation — all
-    hash-partitioned on node id, no global structure. Lineage is
-    truncated every round with `localCheckpoint` (iterative DataFrame
-    joins otherwise stack plans until planning time explodes — the
-    standard Spark iterative-algorithm discipline). Convergence is a
-    driver-side count of changed labels: one tiny action per round, the
-    same deliberate control-plane collect as the watermark lookup.
-    Raises RuntimeError if max_iter rounds don't converge (a diameter
-    that large means the input is not a near-dup graph)."""
+    near-clique — so typically 2-3 rounds). Each round is ONE edge⋈label
+    join producing neighbor contributions, unioned with the current
+    labels and min-reduced per node — the union+groupBy form replaces
+    the earlier join+agg+LEFT-JOIN round shape, one whole join (and its
+    exchange) fewer per round. Lineage is truncated every round with
+    `localCheckpoint` (iterative DataFrame joins otherwise stack plans
+    until planning time explodes — the standard Spark
+    iterative-algorithm discipline). Convergence: labels only ever
+    DECREASE, so the total label sum (exact DECIMAL(38,0) — immune to
+    int64 overflow at any node-id scale) is strictly monotone and
+    plateaus exactly at the fixed point; one tiny driver-side scalar per
+    round, the same deliberate control-plane read as the watermark
+    lookup. Raises RuntimeError if max_iter rounds don't converge (a
+    diameter that large means the input is not a near-dup graph)."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
@@ -620,27 +624,24 @@ def dedup_clusters(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        contrib = edges.join(labels, edges["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "lbl"
         )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
-                (F.least(F.col("lbl"), F.col("nbr_lbl")) != F.col("lbl")).alias(
-                    "__changed"
-                ),
-            )
+            labels.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
+        prev_sum = cur_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
