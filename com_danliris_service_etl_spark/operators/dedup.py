@@ -40,8 +40,14 @@ def _spread(df: DataFrame) -> DataFrame:
     well-partitioned input (≥ the cluster's parallelism) is passed through
     untouched — an unconditional repartition(defaultParallelism) would
     DOWN-partition a 100 TB input into a handful of giant partitions, the
-    opposite of its purpose. The partition count comes from the plan, not
-    a job."""
+    opposite of its purpose.
+
+    PRECONDITION: pass only narrow scan-rooted frames (scan/filter/project
+    — every in-repo call site). The probe is `df.rdd.getNumPartitions()`,
+    which is pure plan metadata for a narrow frame, but under AQE touching
+    `.rdd` on a plan that CONTAINS EXCHANGES materializes the upstream
+    query stages (runs real jobs). Composed inputs should be repartitioned
+    explicitly by the caller instead."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
@@ -166,7 +172,14 @@ def minhash_lsh_pairs(
     to their ``max_bucket`` smallest member ids (deterministic), bounding
     any single bucket's output at max_bucket²/2 pairs. For dedup that loses
     nothing of value: a bucket that large IS one duplicate cluster, and
-    capped members still pair with the cluster's keeper ids."""
+    capped members still pair with the cluster's keeper ids.
+
+    ORACLE CAVEAT: the dd2 DuckDB oracle does not mirror ``max_bucket``
+    (or its interaction with the first-colliding-band dedup below, which
+    drops a pair evicted from its first band's truncated bucket even if a
+    later band kept it). Cross-engine fixtures must therefore keep every
+    duplicate cluster below ``max_bucket`` members — true of all in-repo
+    fixtures by three orders of magnitude."""
     sig = minhash_signatures(docs, text_col, id_col, n_perms, shingle_k).select(
         id_col, F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
     )
@@ -252,7 +265,14 @@ def incremental_minhash_lsh_pairs(
     restriction of the full-corpus :func:`minhash_lsh_pairs` output:
     exactly its pairs that involve a new document (pinned by
     `test_incremental_lsh_matches_full_minus_old`). After the run, the
-    store advances by appending the new batch's signatures."""
+    store advances by appending the new batch's signatures.
+
+    PRECONDITION: store and new-batch ids are disjoint (a re-ingested id
+    is the caller's dedup-by-id problem, handled upstream by an anti-join
+    against the store). Defensively, (id, id) self-pairs arising from an
+    overlap are filtered here — identically to the join form
+    (:func:`incremental_lsh_pairs_join`), so the two forms stay
+    set-identical even on overlapping inputs."""
     new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perms, shingle_k)
 
     def prep(sigs: DataFrame, is_new: bool) -> DataFrame:
@@ -305,7 +325,11 @@ def incremental_minhash_lsh_pairs(
     )
     return (
         grouped.select("band_idx", F.explode(F.expr(pair_expr)).alias("p"))
-        .filter(F.col("p.keep") & F.expr(first_band))
+        .filter(
+            F.col("p.keep")
+            & (F.col("p.doc_a") != F.col("p.doc_b"))
+            & F.expr(first_band)
+        )
         .select("p.doc_a", "p.doc_b", "p.est_jaccard")
     )
 
@@ -355,8 +379,10 @@ def incremental_lsh_pairs_join(
       band locally (same `exists`-over-earlier-bands trick).
 
     Output is set-identical to `incremental_minhash_lsh_pairs` on the
-    same inputs (pinned by `test_incremental_join_form_matches_group_form`);
-    the group form's `max_bucket` safety cap has no equivalent here, so
+    same inputs (pinned by `test_incremental_join_form_matches_group_form`)
+    — including id-overlapping inputs, since both forms drop (id, id)
+    self-pairs; disjoint store/batch ids remain the documented contract.
+    The group form's `max_bucket` safety cap has no equivalent here, so
     degenerate mega-clusters should be capped upstream (keeper-only
     store) or via salting."""
     new_sigs = minhash_signatures(new_docs, text_col, id_col, n_perms, shingle_k)
@@ -597,16 +623,28 @@ def dedup_clusters(
     join producing neighbor contributions, unioned with the current
     labels and min-reduced per node — the union+groupBy form replaces
     the earlier join+agg+LEFT-JOIN round shape, one whole join (and its
-    exchange) fewer per round. Lineage is truncated every round with
-    `localCheckpoint` (iterative DataFrame joins otherwise stack plans
-    until planning time explodes — the standard Spark
-    iterative-algorithm discipline). Convergence: labels only ever
-    DECREASE, so the total label sum (exact DECIMAL(38,0) — immune to
-    int64 overflow at any node-id scale) is strictly monotone and
-    plateaus exactly at the fixed point; one tiny driver-side scalar per
-    round, the same deliberate control-plane read as the watermark
-    lookup. Raises RuntimeError if max_iter rounds don't converge (a
+    exchange) fewer per round. Label INIT is itself the first
+    propagation round for free: the edge list is symmetric, so
+    label₀ = min(node, min neighbor) is one plain groupBy over the
+    materialized edges — no join — and the loop starts one full
+    join+checkpoint round closer to the fixed point. Lineage is
+    truncated every round with `localCheckpoint` (iterative DataFrame
+    joins otherwise stack plans until planning time explodes — the
+    standard Spark iterative-algorithm discipline).
+
+    Convergence: labels only ever DECREASE, so for NUMERIC node ids the
+    total label sum (exact DECIMAL(38,0) — immune to int64 overflow at
+    any node-id scale) is strictly monotone and plateaus exactly at the
+    fixed point — one tiny driver-side scalar per round, the same
+    deliberate control-plane read as the watermark lookup. For
+    NON-NUMERIC ids (string doc ids) the decimal cast would yield NULL
+    and a NULL sum would falsely read as converged after one round, so
+    the operator dispatches ON THE ID TYPE: non-numeric ids use a
+    changed-label count (one extra label⋈label join per round, still
+    exact). Raises RuntimeError if max_iter rounds don't converge (a
     diameter that large means the input is not a near-dup graph)."""
+    from pyspark.sql.types import NumericType
+
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
@@ -616,15 +654,26 @@ def dedup_clusters(
         .localCheckpoint()
     )
     # No checkpoint for the initial labels: they derive from the already-
-    # materialized edges in one narrow projection, so lineage stays flat
-    # (round 1's checkpoint resets it anyway) and the loop starts one job
-    # earlier — measured ~20% off the whole clustering at bench scale.
+    # materialized edges in one shuffle (round 1's checkpoint resets the
+    # lineage anyway), and fusing round 1 into the init was measured one
+    # full join round cheaper than starting from label₀ = node.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("lbl"))
     )
-    prev_sum = None
+    numeric_ids = isinstance(edges.schema["a"].dataType, NumericType)
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Seed the convergence scalar from the init labels (one cheap 1-row
+    # aggregation) so a diameter-≤2 graph converges after a single loop
+    # round. The non-numeric path needs no seed: it compares each round's
+    # labels against the previous frame directly.
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         contrib = edges.join(labels, edges["b"] == labels["node"]).select(
             F.col("a").alias("node"), "lbl"
@@ -635,13 +684,22 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            prev = labels.select("node", F.col("lbl").alias("__prev"))
+            converged = (
+                new_labels.join(prev, "node")
+                .filter(F.col("lbl") != F.col("__prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if cur_sum == prev_sum:
+        if converged:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
-        prev_sum = cur_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")

@@ -222,6 +222,7 @@ def fold_incremental_lsh(
     batch_df: DataFrame,
     sig_store_path: str,
     pairs_out_path: str,
+    batch_id: int | None = None,
 ) -> None:
     """One micro-batch of the streaming dedup loop: near-dup-check the
     batch against the persisted MinHash signature store, append the
@@ -229,7 +230,20 @@ def fold_incremental_lsh(
     the batch's signatures. Only the batch ever pays signature cost; the
     store is the compact per-document state (id + 16 longs) a 100 TB
     deployment keeps. Factored out of the foreachBatch closure so tests
-    drive multiple batches through the EXACT production fold."""
+    drive multiple batches through the EXACT production fold.
+
+    IDEMPOTENCY: foreachBatch is at-least-once — a retried micro-batch
+    re-runs this fold after its writes may already have landed, and blind
+    appends would double both outputs (duplicate store signatures then
+    compound: they emit self-pairs and duplicate pairs on every later
+    batch). With ``batch_id`` given (the streaming path always passes
+    it), each output lands in a ``batch_id=N`` partition subdirectory
+    written with mode=overwrite — a redelivery replaces its own
+    partition instead of appending — and a batch whose signature
+    partition already committed (its ``_SUCCESS`` marker exists; the
+    signatures are written LAST, so that marker proves the pairs landed
+    too) is skipped outright. ``batch_id=None`` keeps the plain append
+    contract for non-streaming callers that manage delivery themselves."""
     import os
 
     from com_danliris_service_etl_spark.operators.dedup import (
@@ -238,6 +252,14 @@ def fold_incremental_lsh(
         minhash_signatures,
     )
 
+    sig_dst, pairs_dst, mode = sig_store_path, pairs_out_path, "append"
+    if batch_id is not None:
+        sig_dst = os.path.join(sig_store_path, f"batch_id={batch_id}")
+        pairs_dst = os.path.join(pairs_out_path, f"batch_id={batch_id}")
+        mode = "overwrite"
+        if os.path.exists(os.path.join(sig_dst, "_SUCCESS")):
+            return  # batch already fully folded — redelivery is a no-op
+
     sess = batch_df.sparkSession
     if os.path.exists(sig_store_path):
         store = sess.read.parquet(sig_store_path)
@@ -245,8 +267,8 @@ def fold_incremental_lsh(
     else:
         # first batch: no prior corpus — all pairs are batch-internal
         pairs = minhash_lsh_pairs(batch_df)
-    pairs.write.mode("append").parquet(pairs_out_path)
-    minhash_signatures(batch_df).write.mode("append").parquet(sig_store_path)
+    pairs.write.mode(mode).parquet(pairs_dst)
+    minhash_signatures(batch_df).write.mode(mode).parquet(sig_dst)
 
 
 def run_streaming_incremental_lsh(
@@ -257,11 +279,14 @@ def run_streaming_incremental_lsh(
     checkpoint_dir: str,
 ) -> None:
     """The nightly near-dup loop as a stream: `readStream(documents) →
-    foreachBatch(fold_incremental_lsh)`. Checkpoint + append-only outputs
-    give exactly-once per batch; across batches the emitted pair set
-    equals the full-corpus `minhash_lsh_pairs` (each pair appears in the
-    batch where its LATER document arrives — pinned by
-    `test_streaming_incremental_lsh_folds_to_full`)."""
+    foreachBatch(fold_incremental_lsh)`. Delivery is AT-LEAST-ONCE per
+    batch (the foreachBatch contract); end-to-end effectively-once comes
+    from the fold's idempotent per-batch_id partition writes — a
+    redelivered batch overwrites its own partition or no-ops if it
+    already committed (see `fold_incremental_lsh`). Across batches the
+    emitted pair set equals the full-corpus `minhash_lsh_pairs` (each
+    pair appears in the batch where its LATER document arrives — pinned
+    by `test_streaming_incremental_lsh_folds_to_full`)."""
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
@@ -269,7 +294,9 @@ def run_streaming_incremental_lsh(
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_incremental_lsh(batch_df, sig_store_path, pairs_out_path)
+        fold_incremental_lsh(
+            batch_df, sig_store_path, pairs_out_path, batch_id=batch_id
+        )
 
     q = (
         docs.writeStream.foreachBatch(_fold)

@@ -601,6 +601,25 @@ def test_dedup_clusters_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_string_ids(spark):
+    """Non-numeric (string) ids take the changed-label-count convergence
+    path: on a 6-chain the labels must propagate well past the init
+    round. The decimal-sum path would cast string labels to NULL, read
+    the NULL sum as an instant plateau, and return after one round with
+    the chain's tail mislabeled — the exact bug this test pins."""
+    from com_danliris_service_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
+        "x": "x", "y": "x",
+    }
+
+
 def test_quality_checks_detect_violations(spark):
     """Each constraint must actually fire: inject nulls, dupes,
     out-of-range values, and a dangling FK, and read the report."""

@@ -103,6 +103,42 @@ def test_streaming_incremental_lsh_folds_to_full(spark, tmp_path):
     assert spark.read.parquet(store).count() == docs.count()
 
 
+def test_streaming_incremental_lsh_redelivery_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a micro-batch (same
+    batch_id) must not double pairs or store signatures — a committed
+    batch no-ops, and the per-batch_id overwrite partition makes a
+    partial retry safe. The fold's output must still equal the
+    full-corpus pair set."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+    from com_danliris_service_etl_spark.streaming.jobs import fold_incremental_lsh
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs_out")
+
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    fold_incremental_lsh(b1, store, out, batch_id=0)
+    fold_incremental_lsh(b1, store, out, batch_id=0)  # redelivered
+    fold_incremental_lsh(b2, store, out, batch_id=1)
+    fold_incremental_lsh(b2, store, out, batch_id=1)  # redelivered
+
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+    # duplicates would show up as extra rows, not just extra set members
+    assert spark.read.parquet(out).count() == len(want)
+    assert spark.read.parquet(store).count() == docs.count()
+
+
 def test_streaming_incremental_lsh_job_runs(spark, tmp_path):
     """readStream wiring: the availableNow drain over the fixture emits the
     same pair set as the batch operator (single micro-batch here)."""
