@@ -1,7 +1,11 @@
 """Benchmark harness: runs the registry queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ..., "n_queries": N,
+"full": "BENCH_FULL.json"} — the printed queries dict holds the most
+expensive queries that fit the driver's 2000-char stdout capture window;
+the COMPLETE per-query record is written to BENCH_FULL.json alongside
+this script.
 
 Timing protocol (BASELINE.md): per-query wall-clock, MINIMUM of N warm runs
 (default 3, override BENCH_RUNS) — the minimum estimates the true cost
@@ -56,16 +60,40 @@ def main() -> int:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 4)
+        timings[name] = round(min(samples), 3)
 
-    out = {
-        "metric": "min wall-clock per registry query (3 warm runs), local Spark",
-        "value": round(sum(timings.values()), 4),
+    # The driver records only the last 2000 chars of stdout and json-parses
+    # the final line — rounds 2-3 exceeded that and lost their per-query
+    # record to front-truncation. 93 query names alone are ~1600 chars, so a
+    # complete {name: sec} line can NEVER fit; instead:
+    #   1. ALL timings go to BENCH_FULL.json next to this script (committed
+    #      repo evidence, not subject to the capture window);
+    #   2. stdout's final line is a compact JSON kept UNDER the window:
+    #      full aggregate + the most expensive queries' timings, filled
+    #      greedily by descending cost until the char budget is reached
+    #      (the cheap sub-0.1 s tail is the signal-free part to drop).
+    full = {
+        "metric": "min-of-3 warm wall-clock sec per registry query",
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf),
+        "queries": timings,
     }
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    budget = 1900  # headroom under the 2000-char capture window
+    shown: dict[str, float] = {}
+    out = dict(full, queries=shown, n_queries=len(timings), full="BENCH_FULL.json")
+    base_len = len(json.dumps(out, separators=(",", ":")))
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        entry_len = len(json.dumps({name: sec}, separators=(",", ":"))) - 1
+        if base_len + entry_len > budget:
+            break
+        shown[name] = sec
+        base_len += entry_len
+    print(json.dumps(out, separators=(",", ":")))
     return 0
 
 

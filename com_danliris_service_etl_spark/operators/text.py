@@ -332,19 +332,24 @@ def bm25_topk(
 
     Relational all the way down: tf is one map-side-combined (doc, term)
     shuffle (`_tf_rows` — the measured winner over shuffle-free row-local
-    forms), df/cf reduce those per-doc-unique rows with one
-    map-side-combinable (term) shuffle, corpus stats (N, avgdl) join as
-    a 1-row broadcast cross join, then a per-term top-k window. Hot
-    (stopword) terms are the skew risk — the query-term set is tiny and
-    broadcast, so only matching postings survive the semi-join before
-    the window."""
+    forms), MATERIALIZED ONCE (localCheckpoint) because every downstream
+    stage derives from it: document length is sum(tf) per doc — fused out
+    of what used to be a second full corpus scan — df/cf reduce the same
+    per-doc-unique rows with one map-side-combinable (term) shuffle,
+    corpus stats (N, avgdl) join as a 1-row broadcast cross join, then a
+    per-term top-k window. The checkpoint holds only the compact
+    (doc, term, tf) rows (MEMORY_AND_DISK — spills, never OOMs); at
+    corpus scale a deployment would persist the same tf relation to
+    storage, since three consumers re-deriving it is the alternative.
+    Hot (stopword) terms are the skew risk — the query-term set is tiny
+    and broadcast, so only matching postings survive the semi-join
+    before the window."""
     from pyspark.sql import Window
 
-    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc"))
-    doclen = docs.select(
-        F.col(id_col).alias("doc"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl"),
-    )
+    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc")).localCheckpoint()
+    # dl = Σ tf over the doc's terms ≡ size(split(text)) — same value, no
+    # second pass over the raw text (and the oracle mirrors this form).
+    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )

@@ -34,9 +34,8 @@ _BM25_SQL = """
     tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc, term),
     dfq AS (SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS cf
             FROM tf GROUP BY term),
-    doclen AS (SELECT doc_id AS doc,
-                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-               FROM documents),
+    doclen AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl
+               FROM tf GROUP BY doc),
     stats AS (SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
               FROM doclen),
     top_terms AS (SELECT term, df FROM dfq ORDER BY cf DESC, term LIMIT 3),
@@ -360,8 +359,20 @@ def g4_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g5: ordered funnel conversion over the event stream
 # ---------------------------------------------------------------------------
 
-_G5_SQL = """
-    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+# Skew guard, mirrored in both engines: only the first _G5_CAP events per
+# (user, step) can influence the greedy fold, so a bot/service account
+# with millions of events is truncated BEFORE any per-user array exists.
+_G5_CAP = 1000
+
+_G5_SQL = f"""
+    WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+    e AS (SELECT user_id, event_type, ts FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts) AS rn
+            FROM e0)
+          WHERE rn <= {_G5_CAP}),
     v AS (SELECT user_id, min(ts) AS v_ts FROM e
           WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, min(ts) AS c_ts FROM e JOIN v USING (user_id)
@@ -374,42 +385,69 @@ _G5_SQL = """
 """
 
 
+def _funnel_states(per_event: DataFrame, cap: int = _G5_CAP) -> DataFrame:
+    """(user_id, st{v,c,p}) funnel states from (user_id, code, ts) rows.
+
+    Skew bound: an unbounded `collect_list` per user is the classic
+    skewed-key OOM — one bot account with millions of events
+    materializes them all in a single aggregation buffer. Instead, rows
+    first pass a `row_number() ≤ cap` window per (user, code): the
+    window's sort is an EXTERNAL (disk-spilling) sort, so the heavy key
+    never lives in memory at once, and the fold's per-user array is then
+    ≤ 3·cap elements by construction. One exchange total: the explicit
+    `repartition(user_id)` satisfies the (user, code) window's
+    clustering requirement AND the groupBy's, so Catalyst inserts no
+    further shuffle (asserted in `test_plan_assertions`). Truncation is
+    exact whenever every (user, step) count is ≤ cap; past that it is a
+    documented approximation, mirrored expression-for-expression in the
+    oracle's row_number CTE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "code").orderBy("ts")
+    capped = (
+        per_event.repartition("user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+    )
+    return capped.groupBy("user_id").agg(
+        F.expr(
+            "aggregate("
+            "  array_sort(collect_list(struct(ts, code))),"
+            "  struct(CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c,"
+            "         CAST(NULL AS BIGINT) AS p),"
+            "  (s, e) -> struct("
+            "    CASE WHEN s.v IS NULL AND e.code = 1 THEN e.ts ELSE s.v END AS v,"
+            "    CASE WHEN s.c IS NULL AND s.v IS NOT NULL AND e.code = 2"
+            "              AND e.ts > s.v THEN e.ts ELSE s.c END AS c,"
+            "    CASE WHEN s.p IS NULL AND s.c IS NOT NULL AND e.code = 3"
+            "              AND e.ts > s.c THEN e.ts ELSE s.p END AS p))"
+        ).alias("st")
+    )
+
+
 @register("g5_funnel_conversion", _G5_SQL)
 def g5_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase, strictly increasing event
     times): how many users reach each step. ONE shuffle: funnel-relevant
-    events group per user, sort row-locally, and an `aggregate` fold
-    walks the sequence as a tiny state machine (first view, first click
-    after it, first purchase after that — greedy-earliest matching,
-    which is optimal for subsequence existence). The oracle states the
-    same semantics relationally (three conditional min-aggregations);
-    two independent formulations agreeing is the pin. At 100 TB the fold
-    form wins: the relational form re-shuffles the event table once per
-    funnel step."""
+    events repartition per user, a bounded per-(user, step) window caps
+    skewed accounts (`_funnel_states` — external sort, never an unbounded
+    aggregation buffer), and an `aggregate` fold walks the capped
+    sequence as a tiny state machine (first view, first click after it,
+    first purchase after that — greedy-earliest matching, which is
+    optimal for subsequence existence). The oracle states the same
+    semantics relationally (three conditional min-aggregations over the
+    same capped rows); two independent formulations agreeing is the pin.
+    At 100 TB the fold form wins: the relational form re-shuffles the
+    event table once per funnel step."""
     ev = _events(spark, sf_dir)
     code = (
         F.when(F.col("event_type") == "view", 1)
         .when(F.col("event_type") == "click", 2)
         .when(F.col("event_type") == "purchase", 3)
     )
-    per_user = (
+    per_user = _funnel_states(
         ev.select("user_id", code.alias("code"), F.col("ts_us").alias("ts"))
         .filter(F.col("code").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.expr(
-                "aggregate("
-                "  array_sort(collect_list(struct(ts, code))),"
-                "  struct(CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c,"
-                "         CAST(NULL AS BIGINT) AS p),"
-                "  (s, e) -> struct("
-                "    CASE WHEN s.v IS NULL AND e.code = 1 THEN e.ts ELSE s.v END AS v,"
-                "    CASE WHEN s.c IS NULL AND s.v IS NOT NULL AND e.code = 2"
-                "              AND e.ts > s.v THEN e.ts ELSE s.c END AS c,"
-                "    CASE WHEN s.p IS NULL AND s.c IS NOT NULL AND e.code = 3"
-                "              AND e.ts > s.c THEN e.ts ELSE s.p END AS p))"
-            ).alias("st")
-        )
     )
     return per_user.agg(
         F.count("st.v").alias("n_view"),

@@ -43,6 +43,10 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (app_id, start, sf_dir, table)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        # Evict dead sessions' handles so the cache is bounded by the
+        # LIVE session's (dir, table) working set, not process history.
+        for k in [k for k in _TABLE_CACHE if k[:2] != (app_id, start)]:
+            del _TABLE_CACHE[k]
         if table == "events":
             # Footer-driven dispatch (sources/events_meta.py): only a
             # legacy TIMESTAMP(NANOS) fixture needs the nanosAsLong conf;
@@ -86,6 +90,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_olap,
         queries_pipeline,
         queries_round3,
+        queries_round4,
         queries_scalars,
         queries_streaming,
     )

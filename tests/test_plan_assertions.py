@@ -196,6 +196,58 @@ def test_nest_children_unique_path_single_shuffle(spark):
     assert "Join" not in plan, plan
 
 
+def test_funnel_states_single_data_exchange(spark):
+    """g5's capped funnel fold: the explicit user_id repartition must be
+    the ONLY data shuffle — the (user, code) cap window and the per-user
+    groupBy both reuse hashpartitioning(user_id). The cap itself must
+    survive as a rank limit so skewed accounts never reach the fold
+    uncapped."""
+    from com_danliris_service_etl_spark.plans.queries_round3 import _funnel_states
+    from com_danliris_service_etl_spark.plans.registry import _events
+
+    ev = _events(spark, SF)
+    per_event = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .alias("code"),
+        F.col("ts_us").alias("ts"),
+    ).filter(F.col("code").isNotNull())
+    plan = _plan(_funnel_states(per_event, cap=1000))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_funnel_states_bounded_heavy_user(spark):
+    """A bot account with 100k funnel events must (a) run through the
+    capped fold without an unbounded per-user buffer and (b) still count
+    correctly: its first view/click/purchase triple is inside the cap, so
+    truncation is exact here."""
+    from pyspark.sql import Row
+
+    from com_danliris_service_etl_spark.plans.queries_round3 import _funnel_states
+
+    heavy = spark.range(100_000).select(
+        F.lit(7).alias("user_id"),
+        # codes cycle 1,2,3 so the funnel completes immediately; ts strictly
+        # increasing so ordering is deterministic
+        (F.col("id") % 3 + 1).cast("int").alias("code"),
+        (F.col("id") + 1).alias("ts"),
+    )
+    light = spark.createDataFrame(
+        [Row(user_id=8, code=1, ts=5), Row(user_id=8, code=3, ts=6)]
+    )
+    out = {
+        r.user_id: (r.st.v, r.st.c, r.st.p)
+        for r in _funnel_states(heavy.unionByName(light), cap=50).collect()
+    }
+    # heavy user: view@1, click@2, purchase@3; light user: view only
+    assert out[7] == (1, 2, 3)
+    assert out[8] == (5, None, None)
+
+
 def test_ivf_topk_query_filter_single_assignment(spark):
     """sim4's query_filter path quantizes the corpus ONCE: both join sides
     derive from the materialized assignment, so the plan contains exactly
