@@ -645,6 +645,14 @@ def dedup_clusters(
     diameter that large means the input is not a near-dup graph)."""
     from pyspark.sql.types import NumericType
 
+    # The symmetric edges union references `pairs` TWICE: without a
+    # materialization barrier the caller's whole pair pipeline (LSH
+    # self-join, signature hashing, …) would execute once per branch.
+    # LAZY checkpoint: the edges-checkpoint job below materializes it
+    # exactly once, and a caller-side already-checkpointed input only
+    # pays a narrow re-persist (A/B: wins at bench scale, structural 2×
+    # on the pair pipeline at corpus scale).
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
@@ -678,11 +686,15 @@ def dedup_clusters(
         contrib = edges.join(labels, edges["b"] == labels["node"]).select(
             F.col("a").alias("node"), "lbl"
         )
+        # LAZY checkpoint: the convergence probe right below is the
+        # round's first action, so it materializes the checkpoint as a
+        # side effect — one job per round instead of an eager-checkpoint
+        # job plus the probe's (A/B'd: same results, fewer jobs).
         new_labels = (
             labels.unionByName(contrib)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric_ids:
             cur_sum = _label_sum(new_labels)
