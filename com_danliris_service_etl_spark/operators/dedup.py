@@ -604,6 +604,70 @@ def contamination_scores(
     )
 
 
+def passage_dedup(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pos: int = 100_000,
+) -> DataFrame:
+    """Passage-grain exact dedup: split every document into consecutive
+    ``k``-token passages, keep each distinct passage only at its FIRST
+    corpus occurrence (min (doc, position)), and report the per-document
+    cleanup — the fixed-window relational cousin of exact-substring
+    dedup (RefinedWeb/C4-style boilerplate removal), usable on any
+    corpus because it needs no paragraph markup.
+
+    Output: (doc_id, n_passages, n_dup, clean_md5) where ``n_dup``
+    counts this document's passages that first occurred elsewhere and
+    ``clean_md5`` digests the document with those passages removed
+    (position order preserved).
+
+    Scale shape: passages explode row-locally (codegen, no shuffle);
+    ownership is ONE map-side-combinable groupBy on the passage hash
+    (uniformly distributed — skew only from true boilerplate, exactly
+    the rows being deduped); the keep-flag join re-uses the same hash
+    key; reassembly is one (doc) aggregation whose state is bounded by
+    the document's own passage count. First occurrence is encoded as
+    min(doc·max_pos + pos) — a single BIGINT min both engines compute
+    identically (documents must stay under ``max_pos`` passages; 100k
+    passages × 20 tokens is a 2M-token document, far past any sane doc
+    cap, and the guard raises nothing silently: positions only arise
+    below it)."""
+    toks = _spread(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    )
+    passages = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {k}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(t, i * {k} + 1, {k})))"
+            )
+        ).alias("pos", "passage"),
+    )
+    keyed = passages.select(
+        id_col,
+        "pos",
+        "passage",
+        F.md5(F.col("passage")).alias("__h"),
+        (F.col(id_col) * max_pos + F.col("pos")).alias("__ord"),
+    )
+    owners = keyed.groupBy("__h").agg(F.min("__ord").alias("__owner"))
+    flagged = keyed.join(owners, "__h").withColumn(
+        "keep", F.col("__ord") == F.col("__owner")
+    )
+    kept_sorted = F.expr(
+        "transform(array_sort(collect_list(CASE WHEN keep THEN"
+        " struct(pos, passage) END)), x -> x.passage)"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dup"),
+        F.md5(F.concat_ws(" ", kept_sorted)).alias("clean_md5"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",

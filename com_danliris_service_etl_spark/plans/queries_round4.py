@@ -113,6 +113,52 @@ _SK2_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# dd8: passage-grain exact dedup (operators/dedup.py::passage_dedup)
+# ---------------------------------------------------------------------------
+
+_DD8_K = 20
+_DD8_MAXPOS = 100_000
+
+_DD8_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    passages AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i * {_DD8_K} + 1):((i + 1) * {_DD8_K})], ' ') AS passage
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(t) / {_DD8_K}.0) AS BIGINT))) AS r(i)),
+    keyed AS (
+      SELECT doc_id, pos, passage, md5(passage) AS h,
+             doc_id * {_DD8_MAXPOS} + pos AS ord
+      FROM passages),
+    owners AS (SELECT h, min(ord) AS owner FROM keyed GROUP BY h),
+    flagged AS (
+      SELECT k.doc_id, k.pos, k.passage, (k.ord = o.owner) AS keep
+      FROM keyed k JOIN owners o USING (h))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_passages,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+           md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
+                          FILTER (WHERE keep), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register("dd8_passage_dedup", _DD8_SQL)
+def dd8_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-grain exact dedup (`operators/dedup.py::passage_dedup`):
+    every 20-token window kept only at its first corpus occurrence; the
+    per-document report carries the count of boilerplate passages
+    removed and an md5 of the cleaned text. One uniform hash groupBy +
+    one same-key join + one per-doc reassembly — the fixed-window
+    relational form of RefinedWeb-style exact-substring dedup."""
+    from com_danliris_service_etl_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(
+        _t(spark, sf_dir, "documents"), k=_DD8_K, max_pos=_DD8_MAXPOS
+    )
+
+
 @register("sk2_salted_aggregate", _SK2_SQL)
 def sk2_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted aggregation (operators/skew.py::salted_aggregate) over

@@ -620,6 +620,34 @@ def test_dedup_clusters_string_ids(spark):
     }
 
 
+def test_passage_dedup_known_corpus(spark):
+    """Injected duplicate windows: doc 2 repeats doc 1's first 3-token
+    passage (dropped — doc 1 owns it), doc 1 repeats its own passage at a
+    later position (dropped — earlier position owns it), and unique
+    passages survive. clean_md5 must equal md5 of the kept passages
+    joined in position order."""
+    import hashlib
+
+    from com_danliris_service_etl_spark.operators.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z a b c"),      # passages: "a b c", "x y z", "a b c"(dup)
+            (2, "a b c q r s"),            # "a b c"(dup of doc1), "q r s"
+            (3, "u v w"),                  # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_passages, r.n_dup, r.clean_md5)
+        for r in passage_dedup(docs, k=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (3, 1, md5("a b c x y z"))
+    assert got[2] == (2, 1, md5("q r s"))
+    assert got[3] == (1, 0, md5("u v w"))
+
+
 def test_quality_checks_detect_violations(spark):
     """Each constraint must actually fire: inject nulls, dupes,
     out-of-range values, and a dangling FK, and read the report."""
