@@ -107,6 +107,13 @@ _RECORD_LAST = [
     # dd8 carries pytest oracle-parity at sf0.001/0.01 this round and
     # rotates into _PRIORITY for its first driver row in round 5.
     "dd8_passage_dedup",
+    # Same story for the other queries REGISTERED this round: all four are
+    # driver_sim-green at sf0.01 this session and take their first driver
+    # rows in round 5.
+    "txt9_unigram_logprob",
+    "llm9_textual_neardup",
+    "g6_path_transitions",
+    "st5_dedup_stats",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

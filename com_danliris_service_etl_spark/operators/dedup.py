@@ -779,3 +779,69 @@ def dedup_clusters(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
     raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+
+
+def exact_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    thresh_num: int = 19,
+    thresh_den: int = 20,
+) -> DataFrame:
+    """EXACT-Jaccard verification of LSH candidate pairs — the second
+    stage of the canonical near-dup pipeline (candidate generation is
+    probabilistic; the delete decision should not be). For each candidate
+    (doc_a, doc_b): J = |Sₐ∩S_b| / |Sₐ∪S_b| over the docs' DISTINCT
+    word-``shingle_k``-shingle sets, with the keep decision evaluated in
+    EXACT integer arithmetic — ``den·inter ≥ num·union`` — so no float
+    ever decides a deletion (τ = thresh_num/thresh_den, default 0.95).
+
+    Scale shape: the expensive exact set intersection runs ONLY over the
+    candidate set, never all-pairs — shingles are first semi-joined down
+    to docs that appear in a candidate pair (at corpus scale the
+    candidate side is orders of magnitude smaller than the corpus), then
+    the intersection is one equi-join on (doc_b, shingle) against the
+    pair-fanned (doc_a, doc_b, shingle) rows and one (doc_a, doc_b)
+    count — every shuffle keyed on ids/hashes, skew bounded by the true
+    duplicate-cluster sizes the LSH stage already capped (max_bucket).
+
+    Emits (doc_a, doc_b, inter, union, exact_jaccard ROUNDED 6 for
+    reporting, verified) — downstream clustering consumes ``verified``."""
+    ids_a = pairs.select(F.col("doc_a").alias(id_col))
+    ids_b = pairs.select(F.col("doc_b").alias(id_col))
+    cand_ids = ids_a.union(ids_b)
+    sh = (
+        _shingles(docs, text_col, id_col, k=shingle_k)
+        .join(cand_ids.distinct(), id_col, "left_semi")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    p = pairs.select("doc_a", "doc_b")
+    inter = (
+        p.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    un = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        p.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            un.cast("long").alias("union"),
+            F.round(F.col("inter") / un, 6).alias("exact_jaccard"),
+            (F.col("inter") * thresh_den >= un * thresh_num).alias("verified"),
+        )
+    )

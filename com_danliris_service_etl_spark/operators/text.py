@@ -382,3 +382,61 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("term", "doc", "tf", "bm25", "rank")
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low: float = -4.0,
+    high: float = -3.0,
+) -> DataFrame:
+    """CCNet-style language-model quality score, with the corpus itself as
+    the LM: train a unigram model (token → count / corpus total) in one
+    pass, then score every document by its mean token log-probability.
+    Documents far below the corpus-typical logprob are gibberish /
+    boilerplate candidates; far above are degenerate repetitions of the
+    most common tokens — the ``lm_band`` column buckets docs into
+    keep/review/drop bands on the (low, high) thresholds, the shape the
+    real pipeline's perplexity filter takes (CCNet trains on Wikipedia;
+    self-training is the bootstrap variant when no reference corpus
+    exists).
+
+    Scale shape: tf is the one map-side-combined (doc, term) shuffle
+    shared with tfidf/bm25 (`_tf_rows`); the vocabulary reduces those
+    per-doc-unique rows with a second map-side-combinable (term) shuffle
+    and BROADCASTS back onto the tf rows (a unigram vocab is ~10⁶ rows at
+    any corpus size — always broadcastable); the corpus token total joins
+    as a 1-row broadcast. Per-doc reassembly is the final (doc) shuffle.
+    No stage ever holds more than the compact (doc, term, tf) relation.
+
+    Cross-engine determinism: per-term ln() is rounded to 6 decimals
+    BEFORE the per-doc sum (ulp-level libm differences cannot survive),
+    and the mean is re-rounded to 4 — the convention every float-summing
+    query in this repo uses (see st1/BASELINE.md)."""
+    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    logp = F.round(F.log(F.col("cnt") / F.col("__total")), 6)
+    mean_lp = F.round(
+        F.sum(F.col("tf") * F.col("__logp")) / F.sum("tf"), 4
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__logp", logp)
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            mean_lp.alias("mean_logprob"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "mean_logprob",
+            F.when(F.col("mean_logprob") < low, F.lit("drop"))
+            .when(F.col("mean_logprob") > high, F.lit("review"))
+            .otherwise(F.lit("keep"))
+            .alias("lm_band"),
+        )
+    )

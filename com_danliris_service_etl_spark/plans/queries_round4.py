@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from com_danliris_service_etl_spark.operators.skew import salted_aggregate
-from com_danliris_service_etl_spark.plans.registry import _t, register
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
 from com_danliris_service_etl_spark.sources.sinks import merge_upsert
 
 # ---------------------------------------------------------------------------
@@ -176,4 +176,207 @@ def sk2_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_qty": ("l_quantity", "max"),
         },
         n_salts=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt9: corpus-self-trained unigram-LM quality score (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# Band thresholds sit at the fixture's p5/p95 so both bands are non-vacuous
+# in the driver run; the operator itself takes arbitrary thresholds.
+_TXT9_LOW = -3.42
+_TXT9_HIGH = -3.39
+
+_TXT9_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             round(sum(tf.tf * round(ln(v.cnt / t.total), 6)) / sum(tf.tf), 4)
+               AS mean_logprob
+      FROM tf JOIN vocab v USING (term) CROSS JOIN tot t
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_tokens, mean_logprob,
+           CASE WHEN mean_logprob < {_TXT9_LOW} THEN 'drop'
+                WHEN mean_logprob > {_TXT9_HIGH} THEN 'review'
+                ELSE 'keep' END AS lm_band
+    FROM scored
+"""
+
+
+@register("txt9_unigram_logprob", _TXT9_SQL)
+def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, self-trained on the corpus
+    (`operators/text.py::unigram_logprob_scores`): one pass trains the
+    unigram model, a broadcast joins it back, and every document gets a
+    mean-token-logprob plus a keep/review/drop band. The per-term ln() is
+    rounded BEFORE the per-doc sum so libm ulp differences cannot cross
+    engines; the band thresholds compare the rounded-4 mean, so the CASE
+    is deterministic wherever the score is."""
+    from com_danliris_service_etl_spark.operators.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), low=_TXT9_LOW, high=_TXT9_HIGH
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm9: textual near-dup funnel — LSH candidates → EXACT-Jaccard verify →
+#       clusters → per-doc verdict (the lexical twin of llm7's semantic path)
+# ---------------------------------------------------------------------------
+
+
+def _textual_neardup_sql(thresh_num: int = 19, thresh_den: int = 20) -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE cand AS ({_minhash_sql()}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+              GROUP BY c.doc_a, c.doc_b),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c LEFT JOIN inter i USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE COALESCE(i.i, 0) * {thresh_den}
+            >= (sa.n + sb.n - COALESCE(i.i, 0)) * {thresh_num}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@register("llm9_textual_neardup", _textual_neardup_sql())
+def llm9_textual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LEXICAL near-dup funnel, end-to-end: MinHash+LSH candidate
+    pairs (`dd2`, probabilistic) → EXACT-Jaccard verification over the
+    candidates only (`operators/dedup.py::exact_jaccard_verify`, integer
+    threshold 19/20 = 0.95 — no float decides a deletion) → connected
+    components (`dedup_clusters`) → per-document verdict (cluster id +
+    keeper flag). The lexical twin of llm7's semantic funnel: candidate
+    generation is cheap-and-recall-oriented, the delete decision is
+    exact, and the expensive set intersection touches only the candidate
+    set — the three-stage shape every production dedup run takes."""
+    from com_danliris_service_etl_spark.operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_pairs(docs)
+    ver = dd.exact_jaccard_verify(docs, cands, thresh_num=19, thresh_den=20)
+    edges = ver.filter(F.col("verified")).select("doc_a", "doc_b")
+    clusters = dd.dedup_clusters(edges, id_a="doc_a", id_b="doc_b")
+    cl = clusters.select(
+        F.col("doc_id").alias("__id"), F.col("cluster_id").alias("__cl")
+    )
+    return (
+        docs.select(F.col("doc_id"))
+        .join(cl, F.col("doc_id") == F.col("__id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__cl"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("__cl"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g6: event path transitions (Sankey / next-step analysis)
+# ---------------------------------------------------------------------------
+
+_G6_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions,
+           count(DISTINCT user_id) AS n_users
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+
+@register("g6_path_transitions", _G6_SQL)
+def g6_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event path-transition matrix (the Sankey / "what do users do
+    next" analytic): per-user event sequences ordered by (event time,
+    event id), lag-paired into (prev → next) bigrams, counted globally
+    with the distinct-user reach per transition. One shuffle on user_id
+    for the window (every per-user sequence stays inside one partition),
+    then map-side-combinable aggregation on the tiny (prev, next) matrix;
+    the distinct-user count re-keys on (prev, next, user) — uniform,
+    bounded by the matrix size × active users. All-integer output: zero
+    float risk."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# st5: exact-dedup monitoring stats (streaming pre-agg + batch finalize)
+# ---------------------------------------------------------------------------
+
+_ST5_SQL = """
+    WITH g AS (SELECT source, md5(text) AS h, count(*) AS n
+               FROM documents GROUP BY source, md5(text))
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_unique,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup,
+           CAST(max(n) AS BIGINT) AS max_group
+    FROM g GROUP BY source
+"""
+
+
+@register("st5_dedup_stats", _ST5_SQL)
+def st5_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication monitoring: digest-grain pre-agg →
+    per-source finalize (docs, uniques, dups, largest dup group). This is
+    the BATCH twin of `streaming/jobs.py::run_streaming_dedup_stats`,
+    which maintains the same (source, digest) counts as Structured
+    Streaming state and finalizes per micro-batch — the live corpus-
+    ingest monitor; tests/test_streaming.py pins stream ≡ batch. Both
+    shuffles are map-side-combinable; the digest key is uniform by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source", F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup"),
+        F.max("n").cast("long").alias("max_group"),
     )

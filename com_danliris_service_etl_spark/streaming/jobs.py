@@ -366,3 +366,63 @@ def run_streaming_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact-dedup monitoring (st5's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def documents_schema() -> T.StructType:
+    """Explicit readStream schema for the documents fixture (its physical
+    layout has been stable across generations — unlike events' ts)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
+def run_streaming_dedup_stats(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_stats_stream"
+) -> DataFrame:
+    """Live corpus-ingest duplication monitor: maintain (source, digest)
+    counts as Structured Streaming state over the document stream, then
+    finalize the per-source profile (docs / uniques / dups / max group)
+    in batch over the state table. The streaming stage is ONE
+    map-side-combinable stateful aggregation — state is one row per
+    distinct (source, digest), the minimum any exact-dedup monitor can
+    hold — and the finalize runs over the compact state, never the raw
+    stream. Batch twin: `plans/queries_round4.py::st5_dedup_stats`;
+    tests/test_streaming.py pins stream ≡ batch.
+
+    (Chained streaming aggregations are unsupported, which is why the
+    per-source finalize is a batch query over the in-memory sink — on a
+    cluster the same finalize reads the state-backed compacted sink.)"""
+    raw = (
+        spark.readStream.schema(documents_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    g = raw.groupBy("source", F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        g.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.table(query_name)
+    return state.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup"),
+        F.max("n").cast("long").alias("max_group"),
+    )

@@ -1,0 +1,103 @@
+"""Unit tests for the round-4 session-2 operators: unigram-LM quality
+scores, exact-Jaccard verification of LSH candidates, path transitions,
+and the streaming dedup-stats twin."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators.dedup import (
+    exact_jaccard_verify,
+    minhash_lsh_pairs,
+)
+from com_danliris_service_etl_spark.operators.text import unigram_logprob_scores
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: a×3, b×1 → p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame([(1, "a a b"), (2, "a")], _DOC_SCHEMA)
+    rows = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    lpa = round(math.log(3 / 4), 6)
+    lpb = round(math.log(1 / 4), 6)
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 1
+    assert rows[1].mean_logprob == round((2 * lpa + lpb) / 3, 4)
+    assert rows[2].mean_logprob == round(lpa, 4)
+
+
+def test_unigram_logprob_bands(spark):
+    # uniform 4-token vocab: every doc's mean is ln(1/4) ≈ -1.3863
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "a c")], _DOC_SCHEMA
+    )
+    out = unigram_logprob_scores(docs, low=-1.5, high=-1.0).collect()
+    assert all(r.lm_band == "keep" for r in out)
+    out = unigram_logprob_scores(docs, low=-1.0, high=0.0).collect()
+    assert all(r.lm_band == "drop" for r in out)
+
+
+def test_exact_jaccard_verify_hand_computed(spark):
+    # doc 1/2: identical → J=1; doc 3: shares 2 of its 3 shingles with 4
+    docs = spark.createDataFrame(
+        [
+            (1, "w x y z"),
+            (2, "w x y z"),
+            (3, "p q r s t"),
+            (4, "p q r s u"),
+        ],
+        _DOC_SCHEMA,
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    rows = {(r.doc_a, r.doc_b): r for r in exact_jaccard_verify(docs, pairs).collect()}
+    r12 = rows[(1, 2)]
+    assert (r12.inter, r12.union, r12.exact_jaccard, r12.verified) == (2, 2, 1.0, True)
+    # doc 3 shingles {pqr,qrs,rst}, doc 4 {pqr,qrs,rsu} → inter 2, union 4
+    r34 = rows[(3, 4)]
+    assert (r34.inter, r34.union, r34.verified) == (2, 4, False)
+    assert r34.exact_jaccard == 0.5
+
+
+def test_exact_jaccard_verify_zero_overlap_pair(spark):
+    # a candidate pair with no shared shingles must survive with inter=0,
+    # not be dropped by the intersection join
+    docs = spark.createDataFrame([(1, "a b c"), (2, "x y z")], _DOC_SCHEMA)
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    (r,) = exact_jaccard_verify(docs, pairs).collect()
+    assert (r.inter, r.union, r.exact_jaccard, r.verified) == (0, 2, 0.0, False)
+
+
+def test_funnel_verify_rejects_sub_threshold_candidates(spark):
+    # two exact dups + one 0.5-Jaccard near-dup: LSH may propose all
+    # pairs, verification must keep only the exact pair
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox leaps over a lazy cat today"),
+        ],
+        _DOC_SCHEMA,
+    )
+    cands = minhash_lsh_pairs(docs)
+    ver = exact_jaccard_verify(docs, cands, thresh_num=19, thresh_den=20)
+    kept = {(r.doc_a, r.doc_b) for r in ver.filter(F.col("verified")).collect()}
+    assert kept == {(1, 2)}
+
+
+def test_streaming_dedup_stats_matches_batch(spark, tmp_path):
+    from com_danliris_service_etl_spark.plans.queries_round4 import st5_dedup_stats
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_dedup_stats,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in st5_dedup_stats(spark, sf_dir).collect()}
+    stream = {
+        tuple(r)
+        for r in run_streaming_dedup_stats(
+            spark, sf_dir, query_name="t_dedup_stats"
+        ).collect()
+    }
+    assert batch == stream and len(batch) > 0
