@@ -808,17 +808,26 @@ def exact_jaccard_verify(
     duplicate-cluster sizes the LSH stage already capped (max_bucket).
 
     Emits (doc_a, doc_b, inter, union, exact_jaccard ROUNDED 6 for
-    reporting, verified) — downstream clustering consumes ``verified``."""
-    ids_a = pairs.select(F.col("doc_a").alias(id_col))
-    ids_b = pairs.select(F.col("doc_b").alias(id_col))
+    reporting, verified) — downstream clustering consumes ``verified``.
+
+    MATERIALIZATION: the candidate pair set is referenced four times below
+    (id extraction, fanout, intersection, final join) and its producer is
+    typically the whole MinHash+LSH pipeline — without a checkpoint that
+    pipeline would execute once PER REFERENCE. The pairs (2 ids + score)
+    and the candidate docs' distinct shingles (bounded by the candidate
+    set, not the corpus) are localCheckpointed — exactly what a
+    production run persists between its candidate and verify stages."""
+    p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    ids_a = p.select(F.col("doc_a").alias(id_col))
+    ids_b = p.select(F.col("doc_b").alias(id_col))
     cand_ids = ids_a.union(ids_b)
     sh = (
         _shingles(docs, text_col, id_col, k=shingle_k)
         .join(cand_ids.distinct(), id_col, "left_semi")
         .distinct()
+        .localCheckpoint()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    p = pairs.select("doc_a", "doc_b")
     inter = (
         p.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .join(
