@@ -114,6 +114,7 @@ _RECORD_LAST = [
     "llm9_textual_neardup",
     "g6_path_transitions",
     "st5_dedup_stats",
+    "pk3_balanced_shards",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

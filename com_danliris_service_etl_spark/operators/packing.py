@@ -130,3 +130,53 @@ def chunk_documents(
         F.size(piece).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced output sharding: assign every document to one of
+    ``n_shards`` output shards so shard TOKEN totals stay balanced even
+    under heavy doc-length skew — the property a training job needs from
+    its input files (equal-token shards ⇒ equal step counts per reader;
+    hash-sharding balances doc COUNTS, which skewed lengths break).
+
+    Deterministic sorted round-robin (longest-first): global rank by
+    (n_tokens DESC, id) — each consecutive group of ``n_shards`` ranks
+    drops exactly one doc per shard, so after every round the totals
+    differ by at most that round's intra-round spread, and sorting makes
+    later rounds' spreads monotonically small (the classic LPT-style
+    bound). Assignment is a pure function of the corpus content: same
+    input ⇒ same shards, on any engine and any partitioning.
+
+    Scale shape: the global rank is `surrogate_key_distributed` — a range
+    shuffle materialized once + per-partition parallel row_number with
+    driver-side offsets (tiny per-partition count rows), NEVER a global
+    single-partition window. The per-shard manifest is one map-side-
+    combinable aggregation on the n_shards-valued key."""
+    sized = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    from com_danliris_service_etl_spark.operators.windows import (
+        surrogate_key_distributed,
+    )
+
+    ranked = surrogate_key_distributed(
+        sized,
+        [F.col("n_tokens").desc(), F.col(id_col)],
+        out_col="__rank",
+    )
+    return (
+        ranked.withColumn("shard", ((F.col("__rank") - 1) % n_shards).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+        )
+    )

@@ -380,3 +380,45 @@ def st5_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup"),
         F.max("n").cast("long").alias("max_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pk3: token-balanced output shards (sorted round-robin by global rank)
+# ---------------------------------------------------------------------------
+
+_PK3_SHARDS = 8
+
+_PK3_SQL = f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM sized)
+    SELECT CAST((rnk - 1) % {_PK3_SHARDS} AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           max(n_tokens) AS max_doc_tokens,
+           min(n_tokens) AS min_doc_tokens
+    FROM ranked GROUP BY 1
+"""
+
+
+@register("pk3_balanced_shards", _PK3_SQL)
+def pk3_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training shards
+    (`operators/packing.py::token_balanced_shards`): longest-first sorted
+    round-robin over a DISTRIBUTED global rank (range shuffle + per-
+    partition offsets — no single-partition window), so shard token
+    totals stay level under doc-length skew. The oracle states the same
+    assignment with a plain window rank; equality pins that the
+    distributed rank is exactly the global one (A4's twin invariant, at
+    the pk grain)."""
+    from com_danliris_service_etl_spark.operators.packing import (
+        token_balanced_shards,
+    )
+
+    return token_balanced_shards(
+        _t(spark, sf_dir, "documents"), n_shards=_PK3_SHARDS
+    )

@@ -263,3 +263,41 @@ def test_ivf_topk_query_filter_single_assignment(spark):
     # not two copies of the quantization pipeline
     assert plan.count("Scan ExistingRDD") >= 1, plan
     assert "aggregate(" not in plan.split("Scan ExistingRDD")[0], plan
+
+
+def test_unigram_logprob_vocab_joins_broadcast(spark):
+    """txt9: the unigram model join and the corpus-total join must both be
+    broadcasts — the corpus-sized tf relation is never shuffled to meet
+    the (always-broadcastable) vocabulary."""
+    from com_danliris_service_etl_spark.operators.text import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_logprob_scores(docs))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exact_jaccard_verify_no_cartesian(spark):
+    """llm9's verification stage: every join is an equi-join (semi on the
+    candidate ids, hash on (doc, shingle)) — no cartesian product may
+    appear anywhere in the verification plan."""
+    from com_danliris_service_etl_spark.operators.dedup import exact_jaccard_verify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    plan = _plan(exact_jaccard_verify(docs, pairs))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_path_transitions_single_data_exchange(spark):
+    """g6: one shuffle moves event DATA (the user_id window partitioning);
+    the post-window aggregations re-key only the tiny transition-matrix
+    partials."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["g6_path_transitions"][0](spark, SF))
+    # window partition exchange + distinct-count expand re-keys; no join,
+    # no cartesian, and exactly one Sort (the per-user window order)
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert plan.count("Window (") == 1, plan

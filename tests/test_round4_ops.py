@@ -101,3 +101,24 @@ def test_streaming_dedup_stats_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_token_balanced_shards_balance_bound(spark):
+    from com_danliris_service_etl_spark.operators.packing import (
+        token_balanced_shards,
+    )
+
+    # skewed lengths: one giant doc + many small ones
+    rows = [(0, " ".join(["w"] * 500))] + [
+        (i, " ".join(["w"] * (10 + i % 7))) for i in range(1, 101)
+    ]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    out = token_balanced_shards(docs, n_shards=4).collect()
+    assert len(out) == 4 and sum(r.n_docs for r in out) == 101
+    totals = sorted(r.shard_tokens for r in out)
+    # sorted round-robin: spread bounded by the largest doc (coarse LPT
+    # bound); hash-sharding by count would let the giant doc double a shard
+    assert totals[-1] - totals[0] <= 500
+    # deterministic: same input -> same manifest
+    again = token_balanced_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
