@@ -115,6 +115,7 @@ _RECORD_LAST = [
     "g6_path_transitions",
     "st5_dedup_stats",
     "pk3_balanced_shards",
+    "o5_zorder_key",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

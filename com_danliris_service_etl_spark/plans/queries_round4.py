@@ -422,3 +422,49 @@ def pk3_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_balanced_shards(
         _t(spark, sf_dir, "documents"), n_shards=_PK3_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# o5: Z-order (Morton) clustering key — the layout primitive behind
+#     multi-dimensional data skipping (write_zordered uses it verbatim)
+# ---------------------------------------------------------------------------
+
+_O5_BITS = 8
+
+def _zorder_sql(bits: int = _O5_BITS) -> str:
+    nb = float(1 << bits)
+    terms = " + ".join(
+        f"((bx >> {i}) & 1) * {1 << (2 * i + 1)} + ((by >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(bits)
+    )
+    return f"""
+    WITH mm AS (SELECT min(n_chars)::DOUBLE AS minx, max(n_chars)::DOUBLE AS maxx,
+                       min(doc_id)::DOUBLE AS miny, max(doc_id)::DOUBLE AS maxy
+                FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(floor((n_chars::DOUBLE - minx) / (maxx - minx + 1.0) * {nb}) AS BIGINT) AS bx,
+                 CAST(floor((doc_id::DOUBLE - miny) / (maxy - miny + 1.0) * {nb}) AS BIGINT) AS by
+          FROM documents, mm)
+    SELECT doc_id, bx, by, CAST({terms} AS BIGINT) AS zvalue FROM b
+    """
+
+
+@register("o5_zorder_key", _zorder_sql())
+def o5_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (n_chars, doc_id)
+    (`operators/maintenance.py::zorder_value`): linear min/max bucketing
+    per dimension from ONE broadcast 1-row aggregate (never a per-dim
+    sort), bit-interleaved with pure integer arithmetic. The oracle
+    repeats the arithmetic with identical operand order, so IEEE-correct
+    rounding makes the doubles — and hence every bucket and z-value —
+    bit-identical across engines. `write_zordered` range-partitions and
+    sorts on this key; the file-span shrink is measured from real
+    footers in tests/test_maintenance.py."""
+    from com_danliris_service_etl_spark.operators.maintenance import zorder_value
+
+    return zorder_value(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        "doc_id",
+        bits=_O5_BITS,
+    ).select("doc_id", F.col("__bx").alias("bx"), F.col("__by").alias("by"), "zvalue")

@@ -61,3 +61,45 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
 
     expected = orders.filter(F.to_date("o_orderdate") == F.lit(one_day)).count()
     assert read.count() == expected > 0
+
+
+def test_zorder_layout_tightens_file_spans(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans (the footer
+    stats parquet row-group skipping uses) on BOTH clustering columns vs
+    an unclustered round-robin layout of the same data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from com_danliris_service_etl_spark.operators.maintenance import write_zordered
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    docs.repartition(8).write.parquet(plain_dir)
+    write_zordered(docs, z_dir, "n_chars", "doc_id", n_files=8)
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                spans.append(max(his) - min(los))
+        assert spans, f"no stats for {col} under {path}"
+        return sum(spans) / len(spans)
+
+    # round-robin files each cover ~the full value range; z-ordered files
+    # must be substantially tighter on BOTH dimensions
+    for col in ("doc_id", "n_chars"):
+        assert mean_span(z_dir, col) < 0.6 * mean_span(plain_dir, col), col
+
+    # the rewrite is content-preserving
+    z = spark.read.parquet(z_dir)
+    assert z.count() == docs.count()
+    assert z.exceptAll(docs).count() == 0 and docs.exceptAll(z).count() == 0
