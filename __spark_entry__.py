@@ -116,6 +116,7 @@ _RECORD_LAST = [
     "st5_dedup_stats",
     "pk3_balanced_shards",
     "o5_zorder_key",
+    "sim7_recall_eval",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

@@ -470,3 +470,38 @@ def int8_topk(
             "rank",
         )
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """ANN quality evaluation: recall@k of an approximate top-k result
+    against the exact one — the metric that decides whether an index's
+    speed was paid for with silent quality loss (an ANN path without a
+    measured recall is flying blind; every index change should re-run
+    this). Both inputs are (query_id, neighbor_id, ...) top-k frames
+    whose ranking is deterministic (rounded score + id tiebreak — the
+    convention every sim* operator here follows), so the intersection is
+    well-defined and engine-portable.
+
+    Scale shape: one equi-join on (query_id, neighbor_id) — both sides
+    are top-k-sized (|queries|·k rows), tiny relative to the corpus that
+    produced them — then a map-side-combinable count per query. The
+    evaluation NEVER touches raw vectors; run it on a sampled query set
+    and it costs two index probes plus a bounded join at any corpus
+    size."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

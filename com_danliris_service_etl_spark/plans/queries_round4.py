@@ -468,3 +468,53 @@ def o5_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bits=_O5_BITS,
     ).select("doc_id", F.col("__bx").alias("bx"), F.col("__by").alias("by"), "zvalue")
+
+
+# ---------------------------------------------------------------------------
+# sim7: ANN recall evaluation — multi-probe LSH measured against brute force
+# ---------------------------------------------------------------------------
+
+
+def _recall_sql() -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import (
+        _BUCKET_SQL,
+        _cosine_sql,
+    )
+
+    probe_join = (
+        "AND bit_count(xor(CAST(" + _BUCKET_SQL.format(v="q.qv") + " AS BIGINT), CAST("
+        + _BUCKET_SQL.format(v="c.cv") + " AS BIGINT))) <= 1"
+    )
+    return f"""
+    WITH exact_tk AS (SELECT * FROM ({_cosine_sql("WHERE vec_id < 10", "")})),
+    approx_tk AS (SELECT * FROM ({_cosine_sql("WHERE vec_id < 10", probe_join)})),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact_tk e JOIN approx_tk a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact_tk) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@register("sim7_recall_eval", _recall_sql())
+def sim7_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 harness (`operators/similarity.py::recall_at_k`):
+    multi-probe sign-bit LSH (sim3) measured against exact brute force
+    (sim1) on the same query set. Both top-k frames rank on rounded
+    scores with id tiebreaks, so the intersection — and hence recall —
+    is deterministic and engine-portable; the evaluation join touches
+    only top-k-sized frames, never raw vectors. This is the query every
+    index change re-runs before shipping: speed paid with silent recall
+    loss is a regression, not an optimization."""
+    from com_danliris_service_etl_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.multiprobe_lsh_topk(emb, queries, k=5, n_bits=8)
+    return sim.recall_at_k(exact, approx, k=5)

@@ -122,3 +122,19 @@ def test_token_balanced_shards_balance_bound(spark):
     # deterministic: same input -> same manifest
     again = token_balanced_shards(docs, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_recall_at_k_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.similarity import recall_at_k
+
+    tk = "query_id long, neighbor_id long"
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], tk
+    )
+    # query 1: both hit; query 2: none hit (approx found different ids)
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 30), (2, 31)], tk
+    )
+    rows = {r.query_id: r for r in recall_at_k(exact, approx, k=2).collect()}
+    assert (rows[1].n_hits, rows[1].recall) == (2, 1.0)
+    assert (rows[2].n_hits, rows[2].recall) == (0, 0.0)
