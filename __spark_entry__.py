@@ -117,6 +117,8 @@ _RECORD_LAST = [
     "pk3_balanced_shards",
     "o5_zorder_key",
     "sim7_recall_eval",
+    "g7_cube_events",
+    "txt10_lang_consistency",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

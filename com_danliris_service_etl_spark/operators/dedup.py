@@ -816,7 +816,13 @@ def exact_jaccard_verify(
     pipeline would execute once PER REFERENCE. The pairs (2 ids + score)
     and the candidate docs' distinct shingles (bounded by the candidate
     set, not the corpus) are localCheckpointed — exactly what a
-    production run persists between its candidate and verify stages."""
+    production run persists between its candidate and verify stages.
+
+    PRECONDITION: every doc referenced by ``pairs`` must have at least
+    ``shingle_k`` tokens — shorter docs have no shingle set, so their
+    pairs are dropped by the size join (undefined Jaccard, not a 0).
+    Candidates produced by `minhash_lsh_pairs` satisfy this by
+    construction (signatures require ≥ shingle_k tokens)."""
     p = pairs.select("doc_a", "doc_b").localCheckpoint()
     ids_a = p.select(F.col("doc_a").alias(id_col))
     ids_b = p.select(F.col("doc_b").alias(id_col))

@@ -440,3 +440,79 @@ def unigram_logprob_scores(
             .alias("lm_band"),
         )
     )
+
+
+def window_language_profile(
+    docs: DataFrame,
+    window_tokens: int = 20,
+    mixed_below: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Windowed language-consistency profile (code-switch detection):
+    language-ID every fixed ``window_tokens``-token window with the same
+    marker-argmax as `language_pred_col`, then per document report the
+    dominant window language, the agreement ratio, and an ``is_mixed``
+    flag — the signal CCNet-style pipelines use to split or drop
+    documents that switch language mid-stream (doc-level langid silently
+    mislabels half of such a document).
+
+    Scale shape: the window split + per-window argmax is a narrow 1:N
+    fanout pipelined into the scan (same slice form as passage dedup);
+    the only shuffles are the map-side-combinable (doc, lang) count and
+    the per-doc dominant selection — a window over the counts, ordered
+    (cnt DESC, lang) so ties break deterministically on both engines.
+    All counts integer; the agreement division is the only float,
+    rounded before the threshold compare."""
+    from pyspark.sql import Window
+    k = window_tokens
+    langs = sorted(LANG_MARKERS)
+
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {k}.0) as int) - 1),"
+                f" i -> slice(split({text_col}, ' '), i * {k} + 1, {k}))"
+            )
+        ).alias("w"),
+    )
+    hits = {
+        lang: F.size(
+            F.filter(
+                F.col("w"),
+                lambda t: t.isin(*LANG_MARKERS[lang]),
+            )
+        )
+        for lang in langs
+    }
+    pred = None
+    for lang in langs:  # first maximum in alphabetical order wins
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+
+    cnts = (
+        wins.select(id_col, pred.alias("p"))
+        .groupBy(id_col, "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wdoc = Window.partitionBy(id_col)
+    rk = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("p"))
+    agreement = F.round(F.col("cnt") / F.col("__n"), 6)
+    return (
+        cnts.withColumn("__n", F.sum("cnt").over(wdoc))
+        .withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            F.col("__n").cast("long").alias("n_windows"),
+            F.col("p").alias("dominant_lang"),
+            agreement.alias("agreement"),
+            (agreement < mixed_below).alias("is_mixed"),
+        )
+    )

@@ -1,5 +1,7 @@
-"""Round-4 registrations: driver-visible query shapes for two operators
-that previously had only pytest evidence.
+"""Round-4 registrations.
+
+Session 1 — driver-visible query shapes for two operators that
+previously had only pytest evidence:
 
 - s6_merge_idempotent: the S6 staged-upsert contract (reference:
   `Pembelian/run.js:299-360`'s stage-then-`DL_UPSERT_FACT_*` shape) run
@@ -9,6 +11,11 @@ that previously had only pytest evidence.
 - sk2_salted_aggregate: the skew lever (operators/skew.py) — the
   two-stage (key, salt) aggregation must be value-identical to the plain
   one-stage groupBy the oracle states.
+
+Session 2 — new pipeline operators (txt9 unigram-LM quality, llm9
+lexical near-dup funnel with exact verification, g6 path transitions,
+st5 streaming dedup stats, pk3 token-balanced shards, o5 Z-order key,
+sim7 ANN recall eval); each derives its oracle next to the Spark plan.
 
 Oracle SQL is expression-identical where values are computed; exact
 (integer / count) aggregates are used so float summation order can never
@@ -518,3 +525,110 @@ def sim7_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.brute_force_topk(emb, queries, k=5)
     approx = sim.multiprobe_lsh_topk(emb, queries, k=5, n_bits=8)
     return sim.recall_at_k(exact, approx, k=5)
+
+
+# ---------------------------------------------------------------------------
+# g7: CUBE grouping sets over the event stream (g1's rollup completes the
+#     hierarchy grains; CUBE adds the cross-dimensional ones)
+# ---------------------------------------------------------------------------
+
+_G7_SQL = """
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           GROUPING(event_type)::INT AS g_type,
+           GROUPING(hour(ts))::INT AS g_hour,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, hour(ts))
+"""
+
+
+@register("g7_cube_events", _G7_SQL)
+def g7_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event activity at all four (event_type × hour-of-day) grains in ONE
+    pass: `cube` compiles to a single Expand + hash aggregate — each row
+    replicated once per grouping set map-side, partially aggregated
+    before the one shuffle — vs four separate scans for the four grains.
+    GROUPING() flags disambiguate subtotal NULLs; value sums rounded to
+    2 both sides (the float-agg convention)."""
+    ev = _events(spark, sf_dir)
+    hod = F.hour(F.col("ts_utc")).cast("long")
+    return (
+        ev.select("event_type", hod.alias("hour_of_day"), "value")
+        .cube("event_type", "hour_of_day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hour_of_day").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type", "hour_of_day", "g_type", "g_hour", "n_events", "sum_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt10: windowed language-consistency profile (code-switch detection)
+# ---------------------------------------------------------------------------
+
+_TXT10_K = 20
+_TXT10_MIXED_BELOW = 0.75
+
+
+def _lang_profile_sql(k: int = _TXT10_K, mixed_below: float = _TXT10_MIXED_BELOW) -> str:
+    from com_danliris_service_etl_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "len(list_filter(w, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    pred_cases = " ".join(
+        "WHEN "
+        + " AND ".join(f"h_{lang} >= h_{o}" for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (SELECT doc_id, t[(i * {k} + 1):((i + 1) * {k})] AS w
+             FROM toks,
+                  unnest(range(0, CAST(ceil(len(t) / {k}.0) AS BIGINT))) AS r(i)),
+    scored AS (SELECT doc_id, {hit_cols} FROM wins),
+    pred AS (SELECT doc_id, CASE {pred_cases} END AS p FROM scored),
+    cnts AS (SELECT doc_id, p, count(*) AS cnt FROM pred GROUP BY doc_id, p),
+    dom AS (SELECT doc_id, p, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, p) AS rk,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS n_wins
+            FROM cnts)
+    SELECT doc_id, CAST(n_wins AS BIGINT) AS n_windows, p AS dominant_lang,
+           round(cnt * 1.0 / n_wins, 6) AS agreement,
+           (round(cnt * 1.0 / n_wins, 6) < {mixed_below}) AS is_mixed
+    FROM dom WHERE rk = 1
+    """
+
+
+@register("txt10_lang_consistency", _lang_profile_sql())
+def txt10_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed language-consistency profile
+    (`operators/text.py::window_language_profile`): langid every 20-token
+    window, report the per-doc dominant language, window agreement, and
+    an is_mixed flag — the code-switch detector a corpus pipeline runs
+    because doc-level langid silently mislabels documents that change
+    language mid-stream. Narrow window fanout into the scan; two
+    map-side-combinable shuffles; deterministic (cnt DESC, lang)
+    tiebreak on both engines."""
+    from com_danliris_service_etl_spark.operators.text import (
+        window_language_profile,
+    )
+
+    return window_language_profile(
+        _t(spark, sf_dir, "documents"),
+        window_tokens=_TXT10_K,
+        mixed_below=_TXT10_MIXED_BELOW,
+    )

@@ -138,3 +138,24 @@ def test_recall_at_k_hand_computed(spark):
     rows = {r.query_id: r for r in recall_at_k(exact, approx, k=2).collect()}
     assert (rows[1].n_hits, rows[1].recall) == (2, 1.0)
     assert (rows[2].n_hits, rows[2].recall) == (0, 0.0)
+
+
+def test_window_language_profile_detects_code_switch(spark):
+    from com_danliris_service_etl_spark.operators.text import (
+        window_language_profile,
+    )
+
+    en = "the cat sat on the mat and a dog ran to the park of joy " * 2  # en markers
+    fr = "le chien et les chats des villes et le parc les arbres et " * 2  # fr markers
+    docs = spark.createDataFrame(
+        [
+            (1, (en + en + en).strip()),   # consistent en
+            (2, (en + fr + fr).strip()),   # 1/3 en, 2/3 fr -> mixed, dominant fr
+        ],
+        _DOC_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in window_language_profile(docs, window_tokens=28).collect()}
+    assert rows[1].dominant_lang == "en" and rows[1].agreement == 1.0
+    assert not rows[1].is_mixed
+    assert rows[2].dominant_lang == "fr" and rows[2].is_mixed
+    assert 0 < rows[2].agreement < 1.0
