@@ -1,0 +1,73 @@
+"""Plan-shape regression gate: every registry query's static physical
+plan is compared against the committed PLAN_AUDIT.json snapshot. A query
+that GAINS a shuffle, a sort-merge join, or a cartesian product fails
+here — in CI, not in a 100 TB run. After an intentional plan change,
+regenerate with `python tools/plan_audit.py` and review the diff."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from com_danliris_service_etl_spark.plans.registry import load_all
+
+sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AUDIT_PATH = os.path.join(sys_path_root, "PLAN_AUDIT.json")
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+with open(AUDIT_PATH) as _f:
+    BASELINE = json.load(_f)
+
+REGISTRY = load_all()
+
+
+def test_every_query_has_an_audit_baseline():
+    missing = sorted(set(REGISTRY) - set(BASELINE))
+    assert not missing, (
+        f"queries without a PLAN_AUDIT.json baseline: {missing} — "
+        "run python tools/plan_audit.py"
+    )
+
+
+# The expensive iterative/write-side queries execute real jobs during
+# plan construction; auditing ALL queries here would double the suite
+# runtime for signal the snapshot already carries. The gate re-derives
+# plans for a representative spread (joins, funnels, windows, unions,
+# text/similarity pipelines) and any query is covered on demand by
+# re-running tools/plan_audit.py and diffing.
+_GATED = [
+    "a0_pricing_summary",
+    "dd2_minhash_lsh",
+    "g5_funnel_conversion",
+    "g6_path_transitions",
+    "j1_multiway_left_join",
+    "j3_broadcast_dim_join",
+    "j7_asof_join",
+    "j10_range_join",
+    "llm1_clean_corpus",
+    "p2_incremental_watermark",
+    "pk2_chunk_documents",
+    "sim2_lsh_bucketed_topk",
+    "sim4_ivf_topk",
+    "sim7_recall_eval",
+    "st1_tumbling_window",
+    "txt5_tfidf_top_terms",
+    "txt9_unigram_logprob",
+    "txt10_lang_consistency",
+    "w4_moving_avg",
+]
+
+
+@pytest.mark.parametrize("name", _GATED)
+def test_plan_shape_not_regressed(spark, name):
+    from tools.plan_audit import plan_counts
+
+    cur = plan_counts(REGISTRY[name][0](spark, SF))
+    base = BASELINE[name]
+    for metric in ("shuffles", "sort_merge_joins", "cartesian_products"):
+        assert cur[metric] <= base[metric], (
+            f"{name}: {metric} regressed {base[metric]} -> {cur[metric]} — "
+            "review the plan; if intentional, regenerate PLAN_AUDIT.json"
+        )
