@@ -413,8 +413,13 @@ def unigram_logprob_scores(
     Cross-engine determinism: per-term ln() is rounded to 6 decimals
     BEFORE the per-doc sum (ulp-level libm differences cannot survive),
     and the mean is re-rounded to 4 — the convention every float-summing
-    query in this repo uses (see st1/BASELINE.md)."""
-    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc"))
+    query in this repo uses (see st1/BASELINE.md).
+
+    The tf relation feeds three consumers (vocab, corpus total, the
+    score join) — MATERIALIZED ONCE like bm25's tf (static plan showed
+    the whole explode+aggregate pipeline replicated per consumer: 6
+    corpus scans; A/B'd at sf0.1)."""
+    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc")).localCheckpoint()
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
     logp = F.round(F.log(F.col("cnt") / F.col("__total")), 6)
