@@ -632,3 +632,57 @@ def txt10_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_tokens=_TXT10_K,
         mixed_below=_TXT10_MIXED_BELOW,
     )
+
+
+# ---------------------------------------------------------------------------
+# st6: view→purchase interval join (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+_ST6_SQL = """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, CAST(p.ts_us - v.ts_us AS BIGINT) AS lag_us
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+         AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 3600000000
+"""
+
+
+@register("st6_interval_join", _ST6_SQL)
+def st6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every purchase joined to the views it
+    followed within one hour, per user — the interval join behind
+    conversion attribution. BATCH twin of
+    `streaming/jobs.py::run_streaming_interval_join` (a real
+    stream-stream join with watermarks on both sides; equivalence pinned
+    in tests/test_streaming.py). One equi-shuffle on user_id with the
+    time range as a residual predicate — never a time-cross-product; at
+    100 TB the watermark is what bounds the streaming state to one
+    hour's purchases per user."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts_us").alias("__v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("__p_user"),
+        F.col("ts_us").alias("__p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("__p_user"))
+            & (F.col("__p_ts") > F.col("__v_ts"))
+            & (F.col("__p_ts") <= F.col("__v_ts") + 3_600_000_000),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.col("__p_ts") - F.col("__v_ts")).cast("long").alias("lag_us"),
+        )
+    )

@@ -426,3 +426,58 @@ def run_streaming_dedup_stats(
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup"),
         F.max("n").cast("long").alias("max_group"),
     )
+
+
+def run_streaming_interval_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "interval_join_stream"
+) -> DataFrame:
+    """Stream-stream view→purchase attribution: both event streams carry
+    watermarks and the join condition bounds purchase time to (view,
+    view+1h], so Spark can expire view state older than the interval +
+    watermark — the state-cleanup contract that makes a stream-stream
+    join viable on an unbounded stream (without the time bound, state
+    grows forever). Batch twin:
+    `plans/queries_round4.py::st6_interval_join`; tests pin stream ≡
+    batch over the fixture."""
+    v = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts_utc", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts_utc").alias("v_ts"),
+            F.col("ts_us").alias("v_ts_us"),
+        )
+    )
+    p = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts_utc", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_utc").alias("p_ts"),
+            F.col("ts_us").alias("p_ts_us"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts_us") - F.col("v_ts_us")).cast("long").alias("lag_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -157,3 +157,23 @@ def test_streaming_incremental_lsh_job_runs(spark, tmp_path):
     )
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert spark.read.parquet(out).count() == minhash_lsh_pairs(docs).count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from com_danliris_service_etl_spark.plans.registry import load_all
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_interval_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        tuple(r)
+        for r in load_all()["st6_interval_join"][0](spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in run_streaming_interval_join(
+            spark, sf_dir, query_name="t_interval_join"
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0
