@@ -120,6 +120,7 @@ _RECORD_LAST = [
     "g7_cube_events",
     "txt10_lang_consistency",
     "st6_interval_join",
+    "q2_snapshot_drift",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

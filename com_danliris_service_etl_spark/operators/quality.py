@@ -76,3 +76,61 @@ def run_checks(checks: Sequence[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_growth: float = 0.5,
+    max_value_drift: float = 0.1,
+) -> DataFrame:
+    """Cross-snapshot drift report: per ``group_col`` group, compare row
+    counts and the mean of ``value_col`` between two corpus snapshots and
+    flag groups whose growth or value distribution moved beyond the
+    thresholds — the "did today's crawl silently change shape" monitor
+    that runs BEFORE a new snapshot is allowed into training (a doubled
+    source or a halved mean doc length is a scraper bug, not data).
+
+    One map-side-combinable aggregation per side to group-grain partials
+    (the only corpus-sized work), then a FULL OUTER join of two tiny
+    grouped frames — groups present on one side only surface with
+    missing_side set instead of dropping. Deltas divide exact integer
+    counts, rounded before the threshold compare (deterministic
+    cross-engine)."""
+    def grain(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        return df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.round(F.avg(value_col), 6).alias(m_name),
+        )
+
+    o = grain(old, "n_old", "mean_old")
+    n = grain(new, "n_new", "mean_new")
+    growth = F.round((F.col("n_new") - F.col("n_old")) / F.col("n_old"), 6)
+    value_drift = F.round(
+        F.abs(F.col("mean_new") - F.col("mean_old")) / F.abs(F.col("mean_old")), 6
+    )
+    both = F.col("n_old").isNotNull() & F.col("n_new").isNotNull()
+    return (
+        o.join(n, group_col, "full_outer")
+        .select(
+            group_col,
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            "mean_old",
+            "mean_new",
+            F.when(both, growth).alias("growth"),
+            F.when(both, value_drift).alias("value_drift"),
+            F.when(F.col("n_old").isNull(), F.lit("new_group"))
+            .when(F.col("n_new").isNull(), F.lit("vanished_group"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+            (
+                F.col("n_old").isNull()
+                | F.col("n_new").isNull()
+                | (F.abs(growth) > max_growth)
+                | (value_drift > max_value_drift)
+            ).alias("drifted"),
+        )
+    )

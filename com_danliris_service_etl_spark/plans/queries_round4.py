@@ -686,3 +686,52 @@ def st6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__p_ts") - F.col("__v_ts")).cast("long").alias("lag_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q2: cross-snapshot drift monitor (old = 80% id slice, new = full corpus)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+    WITH o AS (SELECT source, count(*) AS n_old, round(avg(n_chars), 6) AS mean_old
+               FROM documents WHERE doc_id % 10 < 8 GROUP BY source),
+    n AS (SELECT source, count(*) AS n_new, round(avg(n_chars), 6) AS mean_new
+          FROM documents GROUP BY source)
+    SELECT COALESCE(o.source, n.source) AS source,
+           CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           mean_old, mean_new,
+           CASE WHEN n_old IS NOT NULL AND n_new IS NOT NULL
+                THEN round((n_new - n_old) * 1.0 / n_old, 6) END AS growth,
+           CASE WHEN n_old IS NOT NULL AND n_new IS NOT NULL
+                THEN round(abs(mean_new - mean_old) / abs(mean_old), 6) END AS value_drift,
+           CASE WHEN n_old IS NULL THEN 'new_group'
+                WHEN n_new IS NULL THEN 'vanished_group'
+                ELSE 'both' END AS presence,
+           (n_old IS NULL OR n_new IS NULL
+            OR abs(round((n_new - n_old) * 1.0 / n_old, 6)) > 0.5
+            OR round(abs(mean_new - mean_old) / abs(mean_old), 6) > 0.1) AS drifted
+    FROM o FULL OUTER JOIN n ON o.source = n.source
+"""
+
+
+@register("q2_snapshot_drift", _Q2_SQL)
+def q2_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot drift monitor
+    (`operators/quality.py::snapshot_drift`): per-source row-count growth
+    and mean-doc-length drift between an 80%-id-slice "yesterday" and the
+    full "today" corpus, with new/vanished groups surfaced by the full
+    outer join instead of dropped. The corpus-sized work is one
+    map-side-combinable aggregation per side; the drift math runs over
+    group-grain rows. The gate every snapshot passes before it may feed
+    training (q1 checks one snapshot's invariants; q2 checks the DELTA
+    between snapshots)."""
+    from com_danliris_service_etl_spark.operators.quality import snapshot_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return snapshot_drift(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs,
+        group_col="source",
+        value_col="n_chars",
+    )

@@ -159,3 +159,23 @@ def test_window_language_profile_detects_code_switch(spark):
     assert not rows[1].is_mixed
     assert rows[2].dominant_lang == "fr" and rows[2].is_mixed
     assert 0 < rows[2].agreement < 1.0
+
+
+def test_snapshot_drift_flags_and_presence(spark):
+    from com_danliris_service_etl_spark.operators.quality import snapshot_drift
+
+    schema = "doc_id long, source string, n_chars long"
+    old = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 50), (4, "gone", 10)], schema
+    )
+    new = spark.createDataFrame(
+        # a: stable; b: doubled count + halved mean; fresh: new group
+        [(1, "a", 100), (2, "a", 100), (3, "b", 25), (5, "b", 25), (6, "fresh", 7)],
+        schema,
+    )
+    rows = {r.source: r for r in snapshot_drift(old, new, "source", "n_chars").collect()}
+    assert not rows["a"].drifted and rows["a"].presence == "both"
+    assert rows["b"].drifted and rows["b"].growth == 1.0 and rows["b"].value_drift == 0.5
+    assert rows["fresh"].presence == "new_group" and rows["fresh"].drifted
+    assert rows["gone"].presence == "vanished_group" and rows["gone"].drifted
+    assert rows["gone"].n_new == 0 and rows["fresh"].n_old == 0
