@@ -121,6 +121,7 @@ _RECORD_LAST = [
     "txt10_lang_consistency",
     "st6_interval_join",
     "q2_snapshot_drift",
+    "sim8_pq_topk",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

@@ -505,3 +505,131 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# Product quantization: distances are scaled to exact BIGINTs (×1e6) so
+# code assignment and ADC sums are integer arithmetic — order-independent
+# and bit-identical across engines (same trick as sim5's int8 dot).
+PQ_SCALE = 1_000_000
+
+
+def pq_codebook(
+    codebook_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collapse the PQ codebook source vectors into ONE cid-sorted array
+    row (the broadcast codebook both `pq_encode` passes probe). Real
+    deployments train per-subspace centroids with k-means offline; the
+    operator contract is encode + ADC, so any deterministic vector
+    sample serves as codebook (the IVF convention, `ivf_assign_cells`)."""
+    return codebook_vectors.select(
+        F.struct(
+            F.col(id_col).cast("long").alias("cid"),
+            F.expr(f"transform({vec_col}, x -> cast(x AS DOUBLE))").alias("cvec"),
+        ).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("__cb"))
+
+
+def _pq_subdist(vec_col: str, mi_expr: str, sub: int) -> str:
+    """SQL expr: scaled-BIGINT L2² between subspace ``mi`` slices of the
+    row's vector and a codebook entry `c` in scope. Fixed fold order
+    (dim 1..sub) — mirrored exactly by the oracle's list_reduce."""
+    return (
+        "cast(round(aggregate("
+        f"  zip_with(slice({vec_col}, ({mi_expr}) * {sub} + 1, {sub}),"
+        f"           slice(c.cvec, ({mi_expr}) * {sub} + 1, {sub}),"
+        "            (x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)),"
+        "  cast(0.0 AS DOUBLE), (acc, v) -> acc + v"
+        f") * {PQ_SCALE}) AS BIGINT)"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    cb_arr: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per vector, per subspace, the id of the nearest
+    codebook entry for that subspace's slice — 64 floats become ``m``
+    small codes (the 32×
+    compression that lets a billion-vector index live in RAM). The
+    argmin is a per-row `array_min` over (scaled distance, cid) structs
+    — lexicographic, so ties break to the smallest cid — entirely
+    inside codegen against the broadcast codebook row: ZERO shuffle of
+    the corpus, O(n·K·d) scan work. Emits (id, mi, code) rows — the
+    relational form of the PQ code matrix, i.e. the persisted index."""
+    sub = dim // m
+    code_structs = F.expr(
+        f"transform(sequence(0, {m - 1}), mi -> struct("
+        "  mi AS mi,"
+        f"  array_min(transform(__cb, c -> struct({_pq_subdist(vec_col, 'mi', sub)} AS sd,"
+        "                                         c.cid AS cid))).cid AS code))"
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cb_arr))
+        .select(F.col(id_col), F.explode(code_structs).alias("mc"))
+        .select(id_col, F.col("mc.mi").alias("mi"), F.col("mc.code").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with asymmetric distance computation (ADC): the corpus is
+    scanned as CODES (m small ints/vector, never the raw floats); each
+    query precomputes its per-(subspace, codebook-entry) distance table,
+    and approx_l2sq(query, x) = Σ_m D[q][m][code_m(x)] — table lookups,
+    no vector arithmetic per candidate.
+
+    Scale shape: the D table is |queries|·m·K rows — broadcast-sized for
+    any sane query batch — joined onto the exploded code matrix by
+    (mi, code): an equi-join against the persisted PQ index, then ONE
+    map-side-combinable (query, neighbor) sum. All distances are scaled
+    BIGINTs, so the ADC sum is exact integer arithmetic: rank order is
+    engine- and partitioning-independent by construction, not by
+    rounding luck. Ranking ascends (distance, neighbor_id)."""
+    from pyspark.sql import Window
+
+    cb = pq_codebook(codebook, id_col, vec_col).localCheckpoint()
+    codes = pq_encode(embeddings, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    sub = dim // m
+    d_structs = F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), mi ->"
+        "  transform(__cb, c -> struct(mi AS mi, c.cid AS cid,"
+        f"    {_pq_subdist(vec_col, 'mi', sub)} AS sd))))"
+    )
+    dtab = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(F.col(id_col).alias("query_id"), F.explode(d_structs).alias("d"))
+        .select("query_id", F.col("d.mi").alias("mi"), F.col("d.cid").alias("code"),
+                F.col("d.sd").alias("sd"))
+    )
+    adc = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(dtab), ["mi", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("sd").alias("__ds"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__ds"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__ds") / F.lit(float(PQ_SCALE)), 6).alias("approx_l2sq"),
+            "rank",
+        )
+    )

@@ -735,3 +735,75 @@ def q2_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         value_col="n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# sim8: product quantization with ADC scoring (codes-only corpus scan)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_SUB = 8  # 64-dim / 8 subspaces
+_PQ_CODES = 16  # codebook entries: embeddings vec_id < 16 (IVF convention)
+
+
+def _pq_sql(k: int = 5) -> str:
+    from com_danliris_service_etl_spark.operators.similarity import PQ_SCALE
+
+    subdist = (
+        "CAST(round(list_reduce(list_prepend(0.0,"
+        f" list_transform(range(1, {_PQ_SUB + 1}),"
+        f"  i -> ({{v}}[mi * {_PQ_SUB} + i] - cb.cvec[mi * {_PQ_SUB} + i])"
+        f"     * ({{v}}[mi * {_PQ_SUB} + i] - cb.cvec[mi * {_PQ_SUB} + i]))),"
+        f" (acc, x) -> acc + x) * {PQ_SCALE}) AS BIGINT)"
+    )
+    return f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < {_PQ_CODES}),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+    cdist AS (SELECT v.vec_id, r.mi, cb.cid, {subdist.format(v="v.e")} AS sd
+              FROM corpus v, range(0, {_PQ_M}) AS r(mi), cb),
+    codes AS (SELECT vec_id, mi, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                                             ORDER BY sd, cid) AS rk
+                FROM cdist) WHERE rk = 1),
+    dtab AS (SELECT q.query_id, r.mi, cb.cid AS code, {subdist.format(v="q.qv")} AS sd
+             FROM qs q, range(0, {_PQ_M}) AS r(mi), cb),
+    adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(d.sd) AS BIGINT) AS ds
+            FROM codes c JOIN dtab d ON d.mi = c.mi AND d.code = c.code
+            WHERE d.query_id <> c.vec_id
+            GROUP BY d.query_id, c.vec_id)
+    SELECT query_id, neighbor_id,
+           round(ds / {float(PQ_SCALE)}, 6) AS approx_l2sq, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ds, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+@register("sim8_pq_topk", _pq_sql())
+def sim8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 with ADC
+    (`operators/similarity.py::pq_topk`): 64-float vectors become 8
+    codes (32× compression — the trick that fits a billion-vector index
+    in RAM), queries precompute per-(subspace, code) distance tables,
+    and candidate scoring is pure table-lookup sums over the code
+    matrix — the corpus's raw floats are never touched after encoding.
+    Every distance is a scaled BIGINT, so code assignment and the ADC
+    sum are exact integer arithmetic: rank order is engine- and
+    partitioning-independent by construction. Completes the ANN family
+    (flat / LSH / multi-probe / IVF / int8 / recall-eval / PQ)."""
+    from com_danliris_service_etl_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < _PQ_CODES),
+        k=5,
+        m=_PQ_M,
+        dim=64,
+    )

@@ -15,6 +15,7 @@ from com_danliris_service_etl_spark.operators.dedup import (
 from com_danliris_service_etl_spark.operators.text import unigram_logprob_scores
 
 _DOC_SCHEMA = "doc_id long, text string"
+_VEC_SCHEMA = "vec_id long, embedding array<float>"
 
 
 def test_unigram_logprob_hand_computed(spark):
@@ -179,3 +180,41 @@ def test_snapshot_drift_flags_and_presence(spark):
     assert rows["fresh"].presence == "new_group" and rows["fresh"].drifted
     assert rows["gone"].presence == "vanished_group" and rows["gone"].drifted
     assert rows["gone"].n_new == 0 and rows["fresh"].n_old == 0
+
+
+def test_pq_encode_exact_codebook_match(spark):
+    from com_danliris_service_etl_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    # 4-dim, m=2 (2-dim subspaces); codebook = two distinct vectors
+    cbv = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])], _VEC_SCHEMA
+    )
+    # vec 10: first subspace matches cb1, second matches cb0
+    vecs = spark.createDataFrame([(10, [1.0, 1.0, 0.0, 0.0])], _VEC_SCHEMA)
+    cb = pq_codebook(cbv)
+    codes = {
+        (r.vec_id, r.mi): r.code
+        for r in pq_encode(vecs, cb, m=2, dim=4).collect()
+    }
+    assert codes == {(10, 0): 1, (10, 1): 0}
+
+
+def test_pq_topk_identical_vector_ranks_first(spark):
+    from com_danliris_service_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # identical to query 0
+            (3, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        _VEC_SCHEMA,
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {r.rank: r for r in pq_topk(emb, q, emb, k=3, m=2, dim=4).collect()}
+    # codes of vec 2 equal codes of the query -> ADC distance exactly 0
+    assert out[1].neighbor_id == 2 and out[1].approx_l2sq == 0.0
