@@ -122,6 +122,7 @@ _RECORD_LAST = [
     "st6_interval_join",
     "q2_snapshot_drift",
     "sim8_pq_topk",
+    "pv3_l_diversity",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

@@ -93,3 +93,33 @@ def pii_redact(
         ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the check k-anonymity misses: a group can be
+    k-large yet carry ONE sensitive value, so membership alone discloses
+    it (the classic homogeneity attack). Per quasi-identifier group,
+    report its size, the number of DISTINCT sensitive values, the
+    dominant value's share, and whether the group meets distinct
+    l-diversity (≥ l distinct sensitive values).
+
+    One map-side-combinable (quasi, sensitive) pre-aggregation collapses
+    the data to value-count grain, then a (quasi) aggregation over those
+    compact rows computes size / distinct count / max share — the same
+    two-stage shape as the dedup monitor, so no count-distinct expand
+    over raw rows. Dominant share divides exact integers, rounded before
+    any compare."""
+    vc = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return vc.groupBy(*quasi_cols).agg(
+        F.sum("__n").cast("long").alias("group_size"),
+        F.count(F.lit(1)).alias("n_sensitive_values"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("dominant_share"),
+        (F.count(F.lit(1)) >= l).alias("l_diverse"),
+    )

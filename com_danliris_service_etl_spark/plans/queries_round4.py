@@ -807,3 +807,44 @@ def sim8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# pv3: l-diversity audit over generalized order groups
+# ---------------------------------------------------------------------------
+
+_PV3_SQL = """
+    WITH vc AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS price_band,
+             o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT o_orderpriority, price_band,
+           CAST(sum(n) AS BIGINT) AS group_size,
+           count(*) AS n_sensitive_values,
+           round(max(n) * 1.0 / sum(n), 6) AS dominant_share,
+           (count(*) >= 2) AS l_diverse
+    FROM vc GROUP BY o_orderpriority, price_band
+"""
+
+
+@register("pv3_l_diversity", _PV3_SQL)
+def pv3_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (`operators/privacy.py::l_diversity_audit`) over
+    (order priority, 50k price band) quasi-groups with order status as
+    the sensitive attribute — the homogeneity-attack check pv1's
+    k-anonymity suppression does not cover (a k-large group with one
+    status still discloses it). Two map-side-combinable aggregations
+    over value-count grain; no count-distinct expand over raw rows."""
+    from com_danliris_service_etl_spark.operators.privacy import l_diversity_audit
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.floor(F.col("o_totalprice") / 50000).cast("long") * 50000).alias(
+            "price_band"
+        ),
+        "o_orderstatus",
+    )
+    return l_diversity_audit(
+        orders, ["o_orderpriority", "price_band"], "o_orderstatus", l=2
+    )

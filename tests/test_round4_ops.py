@@ -218,3 +218,18 @@ def test_pq_topk_identical_vector_ranks_first(spark):
     out = {r.rank: r for r in pq_topk(emb, q, emb, k=3, m=2, dim=4).collect()}
     # codes of vec 2 equal codes of the query -> ADC distance exactly 0
     assert out[1].neighbor_id == 2 and out[1].approx_l2sq == 0.0
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from com_danliris_service_etl_spark.operators.privacy import l_diversity_audit
+
+    df = spark.createDataFrame(
+        # group A: 3 rows, all same sensitive value -> NOT l-diverse
+        # group B: 3 rows, two values -> l-diverse, dominant 2/3
+        [("A", "x"), ("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"), ("B", "y")],
+        "qid string, sens string",
+    )
+    rows = {r.qid: r for r in l_diversity_audit(df, ["qid"], "sens", l=2).collect()}
+    assert not rows["A"].l_diverse and rows["A"].dominant_share == 1.0
+    assert rows["A"].n_sensitive_values == 1 and rows["A"].group_size == 3
+    assert rows["B"].l_diverse and rows["B"].dominant_share == round(2 / 3, 6)
