@@ -107,9 +107,18 @@ _RECORD_LAST = [
     # dd8 carries pytest oracle-parity at sf0.001/0.01 this round and
     # rotates into _PRIORITY for its first driver row in round 5.
     "dd8_passage_dedup",
-    # Same story for the other queries REGISTERED this round: all four are
-    # driver_sim-green at sf0.01 this session and take their first driver
-    # rows in round 5.
+    # Same story for the other queries REGISTERED this round: all are
+    # driver_sim-green at sf0.01 this session (full 109-query local
+    # driver replica run end-to-end, zero mismatches) and take their
+    # first driver rows in round 5.
+    #
+    # ROUND-5 ROTATION NOTE: with 109 registered queries and a 50-row
+    # recording cap, two consecutive rounds can no longer cover the
+    # whole registry (max 100 < 109) — the r3 "nothing >1 round stale"
+    # invariant is mathematically infeasible from here on. The feasible
+    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 13
+    # never-recorded queries below + 37 of the 45 r03-green entries;
+    # the remaining 8 r03-green go first in r6.
     "txt9_unigram_logprob",
     "llm9_textual_neardup",
     "g6_path_transitions",
