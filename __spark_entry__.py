@@ -112,13 +112,13 @@ _RECORD_LAST = [
     # driver replica run end-to-end, zero mismatches) and take their
     # first driver rows in round 5.
     #
-    # ROUND-5 ROTATION NOTE: with 109 registered queries and a 50-row
+    # ROUND-5 ROTATION NOTE: with 111 registered queries and a 50-row
     # recording cap, two consecutive rounds can no longer cover the
-    # whole registry (max 100 < 109) — the r3 "nothing >1 round stale"
+    # whole registry (max 100 < 111) — the r3 "nothing >1 round stale"
     # invariant is mathematically infeasible from here on. The feasible
-    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 13
-    # never-recorded queries below + 37 of the 45 r03-green entries;
-    # the remaining 8 r03-green go first in r6.
+    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 15
+    # never-recorded queries below + 35 of the 45 r03-green entries;
+    # the remaining 10 r03-green go first in r6.
     "txt9_unigram_logprob",
     "llm9_textual_neardup",
     "g6_path_transitions",
@@ -132,6 +132,8 @@ _RECORD_LAST = [
     "q2_snapshot_drift",
     "sim8_pq_topk",
     "pv3_l_diversity",
+    "s12_cdc_apply",
+    "j11_fuzzy_join",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

@@ -367,3 +367,44 @@ def range_join(
         .drop(p["__bin"])
         .drop(iv["__bin"])
     )
+
+
+def fuzzy_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+    block_chars: int = 3,
+) -> DataFrame:
+    """Approximate string match across two tables (entity resolution:
+    the same supplier/customer typed slightly differently in two source
+    systems): pairs whose ``text_col`` values are within ``max_dist``
+    Levenshtein edits, restricted to a BLOCK equi-join on the first
+    ``block_chars`` characters — never an all-pairs cross product. Both
+    inputs must carry disjointly-named columns apart from ``text_col``
+    (callers alias their keys).
+
+    Scale shape: the block key turns the candidate join into a
+    shuffle-partitionable equi-join; the edit distance runs as a
+    JVM-side residual (`levenshtein`, no UDF) only on co-blocked pairs.
+    Block size drives cost quadratically — at 100 TB the block should
+    be (prefix, length-band, phonetic key, …) composites tuned so the
+    largest block stays executor-sized; prefix blocking misses pairs
+    whose edits touch the prefix (recall/cost knob, same trade as LSH
+    banding — run with two offset blockings and union for higher
+    recall)."""
+    lb = left.withColumn("__blk", F.substring(F.col(text_col), 1, block_chars)).withColumnRenamed(
+        text_col, "__l_text"
+    )
+    rb = right.withColumn("__blk", F.substring(F.col(text_col), 1, block_chars)).withColumnRenamed(
+        text_col, "__r_text"
+    )
+    lev = F.levenshtein(F.col("__l_text"), F.col("__r_text"))
+    return (
+        lb.join(rb, "__blk")
+        .filter(lev <= max_dist)
+        .withColumn("edit_dist", lev.cast("long"))
+        .drop("__blk")
+        .withColumnRenamed("__l_text", f"l_{text_col}")
+        .withColumnRenamed("__r_text", f"r_{text_col}")
+    )

@@ -177,3 +177,34 @@ def point_in_time_lookup(
         & (F.col(VALID_TO).isNull() | (F.col(ts_col) < F.col(VALID_TO)))
     )
     return facts.join(d, cond, "left").drop(*[f"__d_{k}" for k in key_list])
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change log (Debezium/Delta-CDF shape: I/U/D rows with
+    a per-key sequence) to produce the final table state: per key, the
+    row with the highest sequence wins; keys whose latest operation is a
+    delete disappear. The set-at-a-time generalization of the
+    reference's nightly upsert (S6) to logs that also carry deletes —
+    replaying the same log is idempotent by construction.
+
+    ONE map-side-combinable aggregation: `max_by(struct(payload), seq)`
+    per key — no window sort, no self-join; the delete filter runs over
+    key-grain rows. ``seq_col`` must totally order each key's changes
+    (a CDC stream's LSN/commit timestamp does; ties would make the
+    winner undefined, so composite sequences belong in seq_col)."""
+    keys = list(key_cols)
+    payload = [c for c in changelog.columns if c not in (*keys, seq_col)]
+    latest = changelog.groupBy(*keys).agg(
+        *[
+            F.expr(f"max_by({c}, {seq_col})").alias(c)
+            for c in payload
+        ],
+        F.max(seq_col).alias(seq_col),
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)

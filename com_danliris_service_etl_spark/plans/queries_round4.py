@@ -848,3 +848,120 @@ def pv3_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_audit(
         orders, ["o_orderpriority", "price_band"], "o_orderstatus", l=2
     )
+
+
+# ---------------------------------------------------------------------------
+# s12: CDC change-log apply (I/U/D replay → final state)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic change log over an orders slice: every key gets
+# an INSERT (seq 1); keys %3==0 also get a price UPDATE (seq 2 — ×2:
+# exact binary scaling, no half-boundary rounding hazard); keys
+# %5==0 also get a DELETE (seq 3). Mirrored verbatim in the oracle.
+_S12_SQL = """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 7 = 0),
+    log AS (
+      SELECT o_orderkey, 'I' AS op, 1 AS seq, o_orderstatus, o_totalprice FROM base
+      UNION ALL
+      SELECT o_orderkey, 'U', 2, o_orderstatus, o_totalprice * 2
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', 3, o_orderstatus, o_totalprice
+      FROM base WHERE o_orderkey % 5 = 0),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rk
+      FROM log)
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+           CAST(seq AS BIGINT) AS seq
+    FROM latest WHERE rk = 1 AND op <> 'D'
+"""
+
+
+@register("s12_cdc_apply", _S12_SQL)
+def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log replay (`operators/scd.py::cdc_apply`): I/U/D rows
+    with per-key sequence numbers collapse to the final table state via
+    ONE map-side-combinable `max_by` aggregation — no window sort, no
+    self-join — and keys whose latest op is a delete disappear. The
+    set-at-a-time generalization of the reference's nightly upsert to
+    logs that carry deletes (Debezium/Delta-CDF shape); replaying the
+    log is idempotent by construction. The oracle replays the same
+    synthetic log with a window rank — two formulations, one state."""
+    from com_danliris_service_etl_spark.operators.scd import cdc_apply
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log = (
+        base.select(
+            "o_orderkey", F.lit("I").alias("op"), F.lit(1).alias("seq"),
+            "o_orderstatus", "o_totalprice",
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+                "o_orderstatus",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+                "o_orderstatus", "o_totalprice",
+            )
+        )
+    )
+    return cdc_apply(log, ["o_orderkey"], "seq").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j11: blocked fuzzy join (entity resolution across two "systems")
+# ---------------------------------------------------------------------------
+
+# The second "system" is a deterministic corruption of part names (last
+# character dropped) under shifted keys — the cross-source typo shape.
+_J11_SQL = """
+    WITH l AS (SELECT p_partkey AS l_key, p_name AS nm FROM part
+               WHERE p_partkey % 4 = 0),
+    r AS (SELECT p_partkey + 1000000 AS r_key,
+                 substring(p_name, 1, length(p_name) - 1) AS nm
+          FROM part WHERE p_partkey % 6 = 0)
+    SELECT l.l_key, r.r_key,
+           l.nm AS l_nm, r.nm AS r_nm,
+           CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS edit_dist
+    FROM l JOIN r ON substring(l.nm, 1, 3) = substring(r.nm, 1, 3)
+    WHERE levenshtein(l.nm, r.nm) <= 2
+"""
+
+
+@register("j11_fuzzy_join", _J11_SQL)
+def j11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (`operators/joins.py::fuzzy_blocked_join`):
+    part names matched across two simulated source systems (one side
+    carries a one-character corruption) — pairs within 2 Levenshtein
+    edits, candidates restricted to a 3-char-prefix block equi-join so
+    the edit distance (JVM builtin, no UDF) runs only on co-blocked
+    pairs, never all-pairs. The entity-resolution shape behind
+    cross-system supplier/customer matching."""
+    from com_danliris_service_etl_spark.operators.joins import fuzzy_blocked_join
+
+    part = _t(spark, sf_dir, "part")
+    l = part.filter(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("l_key"), F.col("p_name").alias("nm")
+    )
+    r = part.filter(F.col("p_partkey") % 6 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("r_key"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("nm"),
+    )
+    return fuzzy_blocked_join(l, r, "nm", max_dist=2, block_chars=3).select(
+        "l_key", "r_key",
+        F.col("l_nm").alias("l_nm"), F.col("r_nm").alias("r_nm"),
+        "edit_dist",
+    )

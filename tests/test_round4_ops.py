@@ -233,3 +233,45 @@ def test_l_diversity_flags_homogeneous_group(spark):
     assert not rows["A"].l_diverse and rows["A"].dominant_share == 1.0
     assert rows["A"].n_sensitive_values == 1 and rows["A"].group_size == 3
     assert rows["B"].l_diverse and rows["B"].dominant_share == round(2 / 3, 6)
+
+
+def test_cdc_apply_replay_semantics(spark):
+    from com_danliris_service_etl_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, "I", 1, 10.0),  # plain insert
+            (2, "I", 1, 20.0), (2, "U", 2, 25.0),       # update wins
+            (3, "I", 1, 30.0), (3, "D", 2, 30.0),        # deleted key vanishes
+            (4, "I", 1, 40.0), (4, "D", 2, 40.0), (4, "I", 3, 45.0),  # re-insert after delete
+        ],
+        "k long, op string, seq long, v double",
+    )
+    out = {r.k: r for r in cdc_apply(log, ["k"], "seq").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].v == 10.0 and out[2].v == 25.0 and out[4].v == 45.0
+    # replaying the same log (same seq) is a no-op
+    again = {r.k: r for r in cdc_apply(log.unionByName(log), ["k"], "seq").collect()}
+    assert {k: (r.v, r.seq) for k, r in out.items()} == {
+        k: (r.v, r.seq) for k, r in again.items()
+    }
+
+
+def test_fuzzy_blocked_join_matches_and_blocks(spark):
+    from com_danliris_service_etl_spark.operators.joins import fuzzy_blocked_join
+
+    l = spark.createDataFrame(
+        [(1, "acme corp"), (2, "blue bolt")], "l_key long, nm string"
+    )
+    r = spark.createDataFrame(
+        [(10, "acme corp."), (11, "acme inc"), (12, "blue bolt")],
+        "r_key long, nm string",
+    )
+    out = {(x.l_key, x.r_key): x.edit_dist for x in
+           fuzzy_blocked_join(l, r, "nm", max_dist=2).collect()}
+    # one-edit and zero-edit matches survive; 'acme inc' is 4+ edits away
+    assert out == {(1, 10): 1, (2, 12): 0}
+    # a match whose edits touch the blocking prefix is missed (documented
+    # recall/cost trade): 'Xcme corp' blocks under 'Xcm', not 'acm'
+    r2 = spark.createDataFrame([(13, "Xcme corp")], "r_key long, nm string")
+    assert fuzzy_blocked_join(l, r2, "nm", max_dist=2).count() == 0
