@@ -399,10 +399,21 @@ def fuzzy_blocked_join(
     rb = right.withColumn("__blk", F.substring(F.col(text_col), 1, block_chars)).withColumnRenamed(
         text_col, "__r_text"
     )
-    lev = F.levenshtein(F.col("__l_text"), F.col("__r_text"))
+    # Two residual optimizations, value-identical: the length-difference
+    # prefilter discards hopeless pairs with integer arithmetic before
+    # any DP runs, and the THRESHOLD form of levenshtein (3-arg) bands
+    # the DP to O(n·max_dist) with early exit — the difference between a
+    # fuzzy join that scales with candidate count and one that scales
+    # with candidate count × full quadratic DP.
+    len_ok = (
+        F.abs(F.length("__l_text") - F.length("__r_text")) <= max_dist
+    )
+    # NOTE: the threshold form returns -1 for pairs BEYOND the threshold
+    # — the filter must exclude it explicitly, not just compare <=.
+    lev = F.levenshtein(F.col("__l_text"), F.col("__r_text"), max_dist)
     return (
         lb.join(rb, "__blk")
-        .filter(lev <= max_dist)
+        .filter(len_ok & lev.between(0, max_dist))
         .withColumn("edit_dist", lev.cast("long"))
         .drop("__blk")
         .withColumnRenamed("__l_text", f"l_{text_col}")
