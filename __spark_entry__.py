@@ -108,17 +108,17 @@ _RECORD_LAST = [
     # rotates into _PRIORITY for its first driver row in round 5.
     "dd8_passage_dedup",
     # Same story for the other queries REGISTERED this round: all are
-    # driver_sim-green at sf0.01 this session (full 109-query local
-    # driver replica run end-to-end, zero mismatches) and take their
+    # driver_sim-green at sf0.01 this session (full-registry local
+    # driver replica runs end-to-end, zero mismatches) and take their
     # first driver rows in round 5.
     #
-    # ROUND-5 ROTATION NOTE: with 111 registered queries and a 50-row
+    # ROUND-5 ROTATION NOTE: with 112 registered queries and a 50-row
     # recording cap, two consecutive rounds can no longer cover the
-    # whole registry (max 100 < 111) — the r3 "nothing >1 round stale"
+    # whole registry (max 100 < 112) — the r3 "nothing >1 round stale"
     # invariant is mathematically infeasible from here on. The feasible
-    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 15
-    # never-recorded queries below + 35 of the 45 r03-green entries;
-    # the remaining 10 r03-green go first in r6.
+    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 16
+    # never-recorded queries below + 34 of the 45 r03-green entries;
+    # the remaining 11 r03-green go first in r6.
     "txt9_unigram_logprob",
     "llm9_textual_neardup",
     "g6_path_transitions",
@@ -134,6 +134,7 @@ _RECORD_LAST = [
     "pv3_l_diversity",
     "s12_cdc_apply",
     "j11_fuzzy_join",
+    "st7_gap_fill",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

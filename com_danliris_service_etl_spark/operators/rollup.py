@@ -86,3 +86,68 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, keys: Sequence[str]) -> 
         merge_min("min_v").alias("min_v"),
         merge_max("max_v").alias("max_v"),
     )
+
+
+def resample_gap_fill(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Regular-grid resampling with gap fill — the step between raw
+    events and any time-series consumer (charts, anomaly detection,
+    forecasting features), which all assume a DENSE grid: per group,
+    every bucket from the corpus min to max exists; empty buckets carry
+    zero counts and a FORWARD-FILLED mean (last observation carried
+    forward), flagged ``is_gap``.
+
+    Scale shape: the actual aggregation is one map-side-combinable
+    (group, bucket) shuffle over the events; the dense grid is generated
+    from a broadcast 1-row min/max bound (groups × buckets rows — grid-
+    sized, not event-sized) and left-joins the aggregates; the forward
+    fill is one window per group ordered by bucket — grid-sized work.
+    Events are never re-shuffled for the grid. The mean is rounded
+    BEFORE the fill so the carried value is the same literal both
+    engines computed."""
+    from pyspark.sql import Window
+
+    hb = (F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
+    hourly = (
+        events.select(F.col(group_col), hb.alias("__hb"), F.col(value_col))
+        .groupBy(group_col, "__hb")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.sum(value_col), 2).alias("__sum"),
+            F.round(F.avg(value_col), 4).alias("__m"),
+        )
+    )
+    bounds = events.select(hb.alias("__hb")).agg(
+        F.min("__hb").alias("__lo"), F.max("__hb").alias("__hi")
+    )
+    grid = (
+        events.select(group_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            group_col,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__hb"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [group_col, "__hb"], "left")
+        .withColumn("__ff", F.last("__m", ignorenulls=True).over(w))
+        .select(
+            group_col,
+            (F.col("__hb") * bucket_us).alias("bucket_start_us"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("__sum"), F.lit(0.0)).alias("sum_value"),
+            F.col("__ff").alias("ffill_mean"),
+            F.col("__n").isNull().alias("is_gap"),
+        )
+    )

@@ -965,3 +965,48 @@ def j11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_nm").alias("l_nm"), F.col("r_nm").alias("r_nm"),
         "edit_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# st7: dense-grid resample with gap fill (LOCF)
+# ---------------------------------------------------------------------------
+
+_ST7_SQL = """
+    WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb, value
+                FROM events),
+    hourly AS (SELECT event_type, hb, count(*) AS n,
+                      round(sum(value), 2) AS s, round(avg(value), 4) AS m
+               FROM ev GROUP BY event_type, hb),
+    bounds AS (SELECT min(hb) AS lo, max(hb) AS hi FROM ev),
+    grid AS (SELECT t.event_type, g.hb
+             FROM (SELECT DISTINCT event_type FROM ev) t,
+                  bounds b,
+                  LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS hb) g)
+    SELECT g.event_type,
+           g.hb * 3600000000 AS bucket_start_us,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+           COALESCE(h.s, 0.0) AS sum_value,
+           last_value(h.m IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.hb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ffill_mean,
+           (h.n IS NULL) AS is_gap
+    FROM grid g LEFT JOIN hourly h
+      ON h.event_type = g.event_type AND h.hb = g.hb
+"""
+
+
+@register("st7_gap_fill", _ST7_SQL)
+def st7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with gap fill
+    (`operators/rollup.py::resample_gap_fill`): every (event_type, hour)
+    bucket from corpus min to max exists — empty buckets carry zero
+    counts and a forward-filled mean (LOCF), flagged is_gap — the dense
+    grid every time-series consumer assumes. Events shuffle ONCE (the
+    map-side-combinable hourly aggregation); the grid derives from a
+    broadcast min/max row and stays grid-sized; the fill is one window
+    per group over grid rows. Means are rounded before the fill, so the
+    carried literal is identical cross-engine."""
+    from com_danliris_service_etl_spark.operators.rollup import resample_gap_fill
+
+    return resample_gap_fill(_events(spark, sf_dir))

@@ -301,3 +301,27 @@ def test_path_transitions_single_data_exchange(spark):
     # no cartesian, and exactly one Sort (the per-user window order)
     assert "CartesianProduct" not in plan and "Join" not in plan, plan
     assert plan.count("Window (") == 1, plan
+
+
+def test_pq_adc_join_broadcasts_distance_table(spark):
+    """sim8: the ADC scoring join must broadcast the per-query distance
+    table onto the code matrix — never shuffle or cross-product the
+    corpus side."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["sim8_pq_topk"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_join_is_equi_join_on_block(spark):
+    """j11: the candidate join must be an equi-join on the block key with
+    the edit distance as residual — a cartesian product would mean the
+    blocking silently stopped reaching the join."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["j11_fuzzy_join"][0](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan

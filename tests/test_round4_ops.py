@@ -275,3 +275,26 @@ def test_fuzzy_blocked_join_matches_and_blocks(spark):
     # recall/cost trade): 'Xcme corp' blocks under 'Xcm', not 'acm'
     r2 = spark.createDataFrame([(13, "Xcme corp")], "r_key long, nm string")
     assert fuzzy_blocked_join(l, r2, "nm", max_dist=2).count() == 0
+
+
+def test_resample_gap_fill_locf_and_gaps(spark):
+    from com_danliris_service_etl_spark.operators.rollup import resample_gap_fill
+
+    H = 3_600_000_000
+    ev = spark.createDataFrame(
+        # type a: buckets 0 and 3 (gap at 1, 2); type b: bucket 1 only
+        [("a", 0 * H + 5, 10.0), ("a", 0 * H + 6, 20.0), ("a", 3 * H, 30.0),
+         ("b", 1 * H, 7.0)],
+        "event_type string, ts_us long, value double",
+    )
+    out = {(r.event_type, r.bucket_start_us // H): r
+           for r in resample_gap_fill(ev).collect()}
+    # dense grid: global bounds [0, 3] for every type -> 8 rows
+    assert len(out) == 8
+    a1 = out[("a", 1)]
+    assert a1.is_gap and a1.n == 0 and a1.sum_value == 0.0
+    assert a1.ffill_mean == 15.0            # LOCF from bucket 0 mean
+    assert out[("a", 3)].ffill_mean == 30.0  # real observation resumes
+    b0 = out[("b", 0)]
+    assert b0.is_gap and b0.ffill_mean is None  # nothing to carry yet
+    assert out[("b", 1)].n == 1 and not out[("b", 1)].is_gap
