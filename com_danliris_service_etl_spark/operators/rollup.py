@@ -102,14 +102,15 @@ def resample_gap_fill(
     zero counts and a FORWARD-FILLED mean (last observation carried
     forward), flagged ``is_gap``.
 
-    Scale shape: the actual aggregation is one map-side-combinable
-    (group, bucket) shuffle over the events; the dense grid is generated
-    from a broadcast 1-row min/max bound (groups × buckets rows — grid-
-    sized, not event-sized) and left-joins the aggregates; the forward
-    fill is one window per group ordered by bucket — grid-sized work.
-    Events are never re-shuffled for the grid. The mean is rounded
-    BEFORE the fill so the carried value is the same literal both
-    engines computed."""
+    Scale shape: events are scanned and shuffled exactly ONCE — the
+    map-side-combinable (group, bucket) aggregation, materialized
+    (localCheckpoint, grid-sized) because everything downstream (the
+    group list, the min/max bounds, the left join) derives from it; an
+    earlier form derived groups and bounds from the raw events and paid
+    three corpus scans. The dense grid is groups × buckets rows; the
+    forward fill is one window per group ordered by bucket — grid-sized
+    work throughout. The mean is rounded BEFORE the fill so the carried
+    value is the same literal both engines computed."""
     from pyspark.sql import Window
 
     hb = (F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
@@ -121,12 +122,13 @@ def resample_gap_fill(
             F.round(F.sum(value_col), 2).alias("__sum"),
             F.round(F.avg(value_col), 4).alias("__m"),
         )
+        .localCheckpoint()
     )
-    bounds = events.select(hb.alias("__hb")).agg(
+    bounds = hourly.agg(
         F.min("__hb").alias("__lo"), F.max("__hb").alias("__hi")
     )
     grid = (
-        events.select(group_col)
+        hourly.select(group_col)
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
