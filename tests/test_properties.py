@@ -180,3 +180,94 @@ def test_repair_year_typos(spark, yy, md):
     assert fixed == f"20{yy:02d}-{md.month:02d}-{md.day:02d}"
     proper = f"20{yy:02d}-{md.month:02d}-{md.day:02d}"
     assert _eval(spark, [(proper,)], "v string", repair_year_typos(F.col("v")))[0] == proper
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-2 operator properties
+# ---------------------------------------------------------------------------
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # key
+        st.sampled_from(["I", "U", "D"]),               # op
+        st.integers(min_value=0, max_value=100),         # value payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(ops=_cdc_ops)
+def test_cdc_apply_matches_sequential_model(spark, ops):
+    """Model-based: cdc_apply(log) must equal replaying the log
+    sequentially key-by-key in plain Python (latest op wins; delete
+    removes the key)."""
+    from com_danliris_service_etl_spark.operators.scd import cdc_apply
+
+    rows = [(k, op, seq + 1, float(v)) for seq, (k, op, v) in enumerate(ops)]
+    model: dict[int, tuple[float, int]] = {}
+    for k, op, seq, v in rows:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = (v, seq)
+    # the model's "latest survives" uses the full log; cdc_apply keeps the
+    # max-seq row per key then drops deletes — equal ONLY when the latest
+    # op per key decides, which is the operator's contract
+    latest: dict[int, tuple[str, float, int]] = {}
+    for k, op, seq, v in rows:
+        if k not in latest or seq > latest[k][2]:
+            latest[k] = (op, v, seq)
+    expected = {k: (v, seq) for k, (op, v, seq) in latest.items() if op != "D"}
+
+    log = spark.createDataFrame(rows, "k long, op string, seq long, v double")
+    out = {r.k: (r.v, r.seq) for r in cdc_apply(log, ["k"], "seq").collect()}
+    assert out == expected
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=20), min_size=2, max_size=6
+    )
+)
+def test_exact_jaccard_bounds(spark, texts):
+    """inter ≤ min(|Sa|,|Sb|), union ≥ max(|Sa|,|Sb|), J ∈ [0,1] for every
+    candidate pair over arbitrary short texts."""
+    from com_danliris_service_etl_spark.operators.dedup import exact_jaccard_verify
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    # all i<j pairs among docs with >= 3 tokens (operator precondition)
+    ok = [i for i, t in enumerate(texts) if len(t.split(" ")) >= 3]
+    pairs = [(a, b) for i, a in enumerate(ok) for b in ok[i + 1:]]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    for r in exact_jaccard_verify(docs, pdf).collect():
+        assert 0 <= r.inter <= r.union
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.verified == (20 * r.inter >= 19 * r.union)
+
+
+@SETTINGS
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=30),
+    n_shards=st.integers(min_value=1, max_value=5),
+)
+def test_token_balanced_shards_conserves_tokens(spark, lens, n_shards):
+    """Sharding is a partition: doc count and token totals are conserved,
+    and no shard is emitted empty."""
+    from com_danliris_service_etl_spark.operators.packing import (
+        token_balanced_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = token_balanced_shards(docs, n_shards=n_shards).collect()
+    assert sum(r.n_docs for r in out) == len(lens)
+    assert sum(r.shard_tokens for r in out) == sum(lens)
+    assert all(r.n_docs > 0 for r in out)
+    assert len(out) == min(n_shards, len(lens))
