@@ -860,3 +860,73 @@ def exact_jaccard_verify(
             (F.col("inter") * thresh_den >= un * thresh_num).alias("verified"),
         )
     )
+
+
+def contamination_passages(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k_pass: int = 20,
+    k_shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-grain contamination LOCALIZATION: where
+    `contamination_scores` (llm5) says how much of a document overlaps
+    the benchmark, this pins WHICH consecutive ``k_pass``-token passages
+    carry the overlap — a passage is contaminated when any of its word
+    ``k_shingle``-shingles appears in the benchmark corpus. That is the
+    signal a surgical decontamination pass deletes on (drop the passage,
+    keep the document), instead of discarding whole documents.
+
+    Output: (doc_id, n_passages, n_contaminated, first_hit_pos,
+    cont_share); `first_hit_pos` is NULL for clean documents. Passages
+    shorter than ``k_shingle`` tokens (the tail of a document) produce
+    no shingles and therefore cannot be contaminated — mirrored in the
+    oracle.
+
+    Scale shape: the benchmark's distinct shingles collapse to ONE
+    sorted broadcast array (llm5's rationale: eval sets are MB-scale
+    against a 100 TB corpus); the passage split, per-passage shingles
+    and the overlap verdict are then a single per-row projection over
+    the token array — nested higher-order functions inside codegen,
+    ZERO corpus shuffle, no explode (the per-doc aggregate never leaves
+    the row)."""
+    bench_arr = (
+        _shingles(benchmark, text_col, id_col, k_shingle)
+        .select("s")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("s")).alias("__bench"))
+    )
+    parts = ", ".join(f"ps[p][i+{j}]" for j in range(k_shingle))
+    shingles_of = (
+        f"transform(sequence(0, size(ps[p]) - {k_shingle}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    hits_expr = F.expr(
+        f"filter(sequence(0, size(ps) - 1),"
+        f" p -> size(ps[p]) >= {k_shingle}"
+        f" AND arrays_overlap({shingles_of}, __bench))"
+    )
+    passages = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {k_pass}.0) AS INT) - 1),"
+        f" p -> slice(t, p * {k_pass} + 1, {k_pass}))"
+    )
+    n_pass = F.size("ps").cast("long")
+    n_cont = F.size("__hits").cast("long")
+    return (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .crossJoin(F.broadcast(bench_arr))
+        .select(id_col, passages.alias("ps"), "__bench")
+        .select(id_col, "ps", hits_expr.alias("__hits"))
+        .select(
+            F.col(id_col),
+            n_pass.alias("n_passages"),
+            n_cont.alias("n_contaminated"),
+            F.when(F.size("__hits") > 0, F.col("__hits")[0])
+            .cast("long")
+            .alias("first_hit_pos"),
+            F.round(n_cont.cast("double") / n_pass.cast("double"), 6).alias(
+                "cont_share"
+            ),
+        )
+    )

@@ -144,3 +144,55 @@ def weighted_sample_per_group(
         .filter(F.col("sample_rank") <= k)
         .select(id_col, *group_cols, "weight", "sample_rank")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: `hash_split` assigns DOCUMENTS
+    independently, so two near-duplicates can land in train and test —
+    the classic eval-leakage bug. Here the unit of assignment is the
+    near-duplicate CLUSTER: connected components over the candidate-pair
+    graph (`dedup.dedup_clusters`), then one md5-bucket split of the
+    CLUSTER id — every member of a cluster lands in the same split by
+    construction. Candidate pairs (LSH) are used UNVERIFIED on purpose:
+    a false-positive edge only over-merges clusters, which keeps the
+    split conservative (never leaks); verification only matters when a
+    pair decides a DELETION.
+
+    Output: (doc_id, cluster_id, bucket, split); singleton documents are
+    their own cluster. Same append-stability as `hash_split`: a new doc
+    either joins an existing cluster (inheriting its split) or forms a
+    singleton, and existing clusters never move buckets unless a new
+    edge genuinely merges them.
+
+    Scale shape: the cluster pass is the dedup pipeline's own (bounded
+    LSH buckets → iterative min-label propagation, `dedup_clusters`'s
+    docstring); the split itself adds one left join of docs onto the
+    cluster map (cluster map ≈ only docs that HAVE a near-dup — usually
+    a small fraction, broadcastable) and a per-row hash projection."""
+    from com_danliris_service_etl_spark.operators.dedup import dedup_clusters
+
+    cl = dedup_clusters(edges, id_a=a_col, id_b=b_col).select(
+        F.col("doc_id").alias("__id"), F.col("cluster_id").alias("__cl")
+    )
+    cluster = F.coalesce(F.col("__cl"), F.col(id_col).cast("long"))
+    h = F.conv(F.substring(F.md5(cluster.cast("string")), 1, 8), 16, 10)
+    bucket = (h.cast("long") % 100).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(id_col)
+        .join(cl, F.col(id_col) == F.col("__id"), "left")
+        .select(F.col(id_col), cluster.alias("cluster_id"), bucket)
+        .withColumn("split", split)
+    )

@@ -521,3 +521,56 @@ def window_language_profile(
             (agreement < mixed_below).alias("is_mixed"),
         )
     )
+
+
+def boilerplate_ngram_stats(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate phrase detection (the C4/CCNet cleanup
+    shape): a word ``k``-gram counts as boilerplate when it occurs in at
+    least ``min_docs`` DISTINCT documents (site chrome, license headers,
+    navigation text — phrases no single author writes independently);
+    per document, report how much of its phrase inventory is boilerplate
+    — the removal signal a corpus-cleaning pass filters or strips on.
+
+    Output: (doc_id, n_shingles, n_boiler, boiler_share) over each
+    document's DISTINCT k-shingles; documents with < k tokens drop out
+    (no shingles — mirrored in the oracle).
+
+    Scale shape: per-document distinctness is computed ROW-LOCALLY
+    (``array_distinct`` before the explode), so it costs no shuffle; the
+    document-frequency count is ONE map-side-combinable groupBy on the
+    shingle (only true boilerplate is hot, and those are exactly the
+    keys partial aggregation collapses hardest); the flag join reuses
+    the same shingle key (at real corpus scale the boilerplate SET —
+    ``__nd >= min_docs`` — is small enough to broadcast instead; AQE
+    makes that call from the measured size); the per-document report is
+    one aggregation bounded by the document's own shingle count."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    idx = ", ".join(f"t[i+{j}]" for j in range(k))
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(0, size(t)-{k}),"
+        f" i -> concat_ws(' ', {idx})))"
+    )
+    sh = (
+        _spread(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= k)
+        .select(id_col, F.explode(sh_arr).alias("s"))
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__nd"))
+    flagged = sh.join(df_counts, "s")
+    n_sh = F.count(F.lit(1)).cast("long")
+    n_boiler = F.sum((F.col("__nd") >= min_docs).cast("long"))
+    return flagged.groupBy(id_col).agg(
+        n_sh.alias("n_shingles"),
+        n_boiler.alias("n_boiler"),
+        F.round(n_boiler.cast("double") / n_sh.cast("double"), 6).alias(
+            "boiler_share"
+        ),
+    )

@@ -117,3 +117,27 @@ def surrogate_key_distributed(
         )
         .drop("__pid")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: Column | Sequence[Column],
+    k: int,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group ("3 biggest orders per priority class") — the
+    grouped cousin of O3's global TOP(N). One window rank + filter: the
+    single shuffle partitions by the group key, and because row_number
+    needs only a running counter per group, Spark's WindowExec keeps
+    O(1) state per group — no per-group buffering of all rows. The
+    caller must make `order_by` a TOTAL order (tiebreak column included)
+    or ranks beyond the tie are partition-dependent — same contract as
+    `first_match_join`."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, Column) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
+    )

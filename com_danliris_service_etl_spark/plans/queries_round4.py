@@ -1010,3 +1010,177 @@ def st7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.rollup import resample_gap_fill
 
     return resample_gap_fill(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Session 3 — corpus-hygiene completions: boilerplate phrase detection,
+# leakage-safe splitting, passage-grain contamination localization, and the
+# grouped top-k window primitive.
+# ---------------------------------------------------------------------------
+
+_TXT11_MIN_DOCS = 5
+
+_TXT11_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+    cnt AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN nd >= {_TXT11_MIN_DOCS} THEN 1 ELSE 0 END)::BIGINT
+             AS n_boiler,
+           round(CAST(sum(CASE WHEN nd >= {_TXT11_MIN_DOCS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS boiler_share
+    FROM sh JOIN cnt USING (s)
+    GROUP BY doc_id
+"""
+
+
+@register("txt11_boilerplate_ngrams", _TXT11_SQL)
+def txt11_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate phrase detection
+    (`operators/text.py::boilerplate_ngram_stats`): a word 3-gram seen in
+    ≥5 distinct documents is boilerplate (site chrome / license headers —
+    phrases no author writes independently); each document reports what
+    share of its distinct phrases that is — the C4/CCNet cleanup signal.
+    Distinctness is row-local (array_distinct before the explode); the
+    document-frequency count is one map-side-combinable shingle groupBy;
+    the flag join reuses the same key."""
+    from com_danliris_service_etl_spark.operators.text import (
+        boilerplate_ngram_stats,
+    )
+
+    return boilerplate_ngram_stats(
+        _t(spark, sf_dir, "documents"), k=3, min_docs=_TXT11_MIN_DOCS
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+
+    b = "('0x' || substring(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100"
+    return f"""
+    WITH RECURSIVE cand AS ({_minhash_sql()}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           {b} AS bucket,
+           CASE WHEN {b} < 90 THEN 'train'
+                WHEN {b} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@register("llm10_leakage_safe_split", _leakage_safe_split_sql())
+def llm10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (`operators/sampling.py::cluster_safe_split`): llm2's hash split
+    assigns documents independently, so near-duplicates can straddle
+    train and test — the classic eval-leakage bug. Here the assignment
+    unit is the near-dup CLUSTER (LSH candidate pairs → connected
+    components), bucketed by md5 of the cluster id: every member lands
+    in the same split by construction, and candidates are deliberately
+    UNVERIFIED — a false-positive edge only over-merges, which never
+    leaks (verification matters when a pair decides a deletion, not a
+    grouping)."""
+    from com_danliris_service_etl_spark.operators import dedup as dd
+    from com_danliris_service_etl_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return cluster_safe_split(docs, cands)
+
+
+_LLM11_BENCH_MAX_ID = 20
+
+_LLM11_SQL = f"""
+    WITH btoks AS (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE doc_id < {_LLM11_BENCH_MAX_ID}),
+    bench AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM btoks, UNNEST(range(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 3),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE doc_id >= {_LLM11_BENCH_MAX_ID}),
+    pass AS (SELECT doc_id, p.p AS pos, t[p.p*20+1 : p.p*20+20] AS pt
+             FROM toks,
+                  UNNEST(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS p(p)),
+    psh AS (SELECT doc_id, pos, pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2] AS s
+            FROM pass, UNNEST(range(1, len(pt) - 1)) AS u(i)
+            WHERE len(pt) >= 3),
+    hits AS (SELECT DISTINCT doc_id, pos FROM psh JOIN bench USING (s)),
+    agg AS (SELECT doc_id, count(*) AS n_passages FROM pass GROUP BY doc_id),
+    h AS (SELECT doc_id, count(*) AS n_cont, min(pos) AS first_pos
+          FROM hits GROUP BY doc_id)
+    SELECT a.doc_id,
+           a.n_passages::BIGINT AS n_passages,
+           COALESCE(h.n_cont, 0)::BIGINT AS n_contaminated,
+           h.first_pos::BIGINT AS first_hit_pos,
+           round(CAST(COALESCE(h.n_cont, 0) AS DOUBLE) / a.n_passages, 6)
+             AS cont_share
+    FROM agg a LEFT JOIN h USING (doc_id)
+"""
+
+
+@register("llm11_contamination_spans", _LLM11_SQL)
+def llm11_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-grain contamination localization
+    (`operators/dedup.py::contamination_passages`): llm5 scores overall
+    benchmark overlap per document; this pins WHICH 20-token passages
+    carry it (any 3-shingle in the benchmark set) — the signal a
+    surgical decontamination pass deletes on (drop the passage, keep
+    the document). Benchmark shingles collapse to one broadcast array;
+    the passage split, per-passage shingles and verdicts are nested
+    higher-order functions in ONE per-row projection — zero corpus
+    shuffle, no explode."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        contamination_passages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_passages(
+        docs.filter(F.col("doc_id") >= _LLM11_BENCH_MAX_ID),
+        docs.filter(F.col("doc_id") < _LLM11_BENCH_MAX_ID),
+        k_pass=20,
+        k_shingle=3,
+    )
+
+
+_W5_SQL = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+"""
+
+
+@register("w5_topk_per_group", _W5_SQL)
+def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (`operators/windows.py::topk_per_group`): the three
+    biggest orders per priority class — O3's TOP(N) made per-group. One
+    window shuffle on the group key with O(1) running state per group;
+    the order includes the key tiebreak so ranks are total and
+    partition-independent."""
+    from com_danliris_service_etl_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        "o_orderpriority",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).withColumn("rn", F.col("rn").cast("long"))

@@ -298,3 +298,143 @@ def test_resample_gap_fill_locf_and_gaps(spark):
     b0 = out[("b", 0)]
     assert b0.is_gap and b0.ffill_mean is None  # nothing to carry yet
     assert out[("b", 1)].n == 1 and not out[("b", 1)].is_gap
+
+
+def test_boilerplate_ngram_stats_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.text import (
+        boilerplate_ngram_stats,
+    )
+
+    # "a b c" occurs in docs 1-3 (min_docs=3 → boilerplate); doc 3 also
+    # has the unique shingles of "x y z w"; doc 4 is all-unique; doc 5
+    # is too short for any shingle and must drop out.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, "a b c x y z w"),
+            (4, "p q r s"),
+            (5, "t u"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in boilerplate_ngram_stats(docs, k=3, min_docs=3).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].n_shingles, rows[1].n_boiler) == (1, 1)
+    # doc 3 distinct shingles: abc, bcx, cxy, xyz, yzw → only abc boiler
+    assert (rows[3].n_shingles, rows[3].n_boiler) == (5, 1)
+    assert rows[3].boiler_share == 0.2
+    assert (rows[4].n_shingles, rows[4].n_boiler) == (2, 0)
+
+
+def test_boilerplate_repeated_shingle_counted_once_per_doc(spark):
+    from com_danliris_service_etl_spark.operators.text import (
+        boilerplate_ngram_stats,
+    )
+
+    # "a b c" repeated INSIDE doc 1 must count it once (distinct per
+    # doc), so with min_docs=2 it is NOT boilerplate from doc 1 alone.
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "z z z")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in boilerplate_ngram_stats(docs, k=3, min_docs=2).collect()
+    }
+    # doc 1 distinct: abc, bca, cab → all unique to doc 1
+    assert rows[1].n_boiler == 0
+
+
+def test_contamination_passages_localizes_hit(spark):
+    from com_danliris_service_etl_spark.operators.dedup import (
+        contamination_passages,
+    )
+
+    bench = spark.createDataFrame([(100, "m n o")], "doc_id long, text string")
+    # doc 1: passage 0 clean, passage 1 contains the benchmark shingle;
+    # doc 2 clean; doc 3 shorter than one passage and clean.
+    clean4 = "a b c d"
+    docs = spark.createDataFrame(
+        [
+            (1, clean4 + " " + "m n o d"),
+            (2, "p q r s t u v w"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_passages(
+            docs, bench, k_pass=4, k_shingle=3
+        ).collect()
+    }
+    assert (rows[1].n_passages, rows[1].n_contaminated, rows[1].first_hit_pos) == (
+        2, 1, 1,
+    )
+    assert rows[1].cont_share == 0.5
+    assert (rows[2].n_contaminated, rows[2].first_hit_pos) == (0, None)
+    # 2-token doc: one passage, too short for any 3-shingle → clean
+    assert (rows[3].n_passages, rows[3].n_contaminated) == (1, 0)
+
+
+def test_contamination_passage_boundary_shingle_not_matched(spark):
+    from com_danliris_service_etl_spark.operators.dedup import (
+        contamination_passages,
+    )
+
+    # The benchmark shingle straddles the passage boundary (tokens 3-5
+    # of an 8-token doc with k_pass=4): NEITHER passage contains it
+    # wholly, so the doc must be clean — passages are the match grain.
+    bench = spark.createDataFrame([(100, "c d e")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    r = contamination_passages(docs, bench, k_pass=4, k_shingle=3).collect()[0]
+    assert (r.n_passages, r.n_contaminated) == (2, 0)
+
+
+def test_cluster_safe_split_cluster_atomicity(spark):
+    from com_danliris_service_etl_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # components {1,2,3} (chain) and {5,6}; 4 and 7 singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: r for r in cluster_safe_split(docs, edges).collect()}
+    assert {rows[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert {rows[i].cluster_id for i in (5, 6)} == {5}
+    assert rows[4].cluster_id == 4 and rows[7].cluster_id == 7
+    # the leakage guarantee: one split per cluster
+    assert len({rows[i].split for i in (1, 2, 3)}) == 1
+    assert len({rows[i].split for i in (5, 6)}) == 1
+    # split derives from the cluster id's hash, so members share buckets
+    assert len({rows[i].bucket for i in (1, 2, 3)}) == 1
+
+
+def test_topk_per_group_rank_and_tiebreak(spark):
+    from com_danliris_service_etl_spark.operators.windows import topk_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 10.0),
+            ("g1", 2, 30.0),
+            ("g1", 3, 30.0),
+            ("g1", 4, 5.0),
+            ("g2", 5, 1.0),
+        ],
+        "grp string, id long, v double",
+    )
+    out = topk_per_group(
+        df, "grp", [F.col("v").desc(), F.col("id")], k=2
+    ).collect()
+    got = {(r.grp, r.id): r.rn for r in out}
+    # tie at 30.0 broken by id: 2 before 3; 4 (v=5.0) cut by k=2
+    assert got == {("g1", 2): 1, ("g1", 3): 2, ("g2", 5): 1}
