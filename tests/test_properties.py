@@ -271,3 +271,69 @@ def test_token_balanced_shards_conserves_tokens(spark, lens, n_shards):
     assert sum(r.shard_tokens for r in out) == sum(lens)
     assert all(r.n_docs > 0 for r in out)
     assert len(out) == min(n_shards, len(lens))
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).filter(lambda p: p[0] != p[1]),
+        max_size=8,
+    )
+)
+def test_cluster_safe_split_never_splits_an_edge(spark, edges):
+    """llm10's leakage guarantee as an invariant: for ANY edge set, the
+    two endpoints of every edge receive the same cluster AND the same
+    split — near-duplicates can never straddle train/test."""
+    from com_danliris_service_etl_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    edf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(1, 1)],
+        "doc_a long, doc_b long",
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    out = {r.doc_id: r for r in cluster_safe_split(docs, edf).collect()}
+    assert set(out) == set(range(1, 13))  # total: every doc assigned once
+    for a, b in edges:
+        assert out[a].cluster_id == out[b].cluster_id
+        assert out[a].split == out[b].split
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("abcdef"), min_size=0, max_size=12
+        ).map(lambda cs: " ".join(cs)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_contamination_passages_bounds_and_self_hit(spark, texts):
+    """llm11 invariants: 0 ≤ n_contaminated ≤ n_passages for any corpus;
+    and with the corpus ITSELF as the benchmark, every passage that can
+    carry a shingle (≥3 tokens) is contaminated — localization can't
+    miss a verbatim inclusion."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        contamination_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = contamination_passages(docs, docs, k_pass=4, k_shingle=3).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_passages
+        toks = texts[r.doc_id].split(" ") if texts[r.doc_id] else []
+        # passages with >=3 tokens: all but possibly the tail
+        eligible = sum(
+            1
+            for p in range(r.n_passages)
+            if len(toks[p * 4 : p * 4 + 4]) >= 3
+        )
+        assert r.n_contaminated == eligible
