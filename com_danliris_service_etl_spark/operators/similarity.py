@@ -531,14 +531,15 @@ def pq_codebook(
     ).agg(F.sort_array(F.collect_list("c")).alias("__cb"))
 
 
-def _pq_subdist(vec_col: str, mi_expr: str, sub: int) -> str:
+def _pq_subdist(vec_col: str, mi_expr: str, sub: int, cvec: str = "c.cvec") -> str:
     """SQL expr: scaled-BIGINT L2² between subspace ``mi`` slices of the
-    row's vector and a codebook entry `c` in scope. Fixed fold order
-    (dim 1..sub) — mirrored exactly by the oracle's list_reduce."""
+    row's vector and the codebook entry vector ``cvec`` in scope (default:
+    a lambda variable `c` over `__cb`). Fixed fold order (dim 1..sub) —
+    mirrored exactly by the oracle's list_reduce."""
     return (
         "cast(round(aggregate("
         f"  zip_with(slice({vec_col}, ({mi_expr}) * {sub} + 1, {sub}),"
-        f"           slice(c.cvec, ({mi_expr}) * {sub} + 1, {sub}),"
+        f"           slice({cvec}, ({mi_expr}) * {sub} + 1, {sub}),"
         "            (x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)),"
         "  cast(0.0 AS DOUBLE), (acc, v) -> acc + v"
         f") * {PQ_SCALE}) AS BIGINT)"
@@ -592,35 +593,53 @@ def pq_topk(
     and approx_l2sq(query, x) = Σ_m D[q][m][code_m(x)] — table lookups,
     no vector arithmetic per candidate.
 
-    Scale shape: the D table is |queries|·m·K rows — broadcast-sized for
-    any sane query batch — joined onto the exploded code matrix by
-    (mi, code): an equi-join against the persisted PQ index, then ONE
-    map-side-combinable (query, neighbor) sum. All distances are scaled
-    BIGINTs, so the ADC sum is exact integer arithmetic: rank order is
-    engine- and partitioning-independent by construction, not by
-    rounding luck. Ranking ascends (distance, neighbor_id)."""
+    Scale shape: each query's D table is an m×K BIGINT ARRAY (position-
+    aligned with the cid-sorted codebook) carried on its row; the corpus
+    row carries its m code POSITIONS (`pq_encode`'s codes, as positions
+    into the same sorted codebook — the identical argmin, identical
+    tiebreak). Scoring is then a broadcast of the query batch onto the
+    code matrix and a row-local integer fold `Σ_m D[mi][code_mi]` —
+    ZERO shuffle before the final top-k window, where the earlier
+    relational form (explode codes → equi-join D rows → re-aggregate)
+    paid an extra exchange over m× the rows for the same sum. All
+    distances are scaled BIGINTs, so the ADC sum is exact integer
+    arithmetic: rank order is engine- and partitioning-independent by
+    construction, not by rounding luck. Ranking ascends
+    (distance, neighbor_id)."""
     from pyspark.sql import Window
 
     cb = pq_codebook(codebook, id_col, vec_col).localCheckpoint()
-    codes = pq_encode(embeddings, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     sub = dim // m
-    d_structs = F.expr(
-        f"flatten(transform(sequence(0, {m - 1}), mi ->"
-        "  transform(__cb, c -> struct(mi AS mi, c.cid AS cid,"
-        f"    {_pq_subdist(vec_col, 'mi', sub)} AS sd))))"
+    # code POSITIONS into the cid-sorted __cb: same argmin/tiebreak as
+    # pq_encode (position order == cid order because __cb is sorted)
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), mi ->"
+        "  array_min(transform(sequence(0, size(__cb) - 1), j -> struct("
+        f"    {_pq_subdist(vec_col, 'mi', sub, cvec='__cb[j].cvec')} AS sd,"
+        "     j AS pos))).pos)"
     )
-    dtab = (
-        queries.crossJoin(F.broadcast(cb))
-        .select(F.col(id_col).alias("query_id"), F.explode(d_structs).alias("d"))
-        .select("query_id", F.col("d.mi").alias("mi"), F.col("d.cid").alias("code"),
-                F.col("d.sd").alias("sd"))
+    dq_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), mi ->"
+        f"  transform(__cb, c -> {_pq_subdist(vec_col, 'mi', sub)}))"
+    )
+    corpus = embeddings.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("neighbor_id"), codes_expr.alias("__codes")
+    )
+    qtab = queries.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("query_id"), dq_expr.alias("__dq")
     )
     adc = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(dtab), ["mi", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("sd").alias("__ds"))
+        corpus.join(
+            F.broadcast(qtab), F.col("query_id") != F.col("neighbor_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), cast(0 AS BIGINT),"
+                " (acc, mi) -> acc + __dq[mi][__codes[mi]])"
+            ).alias("__ds"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__ds"), F.col("neighbor_id"))
     return (
