@@ -116,9 +116,9 @@ _RECORD_LAST = [
     # recording cap, two consecutive rounds can no longer cover the
     # whole registry (max 100 < 116) — the r3 "nothing >1 round stale"
     # invariant is mathematically infeasible from here on. The feasible
-    # guarantee is a 3-round cycle: r5 _PRIORITY should be the 20
-    # never-recorded queries below + 30 of the 45 r03-green entries;
-    # the remaining 15 r03-green go first in r6.
+    # guarantee is a 3-round cycle: r5 _PRIORITY should be ALL 21
+    # never-recorded queries (dd8 above plus the 20 below) + 29 of the
+    # 45 r03-green entries; the remaining 16 r03-green go first in r6.
     "txt9_unigram_logprob",
     "llm9_textual_neardup",
     "g6_path_transitions",

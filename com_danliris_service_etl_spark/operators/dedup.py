@@ -888,9 +888,11 @@ def contamination_passages(
     sorted broadcast array (llm5's rationale: eval sets are MB-scale
     against a 100 TB corpus); the passage split, per-passage shingles
     and the overlap verdict are then a single per-row projection over
-    the token array — nested higher-order functions inside codegen,
-    ZERO corpus shuffle, no explode (the per-doc aggregate never leaves
-    the row)."""
+    the token array — nested higher-order functions inside codegen, no
+    explode (the per-doc verdict never leaves the row). The only
+    corpus movement is `_spread`'s CONDITIONAL repartition of the
+    compact doc rows when the input arrives under-partitioned — a
+    well-partitioned 100 TB corpus passes through with zero shuffle."""
     bench_arr = (
         _shingles(benchmark, text_col, id_col, k_shingle)
         .select("s")
@@ -914,7 +916,11 @@ def contamination_passages(
     n_pass = F.size("ps").cast("long")
     n_cont = F.size("__hits").cast("long")
     return (
-        docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        # _spread: the per-row shingle/overlap work is CPU-bound and a
+        # one-file corpus arrives as one partition (same rationale as
+        # _shingles); docs is a narrow scan/filter frame at call sites.
+        _spread(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .crossJoin(F.broadcast(bench_arr))
         .select(id_col, passages.alias("ps"), "__bench")
         .select(id_col, "ps", hits_expr.alias("__hits"))

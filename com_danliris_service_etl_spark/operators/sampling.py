@@ -182,7 +182,11 @@ def cluster_safe_split(
     cl = dedup_clusters(edges, id_a=a_col, id_b=b_col).select(
         F.col("doc_id").alias("__id"), F.col("cluster_id").alias("__cl")
     )
-    cluster = F.coalesce(F.col("__cl"), F.col(id_col).cast("long"))
+    # No cast on the singleton fallback: dedup_clusters preserves the id
+    # type (string ids stay strings), and a lossy cast would NULL every
+    # singleton's cluster id — silently dumping the un-clustered majority
+    # of the corpus into one split.
+    cluster = F.coalesce(F.col("__cl"), F.col(id_col))
     h = F.conv(F.substring(F.md5(cluster.cast("string")), 1, 8), 16, 10)
     bucket = (h.cast("long") % 100).alias("bucket")
     split = (

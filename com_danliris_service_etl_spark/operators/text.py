@@ -562,6 +562,11 @@ def boilerplate_ngram_stats(
         .select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .filter(F.size("t") >= k)
         .select(id_col, F.explode(sh_arr).alias("s"))
+        # referenced twice (count + flag join) with DIFFERENT exchange
+        # children, so ReuseExchange can't dedupe — without this the
+        # whole scan+split+distinct+explode pipeline runs twice
+        # (dedup_clusters' pairs-input lesson)
+        .localCheckpoint(eager=False)
     )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__nd"))
     flagged = sh.join(df_counts, "s")

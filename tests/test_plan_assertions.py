@@ -305,14 +305,22 @@ def test_path_transitions_single_data_exchange(spark):
 
 def test_pq_adc_join_broadcasts_distance_table(spark):
     """sim8: the ADC scoring join must broadcast the per-query distance
-    table onto the code matrix — never shuffle or cross-product the
-    corpus side."""
+    tables onto the code matrix — the corpus side is never shuffled or
+    cartesian-multiplied. Since the row-local-fold rewrite the query
+    side is an m×K array per query joined under `query != neighbor`
+    (BroadcastNestedLoopJoin over the BROADCAST query batch — the loop
+    is |corpus|·|queries|, exactly the ADC candidate set, not a corpus
+    cross-product), and the only exchange left is the final top-k
+    window's."""
     from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
 
     load_all()
     plan = _plan(REGISTRY["sim8_pq_topk"][0](spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # one data exchange total: the top-k window's partition-by-query
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1, plan
 
 
 def test_fuzzy_join_is_equi_join_on_block(spark):

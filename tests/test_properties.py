@@ -296,8 +296,10 @@ def test_cluster_safe_split_never_splits_an_edge(spark, edges):
         [(min(a, b), max(a, b)) for a, b in edges] or [(1, 1)],
         "doc_a long, doc_b long",
     ).filter(F.col("doc_a") != F.col("doc_b"))
-    out = {r.doc_id: r for r in cluster_safe_split(docs, edf).collect()}
-    assert set(out) == set(range(1, 13))  # total: every doc assigned once
+    rows = cluster_safe_split(docs, edf).collect()
+    assert len(rows) == 12  # total AND unique: a fan-out join would dup rows
+    out = {r.doc_id: r for r in rows}
+    assert set(out) == set(range(1, 13))
     for a, b in edges:
         assert out[a].cluster_id == out[b].cluster_id
         assert out[a].split == out[b].split
