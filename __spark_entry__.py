@@ -112,13 +112,13 @@ _RECORD_LAST = [
     # driver replica runs end-to-end, zero mismatches) and take their
     # first driver rows in round 5.
     #
-    # ROUND-5 ROTATION NOTE: with 116 registered queries and a 50-row
+    # ROUND-5 ROTATION NOTE: with 117 registered queries and a 50-row
     # recording cap, two consecutive rounds can no longer cover the
-    # whole registry (max 100 < 116) — the r3 "nothing >1 round stale"
+    # whole registry (max 100 < 117) — the r3 "nothing >1 round stale"
     # invariant is mathematically infeasible from here on. The feasible
-    # guarantee is a 3-round cycle: r5 _PRIORITY should be ALL 21
-    # never-recorded queries (dd8 above plus the 20 below) + 29 of the
-    # 45 r03-green entries; the remaining 16 r03-green go first in r6.
+    # guarantee is a 3-round cycle: r5 _PRIORITY should be ALL 22
+    # never-recorded queries (dd8 above plus the 21 below) + 28 of the
+    # 45 r03-green entries; the remaining 17 r03-green go first in r6.
     "txt9_unigram_logprob",
     "llm9_textual_neardup",
     "g6_path_transitions",
@@ -139,6 +139,7 @@ _RECORD_LAST = [
     "llm10_leakage_safe_split",
     "llm11_contamination_spans",
     "w5_topk_per_group",
+    "q3_hourly_anomalies",
     # r03-green (CORRECTNESS_r03.json) and unchanged this round.
     "a0_pricing_summary",
     "a3_weighted_score",

@@ -134,3 +134,60 @@ def snapshot_drift(
             ).alias("drifted"),
         )
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    bucket_us: int = 3_600_000_000,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust volume-anomaly detection over the hourly event grid: per
+    group, flag buckets whose event count deviates from the group's
+    MEDIAN by more than ``k`` times the MAD (median absolute deviation)
+    — the standard robust alternative to mean/stddev control limits,
+    immune to the very outliers it hunts. When MAD is 0 (over half the
+    buckets share one count), any deviation at all is flagged — the
+    degenerate-but-common case of a flat-lined metric.
+
+    Output: (group, bucket_start_us, n, med, mad, is_anomaly).
+
+    Scale shape: the corpus is scanned and shuffled exactly ONCE (the
+    map-side-combinable (group, bucket) count, materialized because the
+    stats, deviations and verdicts all derive from it — the
+    resample_gap_fill discipline); both median passes run over the
+    GRID-sized hourly relation, and the per-group stats (a handful of
+    rows) broadcast back onto it. Medians are the EXACT interpolated
+    `percentile` (DuckDB `quantile_cont` semantics), rounded to 4dp
+    BEFORE deviations and verdicts are computed, so every comparison
+    runs on identical literals in both engines; at petabyte grids the
+    exact median over buckets stays cheap because the relation is
+    grid-sized, not event-sized."""
+    hb = (F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
+    hourly = (
+        events.select(F.col(group_col), hb.alias("__hb"))
+        .groupBy(group_col, "__hb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    stats = hourly.groupBy(group_col).agg(
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("med")
+    )
+    dev = hourly.join(F.broadcast(stats), group_col).withColumn(
+        "__d", F.abs(F.col("n") - F.col("med"))
+    )
+    mads = dev.groupBy(group_col).agg(
+        F.round(F.expr("percentile(__d, 0.5)"), 4).alias("mad")
+    )
+    flagged = F.when(F.col("mad") > 0, F.col("__d") > k * F.col("mad")).otherwise(
+        F.col("__d") > 0
+    )
+    return dev.join(F.broadcast(mads), group_col).select(
+        group_col,
+        (F.col("__hb") * bucket_us).alias("bucket_start_us"),
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        flagged.alias("is_anomaly"),
+    )

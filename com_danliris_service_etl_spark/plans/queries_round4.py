@@ -1184,3 +1184,41 @@ def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
     ).withColumn("rn", F.col("rn").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q3: robust hourly volume anomalies (median/MAD control limits)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+    WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb
+                FROM events),
+    hourly AS (SELECT event_type, hb, count(*) AS n FROM ev GROUP BY 1, 2),
+    stats AS (SELECT event_type, round(quantile_cont(n, 0.5), 4) AS med
+              FROM hourly GROUP BY 1),
+    dev AS (SELECT h.event_type, h.hb, h.n, s.med, abs(h.n - s.med) AS d
+            FROM hourly h JOIN stats s USING (event_type)),
+    mads AS (SELECT event_type, round(quantile_cont(d, 0.5), 4) AS mad
+             FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           d.hb * 3600000000 AS bucket_start_us,
+           CAST(d.n AS BIGINT) AS n, d.med, m.mad,
+           CASE WHEN m.mad > 0 THEN d.d > 3 * m.mad
+                ELSE d.d > 0 END AS is_anomaly
+    FROM dev d JOIN mads m USING (event_type)
+"""
+
+
+@register("q3_hourly_anomalies", _Q3_SQL)
+def q3_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly flags over the hourly event grid
+    (`operators/quality.py::hourly_anomalies`): per event type, buckets
+    whose count sits more than 3 MADs from the type's median — the
+    median/MAD control chart that mean/stddev limits can't provide
+    (outliers drag the mean toward themselves). One corpus shuffle (the
+    hourly count); both medians run grid-sized; stats broadcast back.
+    Completes the quality family: q1 gates rows, q2 compares snapshots,
+    q3 watches the time axis."""
+    from com_danliris_service_etl_spark.operators.quality import hourly_anomalies
+
+    return hourly_anomalies(_events(spark, sf_dir))

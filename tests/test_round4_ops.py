@@ -438,3 +438,47 @@ def test_topk_per_group_rank_and_tiebreak(spark):
     got = {(r.grp, r.id): r.rn for r in out}
     # tie at 30.0 broken by id: 2 before 3; 4 (v=5.0) cut by k=2
     assert got == {("g1", 2): 1, ("g1", 3): 2, ("g2", 5): 1}
+
+
+def test_hourly_anomalies_mad_flags(spark):
+    from com_danliris_service_etl_spark.operators.quality import hourly_anomalies
+
+    # type a: counts per hour = [4, 4, 4, 5, 40] → med 4, MAD 0... use
+    # spread counts instead: [2, 4, 4, 6, 40] → med 4, devs [2,0,0,2,36],
+    # MAD 2 → only the 40-bucket exceeds 3*MAD=6.
+    rows = []
+    counts = {0: 2, 1: 4, 2: 4, 3: 6, 4: 40}
+    for hb, n in counts.items():
+        rows += [("a", hb * 3_600_000_000 + i) for i in range(n)]
+    # type b: flat-lined [3, 3, 3] → MAD 0 → nothing deviates, no flags
+    for hb in range(3):
+        rows += [("b", hb * 3_600_000_000 + i) for i in range(3)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_us long")
+    out = {
+        (r.event_type, r.bucket_start_us // 3_600_000_000): r
+        for r in hourly_anomalies(ev).collect()
+    }
+    a = {hb: out[("a", hb)] for hb in counts}
+    assert a[0].med == 4.0 and a[0].mad == 2.0
+    assert [a[hb].is_anomaly for hb in range(5)] == [
+        False, False, False, False, True,
+    ]
+    # degenerate MAD=0 branch: deviation 0 everywhere → clean
+    assert all(not out[("b", hb)].is_anomaly for hb in range(3))
+
+
+def test_hourly_anomalies_mad_zero_flags_any_deviation(spark):
+    from com_danliris_service_etl_spark.operators.quality import hourly_anomalies
+
+    # counts [5, 5, 5, 5, 6]: med 5, devs [0,0,0,0,1] → MAD 0 → the
+    # lone 6-bucket is flagged even though 3*MAD would pass it.
+    rows = []
+    for hb, n in enumerate([5, 5, 5, 5, 6]):
+        rows += [("a", hb * 3_600_000_000 + i) for i in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_us long")
+    out = {
+        r.bucket_start_us // 3_600_000_000: r
+        for r in hourly_anomalies(ev).collect()
+    }
+    assert out[4].mad == 0.0 and out[4].is_anomaly
+    assert not any(out[h].is_anomaly for h in range(4))
