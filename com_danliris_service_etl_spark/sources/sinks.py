@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 
 
 def _delta_available(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.io.delta.tables.DeltaTable` attribute access
+    # NEVER raises — py4j silently returns a JavaPackage stub for any
+    # missing class — so probe with an actual JVM class lookup.
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "io.delta.tables.DeltaTable"
+        )
         return True
     except Exception:
         return False
@@ -73,6 +78,27 @@ def merge_upsert(
         else:
             updates = updates.dropDuplicates(key_list)
 
+    # Crash recovery: a kill between the swap's two os.replace calls
+    # below leaves the target missing and `<target>.old` holding the only
+    # copy of the fact. Restore it FIRST — otherwise the fresh-target
+    # branch would silently rebuild the fact from this batch alone and a
+    # later successful swap would delete the backup, losing every
+    # pre-crash row. (merge_upsert is idempotent, so re-running the
+    # interrupted batch after the restore is safe.)
+    _backup = target_path + ".old"
+    if not os.path.exists(target_path) and os.path.exists(_backup):
+        os.replace(_backup, target_path)
+
+    if not os.path.exists(target_path):
+        # Fresh fact: create it in Delta format when Delta is available,
+        # or every subsequent merge would miss the `_delta_log` check and
+        # run the non-scalable full-rewrite parquet emulation forever.
+        if _delta_available(spark):
+            updates.write.format("delta").mode("overwrite").save(target_path)
+        else:
+            updates.write.mode("overwrite").parquet(target_path)
+        return
+
     if _delta_available(spark) and os.path.exists(os.path.join(target_path, "_delta_log")):
         from delta.tables import DeltaTable  # type: ignore
 
@@ -96,10 +122,6 @@ def merge_upsert(
             .whenNotMatchedInsertAll()
             .execute()
         )
-        return
-
-    if not os.path.exists(target_path):
-        updates.write.mode("overwrite").parquet(target_path)
         return
 
     target = spark.read.parquet(target_path)

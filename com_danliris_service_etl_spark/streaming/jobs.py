@@ -37,6 +37,25 @@ def events_schema(sf_dir: str) -> T.StructType:
     )
 
 
+def _stream_table(
+    spark: SparkSession, schema: T.StructType, sf_dir: str, table: str
+) -> DataFrame:
+    """File-source readStream for one fixture table, robust to BOTH
+    physical forms the generator has produced: `<table>.parquet` as a
+    directory of part files (streamed directly — the source's basePath
+    must be a directory) and as a single file (streamed via the parent
+    dir + a pathGlobFilter, which matches leaf FILE names; using the
+    filter against the directory form would silently stream zero rows,
+    and streaming a file path directly fails the basePath check)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with event-time normalized to a
     micros TimestampType (same footer-driven dispatch as the batch path)."""
@@ -46,13 +65,7 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     kind = configure_session_for_events(spark, sf_dir)
-    # The file stream source requires a directory: stream the sf dir with a
-    # glob filter selecting the events table.
-    raw = (
-        spark.readStream.schema(events_schema(sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_table(spark, events_schema(sf_dir), sf_dir, "events")
     return raw.withColumn("ts_us", events_ts_us_expr(kind)).withColumn(
         "ts_utc", F.timestamp_micros(F.col("ts_us"))
     )
@@ -61,8 +74,11 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window counts+sums with a late-data watermark: the canonical
     streaming aggregation. State store holds one row per (window, type);
-    the watermark bounds state age, which is what makes this viable on an
-    unbounded 100 TB/day stream."""
+    in the production form — `outputMode("append")`, each window emitted
+    once the watermark passes its end — the watermark also EVICTS state,
+    which is what makes this viable on an unbounded 100 TB/day stream.
+    (The bounded-fixture driver below drains in complete mode, where
+    Spark keeps all state; see its docstring.)"""
     return (
         events.withWatermark("ts_utc", watermark)
         .groupBy(F.window("ts_utc", window), "event_type")
@@ -81,7 +97,13 @@ def run_streaming_windowed_counts(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_out"
 ) -> DataFrame:
     """Drive the streaming aggregation to completion over the fixture via
-    the in-memory sink; returns the result as a (batch) DataFrame."""
+    the in-memory sink; returns the result as a (batch) DataFrame.
+
+    Complete mode is the BOUNDED-REPLAY drain: append mode would hold
+    back every window the watermark hasn't passed when the fixture runs
+    dry (including the final ones), breaking the stream≡batch
+    equivalence test. An unbounded deployment uses append mode, where
+    the watermark evicts state — complete mode never evicts."""
     agg = windowed_counts(streaming_events(spark, sf_dir))
     q = (
         agg.writeStream.outputMode("complete")
@@ -113,6 +135,13 @@ def _sessionize_fn(key, pdf_iter, state):
     closes it arrives, and the still-open session is emitted too so a
     bounded replay reproduces the batch sessionizer exactly (the production
     variant would emit open sessions only on event-time timeout).
+
+    The group's Arrow chunks are CONCATENATED before the single sort:
+    `applyInPandasWithState` guarantees no ordering ACROSS chunks, so
+    sorting each chunk independently mis-assembles sessions for any user
+    whose batch slice exceeds one Arrow batch (~10k rows). Memory per
+    group is therefore bounded by the user's rows IN THIS MICRO-BATCH —
+    the same bound the sort itself needs.
     """
     import pandas as pd
 
@@ -122,17 +151,18 @@ def _sessionize_fn(key, pdf_iter, state):
         session_id, last_ts, start_ts, n = 0, None, None, 0
 
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ts in pdf["ts_us"]:
-            ts = int(ts)
-            if last_ts is None or ts - last_ts > SESSION_GAP_US:
-                if last_ts is not None:
-                    out.append((key[0], session_id, n, start_ts, last_ts))
-                session_id += 1
-                start_ts, n = ts, 0
-            n += 1
-            last_ts = ts
+    chunks = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=["ts_us", "event_id"])
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    for ts in pdf["ts_us"]:
+        ts = int(ts)
+        if last_ts is None or ts - last_ts > SESSION_GAP_US:
+            if last_ts is not None:
+                out.append((key[0], session_id, n, start_ts, last_ts))
+            session_id += 1
+            start_ts, n = ts, 0
+        n += 1
+        last_ts = ts
     state.update((session_id, last_ts, start_ts, n))
     if last_ts is not None:
         out.append((key[0], session_id, n, start_ts, last_ts))
@@ -170,7 +200,16 @@ def run_streaming_sessionize(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    # The update-mode memory sink RETAINS every batch's emissions: a
+    # session that stays open across micro-batches appears once per batch
+    # it grew in. Keep only each session's LATEST emission (n_events only
+    # ever grows) so a multi-batch drain equals the batch sessionizer.
+    t = spark.table(query_name)
+    return (
+        t.groupBy("user_id", "session_id")
+        .agg(F.max_by(F.struct(*t.columns), "n_events").alias("__s"))
+        .select("__s.*")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -207,15 +246,19 @@ def run_incremental_merge(
     q.awaitTermination()
 
 
-DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+def _has_committed_parquet(path: str) -> bool:
+    """True iff ``path`` contains at least one COMMITTED parquet file
+    (ignoring in-flight ``_temporary`` output) — the existence test every
+    crash-retried reader of a self-managed parquet store needs, since a
+    bare directory appears as soon as a write STARTS."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if "_temporary" in root:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def fold_incremental_lsh(
@@ -261,11 +304,16 @@ def fold_incremental_lsh(
             return  # batch already fully folded — redelivery is a no-op
 
     sess = batch_df.sparkSession
-    if os.path.exists(sig_store_path):
+    if _has_committed_parquet(sig_store_path):
         store = sess.read.parquet(sig_store_path)
         pairs = incremental_minhash_lsh_pairs(store, batch_df)
     else:
-        # first batch: no prior corpus — all pairs are batch-internal
+        # first batch: no prior corpus — all pairs are batch-internal.
+        # The check is for COMMITTED files, not the bare directory: a
+        # crash mid-way through the first batch's signature write leaves
+        # the root dir with only _temporary content, and a bare exists()
+        # would send the retry down the incremental path into an
+        # unreadable empty store — wedging the stream.
         pairs = minhash_lsh_pairs(batch_df)
     pairs.write.mode(mode).parquet(pairs_dst)
     minhash_signatures(batch_df).write.mode(mode).parquet(sig_dst)
@@ -287,11 +335,7 @@ def run_streaming_incremental_lsh(
     emitted pair set equals the full-corpus `minhash_lsh_pairs` (each
     pair appears in the batch where its LATER document arrives — pinned
     by `test_streaming_incremental_lsh_folds_to_full`)."""
-    docs = (
-        spark.readStream.schema(DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _stream_table(spark, documents_schema(), sf_dir, "documents")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_incremental_lsh(
@@ -307,6 +351,75 @@ def run_streaming_incremental_lsh(
     q.awaitTermination()
 
 
+def fold_rollup(
+    batch_df: DataFrame,
+    state_path: str,
+    bucket_us: int = 3600 * 1_000_000,
+    batch_id: int | None = None,
+) -> None:
+    """One micro-batch of the streaming rollup: aggregate the batch to
+    mergeable partials and combine them into the stored state with a
+    marker-guarded atomic swap. Factored out of the foreachBatch closure
+    so tests can drive crash/redelivery scenarios through the EXACT
+    production fold (the `fold_incremental_lsh` discipline).
+
+    Idempotency & crash safety (delivery is at-least-once): the swapped-
+    in state directory carries an ``_applied_<batch_id>`` marker file
+    written into the temp dir BEFORE the atomic swap, so "state updated"
+    and "batch recorded" are installed together — a redelivered batch
+    whose marker is already live is a no-op. An interrupted swap (state
+    missing, ``.old`` backup present) is restored before anything else
+    runs, and first-batch detection looks for COMMITTED parquet, not the
+    bare directory."""
+    import os
+    import shutil
+
+    from com_danliris_service_etl_spark.operators.rollup import (
+        bucket_aggregate,
+        merge_rollup,
+    )
+
+    backup = state_path + ".old"
+    # crash recovery: a kill between the two os.replace calls of a prior
+    # fold leaves the state missing and the backup holding the only copy
+    # — restore it or the "first batch" branch below would silently
+    # rebuild the rollup from one batch's delta.
+    if not os.path.exists(state_path) and os.path.exists(backup):
+        os.replace(backup, state_path)
+    if batch_id is not None and os.path.exists(
+        os.path.join(state_path, f"_applied_{batch_id}")
+    ):
+        return  # redelivered batch already folded into the live state
+    sess = batch_df.sparkSession
+    delta = bucket_aggregate(batch_df, "ts_us", bucket_us, ["event_type"], "value")
+    if _has_committed_parquet(state_path):
+        state = sess.read.parquet(state_path)
+        merged = merge_rollup(state, delta, ["bucket_us", "event_type"])
+    else:
+        merged = delta
+    # the merged plan READS state_path, so it lands in a temp dir and
+    # swaps in with a recovery copy (same protocol as merge_upsert /
+    # compact_small_files) — never overwrite a path being read.
+    tmp = state_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    # markers: carry every previously applied batch id forward, add this
+    # one — underscore-prefixed files are invisible to parquet readers
+    # and a few bytes per batch.
+    if os.path.exists(state_path):
+        for f in os.listdir(state_path):
+            if f.startswith("_applied_"):
+                open(os.path.join(tmp, f), "w").close()
+    if batch_id is not None:
+        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(state_path):
+        os.replace(state_path, backup)
+    os.replace(tmp, state_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
 def run_streaming_rollup(
     spark: SparkSession,
     sf_dir: str,
@@ -320,44 +433,23 @@ def run_streaming_rollup(
     hypertable rollup (`operators/rollup.py`). Per batch the work is one
     map-side-combinable aggregation of the batch plus an
     O(touched-buckets) combine with the state; raw history is never
-    rescanned. The checkpoint makes delivery exactly-once per batch; the
-    combine itself is NOT idempotent (counts would double), which is
-    exactly why the checkpoint, not the operator, carries the
-    redelivery guarantee — same division of labor as a Kafka offset
-    commit. Read-side consumers see (bucket, group) → count/sum/min/max
-    and derive avg at query time."""
-    import os
-
-    from com_danliris_service_etl_spark.operators.rollup import (
-        bucket_aggregate,
-        merge_rollup,
-    )
-
+    rescanned. Delivery is AT-LEAST-ONCE (the foreachBatch contract) and
+    the combine is NOT idempotent by itself (a re-applied batch would
+    double every count), so the fold carries its own idempotency: each
+    swapped-in state directory contains an ``_applied_<batch_id>``
+    marker file written BEFORE the atomic swap — a redelivered batch
+    whose marker is already in the live state is a no-op, and because
+    the marker travels inside the directory the swap installs, "state
+    updated" and "batch recorded" can never be observed apart. An
+    interrupted swap (target missing, ``.old`` backup present) is
+    restored before anything else runs. Read-side consumers see
+    (bucket, group) → count/sum/min/max and derive avg at query time."""
     ev = streaming_events(spark, sf_dir).select(
         "event_type", "value", "ts_us"
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
-        sess = batch_df.sparkSession
-        delta = bucket_aggregate(batch_df, "ts_us", bucket_us, ["event_type"], "value")
-        if not os.path.exists(state_path):
-            delta.write.mode("overwrite").parquet(state_path)
-            return
-        state = sess.read.parquet(state_path)
-        merged = merge_rollup(state, delta, ["bucket_us", "event_type"])
-        # the merged plan READS state_path, so it lands in a temp dir and
-        # swaps in with a recovery copy (same protocol as merge_upsert /
-        # compact_small_files) — never overwrite a path being read.
-        tmp = state_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        backup = state_path + ".old"
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
-        os.replace(state_path, backup)
-        os.replace(tmp, state_path)
-        shutil.rmtree(backup)
+        fold_rollup(batch_df, state_path, bucket_us=bucket_us, batch_id=batch_id)
 
     q = (
         ev.writeStream.foreachBatch(_fold)
@@ -397,17 +489,16 @@ def run_streaming_dedup_stats(
     map-side-combinable stateful aggregation — state is one row per
     distinct (source, digest), the minimum any exact-dedup monitor can
     hold — and the finalize runs over the compact state, never the raw
-    stream. Batch twin: `plans/queries_round4.py::st5_dedup_stats`;
+    stream. The complete-mode drain is the bounded-replay form (see
+    `run_streaming_windowed_counts`); an unbounded deployment emits
+    per-window digest counts in append mode so the watermark can evict.
+    Batch twin: `plans/queries_round4.py::st5_dedup_stats`;
     tests/test_streaming.py pins stream ≡ batch.
 
     (Chained streaming aggregations are unsupported, which is why the
     per-source finalize is a batch query over the in-memory sink — on a
     cluster the same finalize reads the state-backed compacted sink.)"""
-    raw = (
-        spark.readStream.schema(documents_schema())
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_table(spark, documents_schema(), sf_dir, "documents")
     g = raw.groupBy("source", F.md5(F.col("text")).alias("h")).agg(
         F.count(F.lit(1)).alias("n")
     )

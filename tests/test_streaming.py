@@ -177,3 +177,127 @@ def test_stream_stream_interval_join_matches_batch(spark):
         ).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_rollup_fold_redelivery_and_crash_recovery(spark, tmp_path):
+    """fold_rollup survives the two failure modes foreachBatch exposes:
+    a redelivered batch must not double-count (marker idempotency), and
+    an interrupted swap (state gone, .old backup present) must restore
+    the backup instead of rebuilding from one batch."""
+    import os
+    import shutil
+
+    from com_danliris_service_etl_spark.streaming.jobs import fold_rollup
+
+    state = str(tmp_path / "rollup_state")
+    b0 = spark.createDataFrame(
+        [("a", 1.0, 100), ("a", 2.0, 200), ("b", 5.0, 100)],
+        "event_type string, value double, ts_us long",
+    )
+    b1 = spark.createDataFrame(
+        [("a", 10.0, 100)], "event_type string, value double, ts_us long"
+    )
+    fold_rollup(b0, state, bucket_us=1000, batch_id=0)
+    fold_rollup(b1, state, bucket_us=1000, batch_id=1)
+    expected = {
+        (r.event_type, r.bucket_us): (r.n, r.sum_v)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert expected[("a", 0)] == (3, 13.0)
+
+    # redelivery of batch 1: marker makes it a no-op
+    fold_rollup(b1, state, bucket_us=1000, batch_id=1)
+    after = {
+        (r.event_type, r.bucket_us): (r.n, r.sum_v)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == expected
+
+    # interrupted swap: state renamed aside, next fold must restore it
+    # (and then apply the new batch exactly once)
+    os.replace(state, state + ".old")
+    b2 = spark.createDataFrame(
+        [("b", 1.0, 2500)], "event_type string, value double, ts_us long"
+    )
+    fold_rollup(b2, state, bucket_us=1000, batch_id=2)
+    final = {
+        (r.event_type, r.bucket_us): (r.n, r.sum_v)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert final[("a", 0)] == (3, 13.0)  # history survived the crash
+    assert final[("b", 2000)] == (1, 1.0)  # bucket_us column = bucket START
+    assert not os.path.exists(state + ".old")
+    shutil.rmtree(state)
+
+
+def test_lsh_fold_first_batch_survives_torn_store_dir(spark, tmp_path):
+    """A crash during the FIRST batch's signature write leaves the store
+    root with only in-flight content; the retry must take the
+    first-batch path (committed-content check), not wedge on reading an
+    empty parquet tree."""
+    import os
+
+    from com_danliris_service_etl_spark.streaming.jobs import fold_incremental_lsh
+
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs_out")
+    # simulate the torn first write: root + _temporary exist, nothing committed
+    os.makedirs(os.path.join(store, "batch_id=0", "_temporary"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    fold_incremental_lsh(docs, store, out, batch_id=0)
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == 50  # first-batch path ran and committed
+
+
+def test_merge_upsert_restores_interrupted_swap(spark, tmp_path):
+    """merge_upsert must restore <target>.old when a prior run died
+    between the swap's two renames — the fresh-target branch rebuilding
+    from one batch would silently lose the fact."""
+    import os
+
+    from com_danliris_service_etl_spark.sources.sinks import merge_upsert
+
+    target = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(target)
+    # simulate the crash window: target renamed aside, new dir never landed
+    os.replace(target, target + ".old")
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        keys=["k"],
+    )
+    rows = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}  # old fact restored, then merged
+    assert not os.path.exists(target + ".old")
+
+
+def test_sessionize_fn_orders_across_chunks():
+    """_sessionize_fn must concatenate Arrow chunks before sorting: a
+    group split across chunks with out-of-order timestamps otherwise
+    mis-assembles sessions (negative gaps never close a session)."""
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        SESSION_GAP_US,
+        _sessionize_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    gap = SESSION_GAP_US
+    # chunk 2 holds EARLIER timestamps than chunk 1 — two true sessions:
+    # [0, 1000] and [2*gap, 2*gap+1000]
+    c1 = pd.DataFrame({"ts_us": [2 * gap, 1000], "event_id": [3, 2]})
+    c2 = pd.DataFrame({"ts_us": [0, 2 * gap + 1000], "event_id": [1, 4]})
+    out = list(_sessionize_fn((7,), iter([c1, c2]), FakeState()))[0]
+    sessions = sorted(
+        zip(out["session_start_us"], out["session_end_us"], out["n_events"])
+    )
+    assert sessions == [(0, 1000, 2), (2 * gap, 2 * gap + 1000, 2)]
