@@ -327,14 +327,25 @@ SPECS = [
     JobSpec(
         name="Fact Kanban from MongoDB to Azure DWH",
         build=build_kanban,
-        merge_keys=["id", "step_id"],
+        merge_keys=["id"],
         target="dl_fact_kanban",
+        # group grain: a kanban fans out per instruction × step, and
+        # steps can be absent (step_id NULL) — row-grain dedupe on
+        # (id, step_id) would collapse distinct instruction rows. The
+        # staged DL_UPSERT_FACT_KANBAN shape replaces the kanban's rows
+        # wholesale.
+        grain="group",
     ),
     JobSpec(
         name="Fact Daily Operation from MongoDB to Azure DWH",
         build=build_daily_operation,
         merge_keys=["code", "type"],
         target="dl_fact_daily_operation",
+        # group grain: the build fans out per bad-output reason and per
+        # kanban instruction (pinned by test_golden_daily_operation) —
+        # row-grain dedupe on (code, type) would silently keep one
+        # arbitrary fan-out row per operation.
+        grain="group",
         extra_targets={
             "dl_fact_daily_operation_reasons": (
                 build_daily_operation_reasons,
@@ -347,6 +358,13 @@ SPECS = [
         build=build_monitoring_event,
         merge_keys=["monitoring_event_code"],
         target="dl_fact_monitoring_event",
+        # group grain: the reference fact carries no surrogate id and
+        # monitoringEventCode is nullable — row-grain dedupe would
+        # collapse every NULL-code event into one row. Group-replace
+        # keeps all of a batch's rows per code; the NULL-code group
+        # replacing wholesale across batches is the data model's own
+        # ambiguity (no key exists to do better), documented here.
+        grain="group",
     ),
     JobSpec(
         name="Fact Packing from MongoDB to Azure DWH",

@@ -25,7 +25,7 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from com_danliris_service_etl_spark.functions.conditional import uom_to_meter, weighted_score
+from com_danliris_service_etl_spark.functions.conditional import uom_to_meter
 from com_danliris_service_etl_spark.functions.dates import fmt_date
 from com_danliris_service_etl_spark.jobs._helpers import bool_str, jkt_date, nz_num, nz_str
 from com_danliris_service_etl_spark.operators.joins import first_match_join
@@ -50,6 +50,10 @@ def build_fabric_qc(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -> D
         .join(fgt.alias("gt"), F.col("gt.FabricQualityControlId") == F.col("qc.id"))
         .join(cr.alias("cr"), F.col("cr.fabricgradetestid") == F.col("gt.id"))
     )
+    # NOT functions.weighted_score (A3's clean form): this build mirrors
+    # the reference's per-term guards — each score participates only when
+    # `>= 0` AND pointSystem==10, and JS `null + null == 0` makes the
+    # total coalesce term-wise (`FabricQC/run.js:126-166`).
     ps10 = F.col("gt.pointSystem") == 10
     score_a = F.when((F.col("cr.scoreA") >= 0) & ps10, F.col("cr.scoreA") * 1)
     score_b = F.when((F.col("cr.scoreB") >= 0) & ps10, F.col("cr.scoreB") * 3)
@@ -318,8 +322,14 @@ SPECS = [
     JobSpec(
         name="Fact Production Order Status from MongoDB to Azure DWH",
         build=build_production_order_status,
-        merge_keys=["sales_contract_no", "fabric_quality_control_test_index"],
+        merge_keys=["sales_contract_no"],
         target="dl_fact_production_order_status",
+        # group grain on the contract NUMBER: the reference processes per
+        # salesContractNo (`run.js:113` — `where salesContractNo = ?`) and
+        # restages every row for it; row-grain dedupe on (no, test_index)
+        # would drop the rows the build's __sc_rid deliberately keeps
+        # apart when duplicate contract numbers exist.
+        grain="group",
     ),
     JobSpec(
         name="Fact Packing Receipt from MongoDB to Azure DWH",

@@ -149,19 +149,19 @@ SPECS = [
     ),
     JobSpec(
         name="Fact Sales Contract Spinning from MongoDB to Azure DWH",
-        build=lambda spark, cat, wm: build_spinning_sc(spark, cat, wm),
+        build=build_spinning_sc,
         merge_keys=["sales_contract_no", "production_type"],
         target="dl_fact_sales_contract",
     ),
     JobSpec(
         name="Fact Sales Contract Weaving from MongoDB to Azure DWH",
-        build=lambda spark, cat, wm: build_weaving_sc(spark, cat, wm),
+        build=build_weaving_sc,
         merge_keys=["sales_contract_no", "production_type"],
         target="dl_fact_sales_contract",
     ),
     JobSpec(
         name="Fact Sales Contract Finishing Printing from MongoDB to Azure DWH",
-        build=lambda spark, cat, wm: build_finishing_printing_sc(spark, cat, wm),
+        build=build_finishing_printing_sc,
         merge_keys=["sales_contract_no", "production_type"],
         target="dl_fact_sales_contract",
     ),

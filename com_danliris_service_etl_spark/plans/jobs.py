@@ -66,7 +66,12 @@ def run_job(
     started = now()
     try:
         wm = store.read_watermark(spec.name)
-        df = spec.build(spark, catalog, wm)
+        # Persist the increment across the telemetry count and the MERGE:
+        # without it the whole extract+join+transform plan re-executes for
+        # each action (the count, then the merge's reads). The increment
+        # is watermark-bounded — one night's delta, not the fact — so
+        # MEMORY_AND_DISK is safe at any corpus size.
+        df = spec.build(spark, catalog, wm).persist()
         rows = df.count()
         merge_upsert(
             spark,
@@ -76,6 +81,7 @@ def run_job(
             order_col=spec.order_col,
             replace_group=(spec.grain == "group"),
         )
+        df.unpersist()
         for target, (build_fn, keys) in spec.extra_targets.items():
             extra = build_fn(spark, catalog, wm)
             merge_upsert(spark, target, extra, keys)

@@ -7,6 +7,16 @@ ordering is explicit: a run layer only starts after the previous layer
 committed, and jobs inside a layer are independent (the scheduler may run
 them concurrently — locally sequential, on a cluster as parallel
 applications or pool-scheduled jobs).
+
+Within-layer concurrency REQUIRES distinct targets: two jobs merging
+into the same fact path race the parquet emulation's read→rewrite→swap
+(and a Delta MERGE would still interleave), so jobs sharing a target are
+placed in SEPARATE layers below (the three sales-contract jobs — one
+shared dl_fact_sales_contract — mirror the reference's separate 10-min
+timer slots). Concurrent jobs also append to one WatermarkStore path;
+parquet appends create distinct files, but a parallelizing scheduler
+should point each pool at its own store path or a Delta table to avoid
+committer _temporary collisions on some filesystems.
 """
 
 from __future__ import annotations
@@ -42,12 +52,12 @@ NIGHTLY_LAYERS: tuple[tuple[str, ...], ...] = (
     ),
     # status rollup reads PO + kanban + daily op + QC
     ("Fact Production Order Status from MongoDB to Azure DWH",),
-    # sales contracts (independent of production)
-    (
-        "Fact Sales Contract Spinning from MongoDB to Azure DWH",
-        "Fact Sales Contract Weaving from MongoDB to Azure DWH",
-        "Fact Sales Contract Finishing Printing from MongoDB to Azure DWH",
-    ),
+    # sales contracts (independent of production) — one layer EACH: all
+    # three merge into dl_fact_sales_contract, and same-target jobs must
+    # never run concurrently (see module docstring).
+    ("Fact Sales Contract Spinning from MongoDB to Azure DWH",),
+    ("Fact Sales Contract Weaving from MongoDB to Azure DWH",),
+    ("Fact Sales Contract Finishing Printing from MongoDB to Azure DWH",),
     # purchasing chains
     (
         "Fact Pembelian from MongoDB to Azure DWH",

@@ -39,9 +39,16 @@ class WatermarkStore:
         self.path = path
 
     def _log(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], LOG_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        # Existence must be probed THROUGH Spark, not the driver's local
+        # filesystem: os.path.exists is always False for hdfs://, s3a://,
+        # abfss:// paths, which would make every nightly read EPOCH and
+        # silently degrade the incremental protocol to full re-extracts.
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], LOG_SCHEMA)
+            raise
 
     def read_watermark(self, job: str) -> dt.datetime:
         """Last successful run's `start` for the job; epoch when absent.

@@ -127,3 +127,52 @@ def test_pembelian_shaped_job(spark, catalog, tmp_path):
     assert set(fact) == {1, 4}
     assert fact[4].unitName == "print2"  # updated in place (MERGE)
     assert fact[1].unitName == 'dev"s unit'  # untouched row preserved
+
+
+def test_group_grain_preserves_fanout_and_null_keys(spark, tmp_path):
+    """The grain fix for the fan-out facts (Kanban / DailyOperation /
+    MonitoringEvent / ProductionOrderStatus): a build that emits several
+    rows per merge key — including NULL keys — must land ALL of them,
+    and a re-run must replace the group, not duplicate or collapse it."""
+    from com_danliris_service_etl_spark.sources.sinks import merge_upsert
+
+    target = str(tmp_path / "fact_fanout")
+    batch = spark.createDataFrame(
+        [
+            ("OP1", "r1"),
+            ("OP1", "r2"),      # fan-out: two reasons for one operation
+            (None, "x1"),
+            (None, "x2"),       # two distinct NULL-key rows
+        ],
+        "code string, detail string",
+    )
+    merge_upsert(spark, target, batch, keys=["code"], replace_group=True)
+    first = {(r.code, r.detail) for r in spark.read.parquet(target).collect()}
+    assert first == {("OP1", "r1"), ("OP1", "r2"), (None, "x1"), (None, "x2")}
+
+    # group replace: OP1 shrinks to one row; NULL group replaced wholesale
+    batch2 = spark.createDataFrame(
+        [("OP1", "r9"), (None, "x9")], "code string, detail string"
+    )
+    merge_upsert(spark, target, batch2, keys=["code"], replace_group=True)
+    second = {(r.code, r.detail) for r in spark.read.parquet(target).collect()}
+    assert second == {("OP1", "r9"), (None, "x9")}
+
+
+def test_fanout_specs_declare_group_grain():
+    """Pin the grain declarations the load-loss review fixed: every spec
+    whose build fans out per child row must load with replace-group
+    semantics, or merge_upsert's row-grain dedupe silently drops rows."""
+    from com_danliris_service_etl_spark.jobs import ALL_SPECS
+
+    for name in [
+        "Fact Kanban from MongoDB to Azure DWH",
+        "Fact Daily Operation from MongoDB to Azure DWH",
+        "Fact Monitoring Event from MongoDB to Azure DWH",
+        "Fact Production Order Status from MongoDB to Azure DWH",
+        "Fact Packing from MongoDB to Azure DWH",
+        "Fact Fabric QC from MongoDB to Azure DWH",
+        "Fact Packing Receipt from MongoDB to Azure DWH",
+        "Fact Shipment Document from MongoDB to Azure DWH",
+    ]:
+        assert ALL_SPECS[name].grain == "group", name
