@@ -140,13 +140,20 @@ def zorder_value(
     )
     n_buckets = 1 << bits
     def bucket(c, lo, hi):
-        # floor((v-lo)/(hi-lo+1)*2^bits): max value lands in the top
-        # bucket, degenerate hi==lo collapses to bucket 0
-        return F.floor(
-            (F.col(c).cast("double") - F.col(lo))
-            / (F.col(hi) - F.col(lo) + 1.0)
-            * F.lit(float(n_buckets))
-        ).cast("long")
+        # min-max normalize to [0,1] then scale: the full bucket range
+        # is used for ANY value span (a +1 fudge in the denominator
+        # would collapse float columns with span < 1 — e.g. scores in
+        # [0, 0.003] — into bucket 0 and defeat the clustering); the max
+        # value is clamped into the top bucket, degenerate hi==lo
+        # collapses to bucket 0.
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(
+            span > 0, (F.col(c).cast("double") - F.col(lo)) / span
+        ).otherwise(F.lit(0.0))
+        return F.least(
+            F.floor(frac * F.lit(float(n_buckets))).cast("long"),
+            F.lit(n_buckets - 1),
+        )
 
     z = None
     for i in range(bits):

@@ -34,6 +34,19 @@ FEATURES_SCHEMA = (
 )
 
 
+def _id_field(d: DataFrame, id_col: str) -> str:
+    """Schema fragment for the caller's id column, by NAME AND TYPE — a
+    hardcoded `doc_id long` would rename custom id columns (breaking
+    downstream joins) and crash Arrow conversion for string ids."""
+    return f"`{id_col}` {dict(d.dtypes)[id_col]}"
+
+
+def _nbytes(b) -> int | None:
+    """Null-safe byte length: media payloads CAN be NULL (missing asset,
+    failed fetch) and `len(None)` would kill the Python worker task."""
+    return len(b) if b is not None else None
+
+
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a binary payload column (UTF-8 bytes of the text stand in for
     a real media payload) plus typed metadata."""
@@ -89,21 +102,23 @@ def extract_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": pdf["payload"].map(len),
+                    id_col: pdf[id_col],
+                    "n_bytes": pdf["payload"].map(_nbytes),
                     "features": pdf["payload"].map(decode_stub),
                 }
             )
             yield out
 
-    return d.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return d.mapInPandas(
+        run, schema=f"{_id_field(d, id_col)}, n_bytes long, features array<double>"
+    )
 
 
 def resize_stub(payload: bytes, target_bytes: int) -> bytes:
     """STUB for a real image resize (no PIL in this container): deterministic
     truncate-or-cycle to the target size. The contract being exercised is
     binary-in/binary-out through Arrow batches."""
-    if not payload:
+    if not payload:  # None (missing asset) or empty both yield zero bytes
         return b"\x00" * target_bytes
     reps = (target_bytes // len(payload)) + 1
     return (payload * reps)[:target_bytes]
@@ -122,15 +137,17 @@ def resize_payloads(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "resized": pdf["payload"].map(
                         lambda p: resize_stub(p, target_bytes)
                     ),
-                    "n_bytes_in": pdf["payload"].map(len),
+                    "n_bytes_in": pdf["payload"].map(_nbytes),
                 }
             )
 
-    return d.mapInPandas(run, schema="doc_id long, resized binary, n_bytes_in long")
+    return d.mapInPandas(
+        run, schema=f"{_id_field(d, id_col)}, resized binary, n_bytes_in long"
+    )
 
 
 def frame_sample(
@@ -149,11 +166,14 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = payload if payload is not None else b""
                 n_frames = max(1, len(payload) // frame_bytes)
                 for i in range(0, n_frames, every_n):
                     ids.append(doc_id)
                     idxs.append(i)
                     frames.append(bytes(payload[i * frame_bytes:(i + 1) * frame_bytes]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return d.mapInPandas(run, schema="doc_id long, frame_idx int, frame binary")
+    return d.mapInPandas(
+        run, schema=f"{_id_field(d, id_col)}, frame_idx int, frame binary"
+    )

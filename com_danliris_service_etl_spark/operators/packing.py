@@ -73,8 +73,13 @@ def pack_assignments(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # keep order_col through the projection when it isn't the id — the
+    # window below orders by it and would otherwise fail to resolve
+    cols = [F.col(stream_col), shard, F.col(id_col), n_tok.alias("n_tokens")]
+    if order_col not in (id_col, stream_col):
+        cols.append(F.col(order_col))
     return (
-        docs.select(F.col(stream_col), shard, F.col(id_col), n_tok.alias("n_tokens"))
+        docs.select(*cols)
         .withColumn(
             "tokens_before",
             F.coalesce(F.sum("n_tokens").over(prev), F.lit(0).cast("long")),
@@ -85,7 +90,12 @@ def pack_assignments(
     )
 
 
-def pack_summary(assignments: DataFrame, budget: int = 256, stream_col: str = "lang") -> DataFrame:
+def pack_summary(
+    assignments: DataFrame,
+    budget: int = 256,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Aggregate pack manifest: docs per pack, token total, doc-id span,
     fill ratio vs the budget. Map-side-combinable single shuffle on
     (stream, shard, pack_id) — the same key the window stage already
@@ -93,8 +103,8 @@ def pack_summary(assignments: DataFrame, budget: int = 256, stream_col: str = "l
     return assignments.groupBy(stream_col, "shard", "pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
     )
 

@@ -36,9 +36,14 @@ def pseudonymize_k_anon(
     Plan shape: one shuffle, on (band, *quasi_cols) — the window and the
     suppression reuse the same partitioning. At 100 TB the quasi groups
     are the natural partition key and skew is bounded by band_width."""
-    band = (F.floor(F.col(band_col) / F.lit(float(band_width))).cast("long") * int(band_width)).alias(
-        f"{band_col}_band"
-    )
+    # Band label = band START = floor(v/w)*w, computed with w UNTRUNCATED:
+    # an int(w) here would zero the label for any fractional w < 1 and
+    # merge every band into one quasi-group — silently disabling the
+    # k-suppression. Integer widths keep the BIGINT label (oracle parity).
+    label = F.floor(F.col(band_col) / F.lit(band_width)) * F.lit(band_width)
+    if float(band_width).is_integer():
+        label = label.cast("long")
+    band = label.alias(f"{band_col}_band")
     w = Window.partitionBy(f"{band_col}_band", *quasi_cols)
     out = df.select(
         F.col(key_col),

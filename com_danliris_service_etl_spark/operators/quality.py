@@ -164,7 +164,9 @@ def hourly_anomalies(
     runs on identical literals in both engines; at petabyte grids the
     exact median over buckets stays cheap because the relation is
     grid-sized, not event-sized."""
-    hb = (F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
+    # floor division, NOT cast('long'): truncation disagrees with the
+    # oracle's // on negative (pre-1970) timestamps.
+    hb = F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
     hourly = (
         events.select(F.col(group_col), hb.alias("__hb"))
         .groupBy(group_col, "__hb")

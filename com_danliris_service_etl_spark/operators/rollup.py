@@ -113,7 +113,10 @@ def resample_gap_fill(
     value is the same literal both engines computed."""
     from pyspark.sql import Window
 
-    hb = (F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
+    # floor division, NOT cast('long') (truncate-toward-zero): the two
+    # disagree for negative (pre-1970) timestamps, and this grid must
+    # bucket identically to bucket_aggregate's floor and the oracle's //.
+    hb = F.floor(F.col(ts_us_col) / F.lit(bucket_us)).cast("long")
     hourly = (
         events.select(F.col(group_col), hb.alias("__hb"), F.col(value_col))
         .groupBy(group_col, "__hb")

@@ -167,10 +167,14 @@ def cluster_safe_split(
     pair decides a DELETION.
 
     Output: (doc_id, cluster_id, bucket, split); singleton documents are
-    their own cluster. Same append-stability as `hash_split`: a new doc
-    either joins an existing cluster (inheriting its split) or forms a
-    singleton, and existing clusters never move buckets unless a new
-    edge genuinely merges them.
+    their own cluster. Append-stability holds when new documents receive
+    LARGER ids than existing ones (the normal ingest): the cluster id is
+    the member MINIMUM, so a larger-id joiner inherits the cluster's
+    existing label and split, and untouched clusters never move. A new
+    doc with a SMALLER id than its cluster (backfills, id reuse) lowers
+    the min label and re-buckets that whole cluster — unavoidable under
+    any content-independent labeling; pin splits across such ingests by
+    persisting the (cluster_id → split) map of the prior run.
 
     Scale shape: the cluster pass is the dedup pipeline's own (bounded
     LSH buckets → iterative min-label propagation, `dedup_clusters`'s

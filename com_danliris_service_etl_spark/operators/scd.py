@@ -200,9 +200,12 @@ def cdc_apply(
     winner undefined, so composite sequences belong in seq_col)."""
     keys = list(key_cols)
     payload = [c for c in changelog.columns if c not in (*keys, seq_col)]
+    # F.max_by (not an F.expr string): CDC payloads routinely carry
+    # source-system column names with spaces/hyphens/reserved words,
+    # which an unquoted SQL interpolation would fail to parse.
     latest = changelog.groupBy(*keys).agg(
         *[
-            F.expr(f"max_by({c}, {seq_col})").alias(c)
+            F.max_by(F.col(c), F.col(seq_col)).alias(c)
             for c in payload
         ],
         F.max(seq_col).alias(seq_col),

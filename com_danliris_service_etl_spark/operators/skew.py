@@ -38,9 +38,12 @@ def salted_aggregate(
     salted = df.withColumn(
         "__salt", (F.rand(seed=7) * n_salts).cast("int")
     )
+    # 'count' counts the NAMED column (null-skipping), matching what the
+    # equivalent plain groupBy().agg(F.count(col)) computes — count(*)
+    # here would silently overcount on nullable columns.
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[
-            getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(out)
+            getattr(F, fn)(col).alias(out)
             for out, (col, fn) in aggs.items()
         ]
     )
@@ -66,7 +69,15 @@ def salted_broadcast_join(
 
     Only sensible when ``small`` fits in memory × n_salts (it is
     broadcast); for two large sides, rely on AQE skew-join splitting.
+    Join types that preserve UNMATCHED SMALL-SIDE rows (right/full) are
+    rejected: every unmatched small row exists n_salts times after the
+    explode and would be emitted once per salt copy.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer"):
+        raise ValueError(
+            f"salted_broadcast_join does not support how={how!r}: unmatched "
+            "small-side rows would appear once per salt copy"
+        )
     salted_big = skewed.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

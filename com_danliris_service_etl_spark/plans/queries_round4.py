@@ -449,8 +449,12 @@ def _zorder_sql(bits: int = _O5_BITS) -> str:
                        min(doc_id)::DOUBLE AS miny, max(doc_id)::DOUBLE AS maxy
                 FROM documents),
     b AS (SELECT doc_id,
-                 CAST(floor((n_chars::DOUBLE - minx) / (maxx - minx + 1.0) * {nb}) AS BIGINT) AS bx,
-                 CAST(floor((doc_id::DOUBLE - miny) / (maxy - miny + 1.0) * {nb}) AS BIGINT) AS by
+                 least(CAST(floor(CASE WHEN maxx > minx
+                        THEN (n_chars::DOUBLE - minx) / (maxx - minx)
+                        ELSE 0.0 END * {nb}) AS BIGINT), {int(nb) - 1}) AS bx,
+                 least(CAST(floor(CASE WHEN maxy > miny
+                        THEN (doc_id::DOUBLE - miny) / (maxy - miny)
+                        ELSE 0.0 END * {nb}) AS BIGINT), {int(nb) - 1}) AS by
           FROM documents, mm)
     SELECT doc_id, bx, by, CAST({terms} AS BIGINT) AS zvalue FROM b
     """

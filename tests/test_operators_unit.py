@@ -742,3 +742,110 @@ def test_incremental_join_form_store_side_never_shuffles(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_k_anon_fractional_band_width_still_suppresses(spark):
+    from com_danliris_service_etl_spark.operators.privacy import (
+        pseudonymize_k_anon,
+    )
+
+    # band_width=0.5: values 0.1 and 0.4 share band 0.0; 0.6 is alone in
+    # band 0.5 and must be suppressed at k=2. An int-truncated width
+    # would merge ALL bands into one and never suppress.
+    df = spark.createDataFrame(
+        [(1, 0.1, "s1"), (2, 0.4, "s2"), (3, 0.6, "s3")],
+        "id long, v double, sens string",
+    )
+    rows = {
+        r.id: r
+        for r in pseudonymize_k_anon(
+            df, "id", [], "v", 0.5, [], "sens", k=2
+        ).collect()
+    }
+    assert rows[1].v_band == 0.0 and rows[3].v_band == 0.5
+    assert rows[1].sens == "s1" and rows[2].sens == "s2"  # k=2 group kept
+    assert rows[3].sens == "*"  # singleton band suppressed
+
+
+def test_zorder_small_float_range_uses_full_bucket_range(spark):
+    from com_danliris_service_etl_spark.operators.maintenance import zorder_value
+
+    # values in [0, 0.003]: the old (hi-lo+1) denominator put EVERY row
+    # in bucket 0; min-max scaling must spread them and clamp the max
+    # into the top bucket.
+    df = spark.createDataFrame(
+        [(i, i * 0.001, float(i)) for i in range(4)], "id long, x double, y double"
+    )
+    out = {r["id"]: r.asDict() for r in zorder_value(df, "x", "y", bits=2).collect()}
+    assert [out[i]["__bx"] for i in range(4)] == [0, 1, 2, 3]
+    assert len({out[i]["zvalue"] for i in range(4)}) == 4
+
+
+def test_multimodal_null_payload_and_custom_id(spark):
+    from com_danliris_service_etl_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        resize_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [("k1", "abcd"), ("k2", None)], "image_id string, text string"
+    )
+    feats = {r.image_id: r for r in extract_features(docs, id_col="image_id").collect()}
+    assert set(feats) == {"k1", "k2"}  # null payload no longer kills the task
+    assert feats["k2"].n_bytes is None and feats["k2"].features == [0.0] * 4
+    rs = {r.image_id: r for r in resize_payloads(docs, 8, id_col="image_id").collect()}
+    assert rs["k2"].resized == b"\x00" * 8
+    fs = frame_sample(docs, frame_bytes=2, id_col="image_id").collect()
+    assert {r.image_id for r in fs} == {"k1", "k2"}
+
+
+def test_pack_assignments_with_separate_order_col(spark):
+    from com_danliris_service_etl_spark.operators.packing import pack_assignments
+
+    # order by created_at (not the id): cumulative counts must follow
+    # the order column, which the projection previously dropped.
+    df = spark.createDataFrame(
+        [(1, "en", "a b", 20), (2, "en", "c d e", 10)],
+        "doc_id long, lang string, text string, created_at long",
+    )
+    rows = {
+        r.doc_id: r.tokens_before
+        for r in pack_assignments(
+            df, budget=4, order_col="created_at", n_shards=1
+        ).collect()
+    }
+    assert rows[2] == 0 and rows[1] == 3  # doc 2 first (earlier created_at)
+
+
+def test_salted_aggregate_count_skips_nulls(spark):
+    from com_danliris_service_etl_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", None), ("k", 3.0)], "g string, v double"
+    )
+    out = salted_aggregate(df, ["g"], {"n": ("v", "count")}, n_salts=4).collect()[0]
+    assert out.n == 2  # count(col) semantics, not count(*)
+
+
+def test_salted_broadcast_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    from com_danliris_service_etl_spark.operators.skew import salted_broadcast_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d"), (2, "d2")], "k long, d string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_broadcast_join(big, dim, "k", how=how)
+
+
+def test_cdc_apply_handles_spaced_column_names(spark):
+    from com_danliris_service_etl_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [(1, "I", 1, "new"), (1, "U", 2, "upd")],
+        ["k", "op", "seq", "order status"],
+    )
+    out = cdc_apply(log, ["k"], "seq").collect()
+    assert out[0]["order status"] == "upd"
