@@ -33,9 +33,17 @@ def minute_diff(end: ColumnOrName, start: ColumnOrName) -> Column:
     Reference: `MonitoringEvent/run.js:232` (event duration),
     `Pembelian/run.js:16` (job runtime minutes).
     """
-    secs = _c(end).cast("long") - _c(start).cast("long")
-    # double→long cast truncates toward zero for both signs, like moment.
-    return (secs / F.lit(60.0)).cast("long")
+    # Exact integer arithmetic at MICROSECOND precision, truncating the
+    # TOTAL delta toward zero like moment's trunc(ms/60000): flooring
+    # each operand to whole seconds first would inflate sub-second deltas
+    # by up to a minute (the reference's inputs are reconstructed at
+    # second precision, where both forms agree — this form is also right
+    # for sub-second timestamps). `us % m` follows the dividend's sign,
+    # so (us - us % m) is the toward-zero multiple for both signs, and
+    # the final division of exact multiples is exact.
+    us = F.unix_micros(_c(end)) - F.unix_micros(_c(start))
+    m = F.lit(60_000_000)
+    return ((us - us % m) / m).cast("long")
 
 
 def to_jakarta(ts: ColumnOrName) -> Column:

@@ -53,23 +53,41 @@ def nest_children(
         cstruct = F.struct(*[F.col(c).alias(c) for c in cols])
 
     if parent_key_unique:
+        from pyspark.sql import types as T
+
         pcols = parent.columns
-        p = parent.select(
+        # NULL keys never equi-match: the groupBy below would MERGE every
+        # NULL-key parent into one row (first() keeps one, the rest
+        # vanish) and hand it the NULL-fk children the join form
+        # correctly refuses. Route NULL-key parents around the groupBy
+        # with an empty array; drop NULL-fk children (orphans either way).
+        elem_t = (
+            child.select(
+                F.struct(*[F.col(c).alias(c) for c in cols]).alias("__e")
+            ).schema["__e"].dataType
+        )
+        null_key_parents = parent.filter(F.col(parent_key).isNull()).withColumn(
+            array_col, F.array().cast(T.ArrayType(elem_t))
+        )
+        p = parent.filter(F.col(parent_key).isNotNull()).select(
             F.col(parent_key).alias("__k"),
             F.struct(*[F.col(c) for c in pcols]).alias("__p"),
         )
-        c = child.select(F.col(child_fk).alias("__k"), cstruct.alias("__c"))
+        c = child.filter(F.col(child_fk).isNotNull()).select(
+            F.col(child_fk).alias("__k"), cstruct.alias("__c")
+        )
         u = p.unionByName(c, allowMissingColumns=True)
         arr = F.collect_list("__c")  # skips the parent rows' null __c
         if order_by:
             arr = F.transform(F.sort_array(arr), lambda s: s.dropFields("__ord"))
-        return (
+        grouped = (
             u.groupBy("__k")
             .agg(F.first("__p", ignorenulls=True).alias("__p"), arr.alias(array_col))
             # left-join semantics: orphan children (no parent row) drop out
             .filter(F.col("__p").isNotNull())
             .select(*[F.col(f"__p.{c}").alias(c) for c in pcols], array_col)
         )
+        return grouped.unionByName(null_key_parents)
 
     if order_by:
         # sort_array over (key, struct) keeps the array deterministically ordered
@@ -103,6 +121,16 @@ def _explode(df: DataFrame, array_col: str, prefix: str, outer: bool) -> DataFra
     struct_fields = [
         f.name for f in exploded.schema["__child"].dataType.fields  # type: ignore[union-attr]
     ]
+    # Fail HERE, not three operators later with AMBIGUOUS_REFERENCE: a
+    # child field shadowing an existing top-level column (parent and
+    # child sharing a name is common after nest_children) would emit two
+    # identically-named columns.
+    clashes = {f"{prefix}{n}" for n in struct_fields} & set(exploded.columns) - {"__child"}
+    if clashes:
+        raise ValueError(
+            f"explode of {array_col!r} would duplicate column(s) "
+            f"{sorted(clashes)}; pass a prefix to disambiguate"
+        )
     flat = exploded.select(
         "*", *[F.col(f"__child.{name}").alias(f"{prefix}{name}") for name in struct_fields]
     ).drop("__child")

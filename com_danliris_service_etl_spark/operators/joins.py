@@ -50,7 +50,16 @@ def first_match_join(
     # combine, ~2.5× faster than the sort-based row_number window and
     # shuffle-equivalent. An explicit ASC/DESC/NULLS sort-order expression
     # is not evaluable inside a struct, so those fall back to the window.
-    plain_asc = not any((" ASC" in str(c)) or (" DESC" in str(c)) for c in order)
+    # Detection anchors on the TRAILING sort-order suffix Spark's Column
+    # repr emits ("... ASC NULLS FIRST" etc.) so an inner token containing
+    # " ASC"/" DESC" (a column literally named that way inside an
+    # arithmetic expression) can't misroute a plain column to the slower
+    # window path. Worst case is still only perf: the window path is
+    # correct for every order expression.
+    import re
+
+    _sort_suffix = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)'?>?$")
+    plain_asc = not any(_sort_suffix.search(str(c)) for c in order)
     if plain_asc:
         value_cols = [c for c in right.columns if c not in keys]
         deduped = (
@@ -200,10 +209,15 @@ def _asof_union_sort(
         .orderBy(ts_order, F.col("__asof_tag").asc(), F.col("__asof_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.when(
-        F.col("__asof_ts").isNotNull(),
-        F.last("__asof_r", ignorenulls=True).over(w),
-    )
+    # Equi-join NULL semantics: a NULL by-key matches NOTHING. The window
+    # partitioner groups NULL keys together (SQL GROUP BY semantics), so
+    # without this mask a NULL-key left row would pick up NULL-key right
+    # rows — a match the broadcast strategy's join condition (and any SQL
+    # equi-join) correctly refuses.
+    cond = F.col("__asof_ts").isNotNull()
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    matched = F.when(cond, F.last("__asof_r", ignorenulls=True).over(w))
     return (
         u.withColumn("__asof_m", matched)
         .filter(F.col("__asof_tag") == l_tag)
@@ -410,11 +424,16 @@ def fuzzy_blocked_join(
     )
     # NOTE: the threshold form returns -1 for pairs BEYOND the threshold
     # — the filter must exclude it explicitly, not just compare <=.
+    # The DP is projected into a COLUMN first and the filter references
+    # that column, so each surviving pair pays the levenshtein once —
+    # filtering on the raw expression and re-projecting it would run the
+    # DP twice per pair across the operator boundary.
     lev = F.levenshtein(F.col("__l_text"), F.col("__r_text"), max_dist)
     return (
         lb.join(rb, "__blk")
-        .filter(len_ok & lev.between(0, max_dist))
+        .filter(len_ok)
         .withColumn("edit_dist", lev.cast("long"))
+        .filter(F.col("edit_dist").between(0, max_dist))
         .drop("__blk")
         .withColumnRenamed("__l_text", f"l_{text_col}")
         .withColumnRenamed("__r_text", f"r_{text_col}")

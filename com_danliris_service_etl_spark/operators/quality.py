@@ -18,9 +18,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SCHEMA = ["check", "metric", "passed"]
-
-
 def _metric_row(df: DataFrame, name: str, metric: F.Column, passed: F.Column) -> DataFrame:
     return df.agg(
         F.lit(name).alias("check"),
@@ -30,9 +27,19 @@ def _metric_row(df: DataFrame, name: str, metric: F.Column, passed: F.Column) ->
 
 
 def completeness(df: DataFrame, col: str, min_ratio: float = 1.0) -> DataFrame:
-    """Non-null ratio of a column; passes at >= min_ratio."""
-    ratio = F.count(col) / F.count(F.lit(1))
-    return _metric_row(df, f"completeness({col})", ratio, ratio >= min_ratio)
+    """Non-null ratio of a column; passes at >= min_ratio. An EMPTY input
+    fails outright (0/0 is NULL, and a NULL verdict would slip through
+    any boolean gate — an accidentally-empty load is exactly what this
+    check exists to catch)."""
+    # try_divide: an empty input is 0/0, which ANSI mode turns into an
+    # ABORT instead of the NULL the failing verdict below absorbs.
+    ratio = F.try_divide(F.count(col), F.count(F.lit(1)))
+    return _metric_row(
+        df,
+        f"completeness({col})",
+        ratio,
+        F.coalesce(ratio >= min_ratio, F.lit(False)),
+    )
 
 
 def uniqueness(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -108,8 +115,14 @@ def snapshot_drift(
     o = grain(old, "n_old", "mean_old")
     n = grain(new, "n_new", "mean_new")
     growth = F.round((F.col("n_new") - F.col("n_old")) / F.col("n_old"), 6)
+    # try_divide: mean_old CAN be 0 (relative drift undefined) and under
+    # ANSI mode a bare division would ABORT the whole report instead of
+    # yielding the NULL the drifted flag's fallback handles.
     value_drift = F.round(
-        F.abs(F.col("mean_new") - F.col("mean_old")) / F.abs(F.col("mean_old")), 6
+        F.try_divide(
+            F.abs(F.col("mean_new") - F.col("mean_old")), F.abs(F.col("mean_old"))
+        ),
+        6,
     )
     both = F.col("n_old").isNotNull() & F.col("n_new").isNotNull()
     return (
@@ -130,7 +143,16 @@ def snapshot_drift(
                 F.col("n_old").isNull()
                 | F.col("n_new").isNull()
                 | (F.abs(growth) > max_growth)
-                | (value_drift > max_value_drift)
+                # value_drift is NULL when mean_old is 0 or a side's mean
+                # is NULL — the INFINITE-relative-drift cases. A bare
+                # `value_drift > thr` would be NULL there and the whole
+                # flag NULL (a gate on drifted=true silently misses the
+                # most-drifted group), so those cases flag explicitly:
+                # drifted whenever the means are not equal.
+                | F.coalesce(
+                    value_drift > max_value_drift,
+                    ~(F.col("mean_new").eqNullSafe(F.col("mean_old"))),
+                )
             ).alias("drifted"),
         )
     )

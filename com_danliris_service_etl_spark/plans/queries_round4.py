@@ -714,7 +714,8 @@ _Q2_SQL = """
                 ELSE 'both' END AS presence,
            (n_old IS NULL OR n_new IS NULL
             OR abs(round((n_new - n_old) * 1.0 / n_old, 6)) > 0.5
-            OR round(abs(mean_new - mean_old) / abs(mean_old), 6) > 0.1) AS drifted
+            OR COALESCE(round(abs(mean_new - mean_old) / abs(mean_old), 6) > 0.1,
+                        NOT (mean_new IS NOT DISTINCT FROM mean_old))) AS drifted
     FROM o FULL OUTER JOIN n ON o.source = n.source
 """
 

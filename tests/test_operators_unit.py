@@ -849,3 +849,93 @@ def test_cdc_apply_handles_spaced_column_names(spark):
     )
     out = cdc_apply(log, ["k"], "seq").collect()
     assert out[0]["order status"] == "upd"
+
+
+def test_asof_join_null_keys_never_match(spark):
+    from com_danliris_service_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, 100), ("c1", 20, 100)], "code string, ts long, v long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), ("c1", 5, 2.0)], "code string, rts long, rate double"
+    )
+    out = asof_join(
+        left, right, left_on="ts", right_on="rts", by=[("code", "code")]
+    )
+    got = {(r.code, r.rate) for r in out.collect()}
+    # NULL by-key matches nothing (equi-join semantics) — the sort path
+    # previously attached the NULL-key right row.
+    assert (None, None) in got and ("c1", 2.0) in got
+
+
+def test_nest_children_fast_path_null_keys(spark):
+    from com_danliris_service_etl_spark.operators.explode import nest_children
+
+    parent = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "id long, name string"
+    )
+    child = spark.createDataFrame(
+        [(None, "orphan"), (1, "k1")], "fk long, val string"
+    )
+    out = nest_children(
+        parent, child, "id", "fk", "items", parent_key_unique=True
+    ).collect()
+    by_name = {r.name: r for r in out}
+    # BOTH null-key parents survive, with empty arrays and no phantom
+    # NULL-fk children; the real key still gets its child.
+    assert set(by_name) == {"a", "b", "c"}
+    assert by_name["a"].items == [] and by_name["b"].items == []
+    assert [x.val for x in by_name["c"].items] == ["k1"]
+
+
+def test_explode_raises_on_column_collision(spark):
+    import pytest as _pytest
+
+    from com_danliris_service_etl_spark.operators.explode import explode_inner
+
+    df = spark.createDataFrame(
+        [(1, "x", [("y",)])],
+        "id long, code string, items array<struct<code string>>",
+    )
+    with _pytest.raises(ValueError, match="duplicate column"):
+        explode_inner(df, "items")
+    # a prefix disambiguates
+    assert explode_inner(df, "items", prefix="item_").columns == [
+        "id", "code", "item_code",
+    ]
+
+
+def test_snapshot_drift_flags_zero_mean_old(spark):
+    from com_danliris_service_etl_spark.operators.quality import snapshot_drift
+
+    old = spark.createDataFrame([("g", 0.0), ("g", 0.0)], "src string, v double")
+    new = spark.createDataFrame([("g", 50.0), ("g", 50.0)], "src string, v double")
+    r = snapshot_drift(old, new, "src", "v").collect()[0]
+    # mean 0 → relative drift undefined (NULL) — must still FLAG, not
+    # emit drifted=NULL that a boolean gate silently skips
+    assert r.drifted is True
+
+
+def test_completeness_empty_table_fails_not_null(spark):
+    from com_danliris_service_etl_spark.operators.quality import completeness
+
+    empty = spark.createDataFrame([], "x string")
+    r = completeness(empty, "x").collect()[0]
+    assert r.passed is False  # NULL would slip through any gate
+
+
+def test_minute_diff_subsecond_exact(spark):
+    from com_danliris_service_etl_spark.functions.dates import minute_diff
+
+    df = spark.createDataFrame(
+        [(1,)], "i long"
+    ).select(
+        minute_diff(
+            F.timestamp_micros(F.lit(60_400_000)),   # 00:01:00.4
+            F.timestamp_micros(F.lit(500_000)),      # 00:00:00.5
+        ).alias("m")
+    )
+    # true delta 59.9 s → 0 whole minutes (per-operand second-flooring
+    # used to report 1)
+    assert df.collect()[0].m == 0
