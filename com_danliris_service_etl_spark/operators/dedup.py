@@ -131,6 +131,15 @@ def _band_structs(n_perms: int, bands: int) -> F.Column:
     """array<struct<band_idx, band_hash>> over an in-scope `sig` array:
     band b's key is md5 of its rows' stringified mins joined with ':' —
     an unambiguous key both engines render identically."""
+    if bands <= 0 or n_perms % bands != 0:
+        # bands > n_perms would make rows_per_band 0 → every band hashes
+        # md5('') → ALL documents collide in every band (silent n²/2
+        # fanout, garbage candidates); a non-divisor silently discards
+        # the trailing permutations. Both are caller bugs — fail loudly.
+        raise ValueError(
+            f"bands={bands} must divide n_perms={n_perms} "
+            "(rows_per_band = n_perms // bands must be a positive integer)"
+        )
     rows_per_band = n_perms // bands
     band_cols = []
     for b in range(bands):
@@ -633,7 +642,22 @@ def passage_dedup(
     identically (documents must stay under ``max_pos`` passages; 100k
     passages × 20 tokens is a 2M-token document, far past any sane doc
     cap, and the guard raises nothing silently: positions only arise
-    below it)."""
+    below it).
+
+    PRECONDITION (enforced): ``id_col`` must be an integral type with
+    0 <= id <= (2^63-1)/max_pos ≈ 9.2e13 — the encoding is plan-time
+    rejected for string ids (sibling `dedup_clusters` supports them via
+    type dispatch; this encoding cannot) and row-guarded against the
+    int64 overflow a snowflake-scale id would silently wrap into."""
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(docs.schema[id_col].dataType, IntegralType):
+        raise TypeError(
+            f"passage_dedup requires an integral {id_col!r} "
+            f"(got {docs.schema[id_col].dataType.simpleString()}); the "
+            "doc·max_pos+pos first-occurrence encoding has no string form"
+        )
+    id_bound = ((1 << 63) - 1) // max_pos
     toks = _spread(docs).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("t")
     )
@@ -651,7 +675,20 @@ def passage_dedup(
         "pos",
         "passage",
         F.md5(F.col("passage")).alias("__h"),
-        (F.col(id_col) * max_pos + F.col("pos")).alias("__ord"),
+        # assert_true keeps the overflow guard LIVE inside the __ord
+        # expression (a separate dropped column would be pruned away):
+        # it returns NULL when the bound holds and aborts with the
+        # message when a too-large id would wrap the encoding.
+        F.when(
+            F.assert_true(
+                F.col(id_col).between(0, id_bound),
+                F.lit(
+                    f"passage_dedup: {id_col} out of [0, {id_bound}] — "
+                    "doc*max_pos+pos would overflow BIGINT"
+                ),
+            ).isNull(),
+            F.col(id_col) * max_pos + F.col("pos"),
+        ).alias("__ord"),
     )
     owners = keyed.groupBy("__h").agg(F.min("__ord").alias("__owner"))
     flagged = keyed.join(owners, "__h").withColumn(

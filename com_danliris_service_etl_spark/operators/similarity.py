@@ -25,8 +25,15 @@ _NORM = (
 
 
 def cosine(col_a: str, col_b: str):
+    """Cosine similarity; NULL when either vector has zero norm (cosine is
+    undefined there, and under ANSI mode — the Spark 4 default — a bare
+    division would ABORT the job on the first all-zero padding/failed
+    embedding row). NULL scores drop out of every consumer: threshold
+    filters reject them and rank windows order them last."""
     dot = F.expr(_DOT.format(a=col_a, b=col_b))
-    return dot / (F.expr(_NORM.format(a=col_a)) * F.expr(_NORM.format(a=col_b)))
+    return F.try_divide(
+        dot, F.expr(_NORM.format(a=col_a)) * F.expr(_NORM.format(a=col_b))
+    )
 
 
 def norm(vec_col: str):
@@ -41,8 +48,31 @@ def norm(vec_col: str):
 
 
 def cosine_prenormed(dot_a: str, dot_b: str, norm_a: str, norm_b: str):
+    """Same zero-norm contract as `cosine`: NULL, never a divide abort."""
     dot = F.expr(_DOT.format(a=dot_a, b=dot_b))
-    return dot / (F.col(norm_a) * F.col(norm_b))
+    return F.try_divide(dot, F.col(norm_a) * F.col(norm_b))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail for every cosine ANN variant: NULL scores (a
+    zero-norm vector's undefined cosine) are dropped BEFORE ranking — an
+    undefined similarity is not a neighbor, and row_number would
+    otherwise rank it into a sparse query's top-k — then rank ascending
+    by (score desc, neighbor_id) for a deterministic, engine-independent
+    order. One place to change the ranking convention; four operators
+    (brute-force, bucketed, multi-probe, IVF) share the contract that
+    `recall_at_k` compares."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def brute_force_topk(
@@ -83,12 +113,7 @@ def brute_force_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def signbit_bucket(vec_col: str, n_bits: int = 8):
@@ -152,12 +177,7 @@ def multiprobe_lsh_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def build_centroid_array(
@@ -222,9 +242,12 @@ def ivf_assign_cells(
         f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> cast(x AS DOUBLE) * y),"
         " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    # try_divide: a zero-norm vector (or degenerate centroid) must yield a
+    # NULL sim — never the ANSI divide abort — and NULL sims lose every
+    # `>` comparison, so such a row keeps the init NULL cid.
     argmax = F.expr(
         "aggregate("
-        f"  transform(__cents, c -> struct({dot} / (__v_norm * c.cnorm) AS sim,"
+        f"  transform(__cents, c -> struct(try_divide({dot}, __v_norm * c.cnorm) AS sim,"
         "                                  c.cid AS cid)),"
         "  struct(cast('-Infinity' AS DOUBLE) AS sim, cast(NULL AS BIGINT) AS cid),"
         "  (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END"
@@ -320,12 +343,7 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_bucketed_topk(
@@ -365,12 +383,7 @@ def lsh_bucketed_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 # Int8 quantization: per-vector symmetric scale (max|x|/127). The fold

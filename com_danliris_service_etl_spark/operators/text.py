@@ -18,7 +18,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to"),
     "es": ("el", "la", "de", "que", "y"),
     "fr": ("le", "la", "les", "et", "des"),
-    "zh": ("的", "是", "了", "在", "we"),
+    # NB: all five zh markers are Chinese function words — an English
+    # token here (an earlier revision had "we") makes ordinary English
+    # prose score as Chinese.
+    "zh": ("的", "是", "了", "在", "和"),
 }
 
 
@@ -122,14 +125,21 @@ def language_pred_col(text_col: str = "text") -> Column:
     return pred
 
 
-def detect_language(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def detect_language(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
     """Marker-token language ID: score = hits per language; argmax with
-    alphabetical tiebreak (deterministic)."""
-    return docs.select(
-        id_col,
-        F.col("lang").alias("lang_actual"),
-        language_pred_col(text_col).alias("lang_pred"),
-    )
+    alphabetical tiebreak (deterministic). ``lang_col`` names an optional
+    ground-truth column carried through as ``lang_actual`` for accuracy
+    audits — most real corpora don't have one, and a hardcoded reference
+    to it would fail at plan time, so it is skipped when absent."""
+    cols = [F.col(id_col)]
+    if lang_col and lang_col in docs.columns:
+        cols.append(F.col(lang_col).alias("lang_actual"))
+    return docs.select(*cols, language_pred_col(text_col).alias("lang_pred"))
 
 
 # Rolling-hash parameters: Rabin-Karp polynomial over codepoints, Horner

@@ -482,3 +482,74 @@ def test_hourly_anomalies_mad_zero_flags_any_deviation(spark):
     }
     assert out[4].mad == 0.0 and out[4].is_anomaly
     assert not any(out[h].is_anomaly for h in range(4))
+
+
+def test_cosine_zero_norm_yields_null_not_abort(spark):
+    """A single all-zero embedding (padding / failed-embed rows) must
+    yield NULL cosine — under ANSI mode a bare division aborts the job."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign_cells,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, [2.0, 4.0])],
+        _VEC_SCHEMA,
+    )
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 2), k=2)
+    rows = {r.neighbor_id: r.cos_sim for r in out.collect()}
+    assert 3 in rows  # the real neighbor survives
+    assert 1 not in rows  # zero-norm candidate dropped (NULL score)
+    cells = ivf_assign_cells(
+        emb, centroids=emb.filter(F.col("vec_id") == 2)
+    ).collect()
+    assert {r.vec_id: r.cell for r in cells}[1] is None  # unassignable
+
+
+def test_lsh_rejects_bad_band_config(spark):
+    import pytest as _pytest
+
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], _DOC_SCHEMA)
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, n_perms=16, bands=32)
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, n_perms=16, bands=5)
+
+
+def test_passage_dedup_rejects_string_and_oversized_ids(spark):
+    import pytest as _pytest
+
+    from com_danliris_service_etl_spark.operators.dedup import passage_dedup
+
+    sdocs = spark.createDataFrame(
+        [("a", "x y z")], "doc_id string, text string"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        passage_dedup(sdocs)
+    big = spark.createDataFrame(
+        [(9_220_000_000_000_000_000, "x y z")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="overflow"):
+        passage_dedup(big, k=2).collect()
+
+
+def test_detect_language_without_ground_truth_column(spark):
+    from com_danliris_service_etl_spark.operators.text import detect_language
+
+    docs = spark.createDataFrame([(1, "the a of and to")], "doc_id long, text string")
+    out = detect_language(docs).collect()[0]
+    assert out.lang_pred == "en"
+    assert "lang_actual" not in detect_language(docs).columns
+
+
+def test_english_prose_with_we_not_chinese(spark):
+    from com_danliris_service_etl_spark.operators.text import detect_language
+
+    docs = spark.createDataFrame(
+        [(1, "we think we can and we will do it", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = detect_language(docs).collect()[0]
+    assert out.lang_pred == "en"  # 'we' must not score as a zh marker
