@@ -1,11 +1,12 @@
 """Benchmark harness: runs the registry queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ..., "n_queries": N,
-"full": "BENCH_FULL.json"} — the printed queries dict holds the most
-expensive queries that fit the driver's 2000-char stdout capture window;
-the COMPLETE per-query record is written to BENCH_FULL.json alongside
-this script.
+"queries": {code: sec, ...}, "sf": ..., "n_queries": N,
+"full": "BENCH_FULL.json"} — the printed queries dict holds EVERY
+registry query, keyed by the query's unique leading code token (e.g.
+"d5" = d5_d8_timestamp_reconstruct) so the complete record fits the
+driver's 2000-char stdout capture window; the full-name map is also
+written to BENCH_FULL.json alongside this script.
 
 Timing protocol (BASELINE.md): per-query wall-clock, MINIMUM of N warm runs
 (default 3, override BENCH_RUNS) — the minimum estimates the true cost
@@ -63,15 +64,15 @@ def main() -> int:
         timings[name] = round(min(samples), 3)
 
     # The driver records only the last 2000 chars of stdout and json-parses
-    # the final line — rounds 2-3 exceeded that and lost their per-query
-    # record to front-truncation. 93 query names alone are ~1600 chars, so a
-    # complete {name: sec} line can NEVER fit; instead:
-    #   1. ALL timings go to BENCH_FULL.json next to this script (committed
-    #      repo evidence, not subject to the capture window);
-    #   2. stdout's final line is a compact JSON kept UNDER the window:
-    #      full aggregate + the most expensive queries' timings, filled
-    #      greedily by descending cost until the char budget is reached
-    #      (the cheap sub-0.1 s tail is the signal-free part to drop).
+    # the final line — rounds 2-4 emitted full names and lost part of the
+    # per-query record (r4: 66/117 survived). 118 full names alone are
+    # ~2600 chars, so a complete {full_name: sec} line can NEVER fit.
+    # Instead the final line carries ALL timings keyed by each query's
+    # UNIQUE leading code token ("d5_d8_timestamp_reconstruct" → "d5") —
+    # ~1.4k chars for the whole registry, self-contained in the driver's
+    # own artifact. BENCH_FULL.json keeps the full-name map as committed
+    # repo evidence. Codes are checked for uniqueness; a future collision
+    # falls back to the shortest disambiguating prefix of "_"-tokens.
     full = {
         "metric": "min-of-3 warm wall-clock sec per registry query",
         "value": round(sum(timings.values()), 3),
@@ -83,17 +84,34 @@ def main() -> int:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    budget = 1900  # headroom under the 2000-char capture window
-    shown: dict[str, float] = {}
-    out = dict(full, queries=shown, n_queries=len(timings), full="BENCH_FULL.json")
-    base_len = len(json.dumps(out, separators=(",", ":")))
-    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
-        entry_len = len(json.dumps({name: sec}, separators=(",", ":"))) - 1
-        if base_len + entry_len > budget:
-            break
-        shown[name] = sec
-        base_len += entry_len
-    print(json.dumps(out, separators=(",", ":")))
+    def _codes(names: list[str]) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for n in names:
+            toks = n.split("_")
+            for i in range(1, len(toks) + 1):
+                cand = "_".join(toks[:i])
+                if sum(1 for m in names if m.split("_")[: i] == toks[:i]) == 1:
+                    out[n] = cand
+                    break
+            else:
+                out[n] = n
+        return out
+
+    code_of = _codes(sorted(timings))
+    coded = {code_of[n]: sec for n, sec in timings.items()}
+    out = dict(
+        full,
+        queries=coded,
+        n_queries=len(timings),
+        key="queries keys = unique leading code of registry query name",
+        full="BENCH_FULL.json",
+    )
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # headroom under the 2000-char capture window:
+        # degrade precision before dropping entries
+        out["queries"] = {c: round(s, 2) for c, s in coded.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     return 0
 
 

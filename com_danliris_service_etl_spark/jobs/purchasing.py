@@ -34,7 +34,9 @@ from com_danliris_service_etl_spark.functions.dates import (
 )
 from com_danliris_service_etl_spark.jobs._helpers import bool_str, nz_num, nz_str
 from com_danliris_service_etl_spark.operators.joins import first_match_join
-from com_danliris_service_etl_spark.operators.windows import surrogate_key
+from com_danliris_service_etl_spark.operators.windows import (
+    surrogate_key_distributed,
+)
 from com_danliris_service_etl_spark.plans.jobs import JobSpec
 from com_danliris_service_etl_spark.sources.catalog import Catalog
 
@@ -292,8 +294,11 @@ def build_total_hutang(spark: SparkSession, catalog: Catalog, wm: dt.datetime) -
     # A4 determinism (SURVEY §7.4): the reference's counter follows DB
     # return order; here the ordering must be TOTAL or duplicate
     # (urn, product) rows get engine-dependent ids — so every output
-    # column participates.
-    return surrogate_key(
+    # column participates. The DISTRIBUTED form assigns the identical
+    # dense 1..N (golden test pins it against the oracle row_number)
+    # without funneling the fact through one partition — the global
+    # window would serialize a 100 TB nightly load through one task.
+    return surrogate_key_distributed(
         out,
         order_by=[F.col(c) for c in out.columns],
         out_col="row_id",

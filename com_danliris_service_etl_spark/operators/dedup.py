@@ -956,7 +956,10 @@ def contamination_passages(
         # _spread: the per-row shingle/overlap work is CPU-bound and a
         # one-file corpus arrives as one partition (same rationale as
         # _shingles); docs is a narrow scan/filter frame at call sites.
-        _spread(docs)
+        # NULL text is filtered up front: split(NULL) would otherwise
+        # propagate a NULL token array into a descending sequence(0, -1)
+        # and emit a nonsense 2-passage row for the document.
+        _spread(docs.filter(F.col(text_col).isNotNull()))
         .select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .crossJoin(F.broadcast(bench_arr))
         .select(id_col, passages.alias("ps"), "__bench")
@@ -968,8 +971,10 @@ def contamination_passages(
             F.when(F.size("__hits") > 0, F.col("__hits")[0])
             .cast("long")
             .alias("first_hit_pos"),
-            F.round(n_cont.cast("double") / n_pass.cast("double"), 6).alias(
-                "cont_share"
-            ),
+            # try_divide: NULL (not an ANSI-mode error) on the n_pass=0
+            # degenerate row, matching the sibling operators' convention.
+            F.round(
+                F.try_divide(n_cont.cast("double"), n_pass.cast("double")), 6
+            ).alias("cont_share"),
         )
     )

@@ -22,6 +22,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _is_plain_unsorted_column(c: Column) -> bool:
+    """True only when ``c`` POSITIVELY has no SortOrder wrapper — i.e. it is
+    safe to treat as an implicitly-ascending struct field inside ``min_by``.
+    Returns False (→ caller uses the always-correct window path) when a
+    SortOrder is present OR when the expression cannot be classified."""
+    # Classic JVM column: the underlying node/expression type is
+    # authoritative (Column repr text is not a stable API). Spark 4.x
+    # wraps a ColumnNode (`_jc.node()`); 3.x exposes the Catalyst
+    # expression (`_jc.expr()`).
+    for probe in ("node", "expr"):
+        try:
+            jobj = getattr(c._jc, probe)()  # noqa: SLF001 — engine introspection
+            return "SortOrder" not in jobj.getClass().getSimpleName()
+        except Exception:
+            continue
+    # Spark Connect column: `_expr` is a PYTHON expression object from
+    # pyspark.sql.connect.expressions whose class name carries the node
+    # type. A py4j JavaObject here (classic builds also define `_expr`)
+    # is ambiguous — its proxy class name says nothing about the node —
+    # so only a genuine Connect expression counts as evidence.
+    try:
+        expr = c._expr  # noqa: SLF001
+        if "connect" in type(expr).__module__:
+            return "SortOrder" not in type(expr).__name__
+    except Exception:
+        pass
+    return False
+
+
 def first_match_join(
     left: DataFrame,
     right: DataFrame,
@@ -50,16 +79,15 @@ def first_match_join(
     # combine, ~2.5× faster than the sort-based row_number window and
     # shuffle-equivalent. An explicit ASC/DESC/NULLS sort-order expression
     # is not evaluable inside a struct, so those fall back to the window.
-    # Detection anchors on the TRAILING sort-order suffix Spark's Column
-    # repr emits ("... ASC NULLS FIRST" etc.) so an inner token containing
-    # " ASC"/" DESC" (a column literally named that way inside an
-    # arithmetic expression) can't misroute a plain column to the slower
-    # window path. Worst case is still only perf: the window path is
-    # correct for every order expression.
-    import re
-
-    _sort_suffix = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)'?>?$")
-    plain_asc = not any(_sort_suffix.search(str(c)) for c in order)
+    # Detection is POSITIVE: each order expression is probed for an
+    # underlying SortOrder node (classic `_jc.expr()`, Connect `_expr`).
+    # Any expression the probe cannot classify takes the window path —
+    # the window is correct for EVERY order expression, so an unknown
+    # Column representation (future repr changes, new client transports)
+    # can only cost performance, never route a DESC order to the
+    # plain-ascending min_by fast path (which would silently return the
+    # wrong first-match row).
+    plain_asc = all(_is_plain_unsorted_column(c) for c in order)
     if plain_asc:
         value_cols = [c for c in right.columns if c not in keys]
         deduped = (
@@ -423,17 +451,24 @@ def fuzzy_blocked_join(
         F.abs(F.length("__l_text") - F.length("__r_text")) <= max_dist
     )
     # NOTE: the threshold form returns -1 for pairs BEYOND the threshold
-    # — the filter must exclude it explicitly, not just compare <=.
-    # The DP is projected into a COLUMN first and the filter references
-    # that column, so each surviving pair pays the levenshtein once —
-    # filtering on the raw expression and re-projecting it would run the
-    # DP twice per pair across the operator boundary.
+    # and the true distance (necessarily <= max_dist) otherwise, so the
+    # residual filter is the SINGLE comparison `>= 0` — a `BETWEEN 0 AND
+    # max_dist` would reference the expression twice, and Catalyst
+    # collapses the projection into the join condition (visible in the
+    # physical plan), so every extra reference is a full extra DP run
+    # per candidate pair.
     lev = F.levenshtein(F.col("__l_text"), F.col("__r_text"), max_dist)
+    # _spread (dedup.py): the residual DP is CPU-bound and a small
+    # catalog arriving as one parquet file = one partition would probe
+    # the broadcast relation single-threaded; a well-partitioned 100 TB
+    # input passes through untouched.
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     return (
-        lb.join(rb, "__blk")
+        _spread(lb).join(rb, "__blk")
         .filter(len_ok)
         .withColumn("edit_dist", lev.cast("long"))
-        .filter(F.col("edit_dist").between(0, max_dist))
+        .filter(F.col("edit_dist") >= 0)
         .drop("__blk")
         .withColumnRenamed("__l_text", f"l_{text_col}")
         .withColumnRenamed("__r_text", f"r_{text_col}")

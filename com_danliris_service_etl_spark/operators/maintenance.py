@@ -12,28 +12,23 @@ operators keep the layout healthy with Spark-native building blocks.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.sources import fsutil
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 def fact_layout_stats(spark: SparkSession, path: str) -> dict:
     """File-level layout report for a parquet fact: file count, total
-    bytes, mean file size. Driver-side listing of METADATA only (never
-    data) — the signal `compact_small_files` acts on, and the number an
+    bytes, mean file size. Hadoop-FS metadata listing only (never data,
+    any scheme — `sources/fsutil.py`) — the signal `compact_small_files`
+    acts on, and the number an
     operator alerts on (mean_bytes far below the target ⇒ compact)."""
-    sizes = []
-    for root, _dirs, files in os.walk(path):
-        sizes += [
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        ]
+    sizes = fsutil.parquet_file_sizes(spark, path)
     return {
         "n_files": len(sizes),
         "total_bytes": sum(sizes),
@@ -74,19 +69,20 @@ def compact_small_files(
     else:
         df = df.repartition(n_parts)
 
-    parent = os.path.dirname(path.rstrip("/")) or "."
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    # Sibling temp dir (same filesystem — rename must not cross schemes),
+    # uniquified against concurrent compactions; swap is Hadoop-FS rename
+    # (atomic on local/HDFS/ABFS; on S3A use table-format OPTIMIZE).
+    tmp = f"{path.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
     backup = path.rstrip("/") + ".old"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.replace(path, backup)
-    os.replace(tmp, path)
-    shutil.rmtree(backup)
+    fsutil.delete(spark, backup)
+    fsutil.rename(spark, path, backup)
+    fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, backup)
     return {"before": before, "after": fact_layout_stats(spark, path)}
 
 

@@ -525,6 +525,12 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
 # and bit-identical across engines (same trick as sim5's int8 dot).
 PQ_SCALE = 1_000_000
 
+# Codebooks up to this many doubles (K·dim) inline as a constant-folded
+# literal column in pq_topk (zero extra jobs); larger books ship as a
+# one-row broadcast join. Purely a delivery knob — both paths rank
+# identically (test_pq_topk_literal_and_broadcast_paths_agree).
+PQ_LITERAL_MAX_DOUBLES = 65536
+
 
 def pq_codebook(
     codebook_vectors: DataFrame,
@@ -553,6 +559,42 @@ def _pq_subdist(vec_col: str, mi_expr: str, sub: int, cvec: str = "c.cvec") -> s
         "cast(round(aggregate("
         f"  zip_with(slice({vec_col}, ({mi_expr}) * {sub} + 1, {sub}),"
         f"           slice({cvec}, ({mi_expr}) * {sub} + 1, {sub}),"
+        "            (x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)),"
+        "  cast(0.0 AS DOUBLE), (acc, v) -> acc + v"
+        f") * {PQ_SCALE}) AS BIGINT)"
+    )
+
+
+def pq_codebook_flat(
+    codebook_vectors: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRE-TRANSPOSED codebook for the ADC hot path: one row holding
+    ``__cbf`` — a flat array of length m·K whose slot ``mi·K + j`` is the
+    ``sub``-dim slice of cid-sorted codebook entry ``j`` for subspace
+    ``mi`` — and ``__ncb`` = K. Slicing the codebook happens ONCE here,
+    in the broadcast build, instead of m·K times per corpus row inside
+    the scoring projection (`pq_topk`'s r4 form paid exactly that)."""
+    sub = dim // m
+    return pq_codebook(codebook_vectors, id_col, vec_col).select(
+        F.expr(
+            f"flatten(transform(sequence(0, {m - 1}),"
+            f" mi -> transform(__cb, c -> slice(c.cvec, mi * {sub} + 1, {sub}))))"
+        ).alias("__cbf"),
+        F.size("__cb").cast("int").alias("__ncb"),
+    )
+
+
+def _pq_subdist_flat(a: str, b: str) -> str:
+    """SQL expr: scaled-BIGINT L2² between two PRE-SLICED sub-vectors.
+    Same fixed fold order (element 1..sub) and rounding as `_pq_subdist`
+    — bit-identical distances, minus all slicing work."""
+    return (
+        "cast(round(aggregate("
+        f"  zip_with({a}, {b},"
         "            (x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)),"
         "  cast(0.0 AS DOUBLE), (acc, v) -> acc + v"
         f") * {PQ_SCALE}) AS BIGINT)"
@@ -618,27 +660,75 @@ def pq_topk(
     distances are scaled BIGINTs, so the ADC sum is exact integer
     arithmetic: rank order is engine- and partitioning-independent by
     construction, not by rounding luck. Ranking ascends
-    (distance, neighbor_id)."""
+    (distance, neighbor_id).
+
+    Constant-factor shape (r5): the codebook is PRE-TRANSPOSED
+    (`pq_codebook_flat`) — slot ``mi·K + j`` of ``__cbf`` is already the
+    subspace slice, so the per-row argmin does zero codebook slicing; the
+    row's own subspace slice binds ONCE per mi (a one-element `transform`
+    lambda) instead of once per (mi, j); and the query distance table is
+    a FLAT m·K BIGINT array probed as ``__dq[mi·K + code]`` in the ADC
+    fold — no nested-array indirection per candidate. Delivery of the
+    codebook to executors: a PQ codebook is K·dim doubles by definition
+    (1 KB here, ~2 MB for a production K=256 × dim=768 book), so it is
+    collected once driver-side; small books inline as a CONSTANT-FOLDED
+    literal column (zero extra jobs — no checkpoint, no broadcast
+    exchange), large ones ship as a one-row broadcast join of the
+    already-materialized row. Distances are identical doubles either way
+    (repr round-trips exactly)."""
     from pyspark.sql import Window
 
-    cb = pq_codebook(codebook, id_col, vec_col).localCheckpoint()
+    cb_row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
+    cbf_vals, n_cb = list(cb_row["__cbf"]), int(cb_row["__ncb"])
     sub = dim // m
-    # code POSITIONS into the cid-sorted __cb: same argmin/tiebreak as
-    # pq_encode (position order == cid order because __cb is sorted)
+    # code POSITIONS into the cid-sorted codebook: same argmin/tiebreak
+    # as pq_encode (position order == cid order; identical sd rounding)
     codes_expr = F.expr(
         f"transform(sequence(0, {m - 1}), mi ->"
-        "  array_min(transform(sequence(0, size(__cb) - 1), j -> struct("
-        f"    {_pq_subdist(vec_col, 'mi', sub, cvec='__cb[j].cvec')} AS sd,"
-        "     j AS pos))).pos)"
+        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
+        f"    array_min(transform(sequence(0, {n_cb - 1}), j -> struct("
+        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')} AS sd,"
+        "       j AS pos))).pos)[0])"
     )
     dq_expr = F.expr(
-        f"transform(sequence(0, {m - 1}), mi ->"
-        f"  transform(__cb, c -> {_pq_subdist(vec_col, 'mi', sub)}))"
+        f"flatten(transform(sequence(0, {m - 1}), mi ->"
+        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
+        f"    transform(sequence(0, {n_cb - 1}), j ->"
+        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')}))[0]))"
     )
-    corpus = embeddings.crossJoin(F.broadcast(cb)).select(
+    if n_cb * dim <= PQ_LITERAL_MAX_DOUBLES:
+        # repr() is the shortest exact round-trip for a double — the
+        # literal carries the SAME values the column-borne path would.
+        lit_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(map(repr, s)) + ")" for s in cbf_vals
+            )
+            + ")"
+        )
+
+        def _with_cb(df: DataFrame) -> DataFrame:
+            return df.withColumn("__cbf", F.expr(lit_sql))
+
+    else:
+        sess = embeddings.sparkSession
+        cb_df = sess.createDataFrame(
+            [(cbf_vals,)], "__cbf array<array<double>>"
+        )
+
+        def _with_cb(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(cb_df))
+
+    # _spread (dedup.py's conditional repartition): encoding is CPU-bound
+    # per-row expression work, and a small corpus arriving as one parquet
+    # file = one partition would score single-threaded; a well-partitioned
+    # 100 TB corpus passes through untouched.
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    corpus = _with_cb(_spread(embeddings)).select(
         F.col(id_col).alias("neighbor_id"), codes_expr.alias("__codes")
     )
-    qtab = queries.crossJoin(F.broadcast(cb)).select(
+    qtab = _with_cb(queries).select(
         F.col(id_col).alias("query_id"), dq_expr.alias("__dq")
     )
     adc = (
@@ -650,7 +740,7 @@ def pq_topk(
             "neighbor_id",
             F.expr(
                 f"aggregate(sequence(0, {m - 1}), cast(0 AS BIGINT),"
-                " (acc, mi) -> acc + __dq[mi][__codes[mi]])"
+                f" (acc, mi) -> acc + __dq[mi * {n_cb} + __codes[mi]])"
             ).alias("__ds"),
         )
     )

@@ -72,16 +72,22 @@ def run_job(
         # is watermark-bounded — one night's delta, not the fact — so
         # MEMORY_AND_DISK is safe at any corpus size.
         df = spec.build(spark, catalog, wm).persist()
-        rows = df.count()
-        merge_upsert(
-            spark,
-            spec.target,
-            df,
-            spec.merge_keys,
-            order_col=spec.order_col,
-            replace_group=(spec.grain == "group"),
-        )
-        df.unpersist()
+        # unpersist in finally: if the MERGE raises, the exception handler
+        # below re-raises — without the finally the MEMORY_AND_DISK cache
+        # would leak for the rest of the session, and a scheduler that
+        # continues with later layers accumulates leaked caches.
+        try:
+            rows = df.count()
+            merge_upsert(
+                spark,
+                spec.target,
+                df,
+                spec.merge_keys,
+                order_col=spec.order_col,
+                replace_group=(spec.grain == "group"),
+            )
+        finally:
+            df.unpersist()
         for target, (build_fn, keys) in spec.extra_targets.items():
             extra = build_fn(spark, catalog, wm)
             merge_upsert(spark, target, extra, keys)

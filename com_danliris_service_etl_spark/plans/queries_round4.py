@@ -972,6 +972,59 @@ def j11_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# j11b: the SPARSE-match regime of the same fuzzy join. j11's fixture is
+# output-dominated (~16% of co-blocked candidates are genuine matches —
+# the part catalog has only 64 distinct short names, so Levenshtein≤2
+# matches constantly), so its bench time mostly measures result
+# materialization, not the blocked design. Here each "system" carries a
+# HIGH-ENTROPY 12-hex entity id (md5 of the key — same function both
+# engines; random id pairs sit ~10 edits apart, so only true
+# corruption pairs match), the right side is a rare 1-in-11 corrupted
+# sample against the FULL left catalog, and the block is the first hex
+# char — candidate pairs stay in the tens of thousands while genuine
+# matches are only the right-side count (<0.1% hit rate), the regime
+# real entity resolution runs in and where blocking + length prefilter
+# + banded-threshold Levenshtein earn their keep.
+_J11B_SQL = """
+    WITH l AS (SELECT p_partkey AS l_key,
+                      substring(md5(CAST(p_partkey AS VARCHAR)), 1, 12) AS nm
+               FROM part),
+    r AS (SELECT p_partkey + 1000000 AS r_key,
+                 substring(md5(CAST(p_partkey AS VARCHAR)), 1, 11) AS nm
+          FROM part WHERE p_partkey % 11 = 0)
+    SELECT l.l_key, r.r_key,
+           l.nm AS l_nm, r.nm AS r_nm,
+           CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS edit_dist
+    FROM l JOIN r ON substring(l.nm, 1, 1) = substring(r.nm, 1, 1)
+    WHERE levenshtein(l.nm, r.nm) <= 2
+"""
+
+
+@register("j11b_fuzzy_join_sparse", _J11B_SQL)
+def j11b_fuzzy_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-regime blocked fuzzy join (same operator as j11,
+    `operators/joins.py::fuzzy_blocked_join`): full part catalog vs a
+    1-in-11 corrupted sample of high-entropy entity ids, 1-hex-char
+    blocking — candidate volume is orders of magnitude above the match
+    count (<0.1% hit rate), so the bench measures the blocking + length
+    prefilter + threshold-banded Levenshtein machinery rather than
+    output writing (j11's dense fixture measures the latter)."""
+    from com_danliris_service_etl_spark.operators.joins import fuzzy_blocked_join
+
+    part = _t(spark, sf_dir, "part")
+    ent = F.expr("substring(md5(CAST(p_partkey AS STRING)), 1, 12)")
+    l = part.select(F.col("p_partkey").alias("l_key"), ent.alias("nm"))
+    r = part.filter(F.col("p_partkey") % 11 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("r_key"),
+        F.expr("substring(md5(CAST(p_partkey AS STRING)), 1, 11)").alias("nm"),
+    )
+    return fuzzy_blocked_join(l, r, "nm", max_dist=2, block_chars=1).select(
+        "l_key", "r_key",
+        F.col("l_nm").alias("l_nm"), F.col("r_nm").alias("r_nm"),
+        "edit_dist",
+    )
+
+
 # ---------------------------------------------------------------------------
 # st7: dense-grid resample with gap fill (LOCF)
 # ---------------------------------------------------------------------------
@@ -1117,7 +1170,7 @@ _LLM11_SQL = f"""
               FROM btoks, UNNEST(range(1, len(t) - 1)) AS u(i)
               WHERE len(t) >= 3),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             WHERE doc_id >= {_LLM11_BENCH_MAX_ID}),
+             WHERE doc_id >= {_LLM11_BENCH_MAX_ID} AND text IS NOT NULL),
     pass AS (SELECT doc_id, p.p AS pos, t[p.p*20+1 : p.p*20+20] AS pt
              FROM toks,
                   UNNEST(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS p(p)),

@@ -51,9 +51,13 @@ class Catalog:
         """Catalog over a testdata scale-factor directory."""
         d = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cat = cls(spark=spark, base_dir=d)
+        # Existence probe through the Hadoop FS of the dir's own scheme
+        # (fsutil) so a hdfs://s3a:// fixture dir registers its tables.
+        from com_danliris_service_etl_spark.sources import fsutil
+
         for t in cls.STANDARD_TABLES:
-            p = os.path.join(d, f"{t}.parquet")
-            if os.path.exists(p):
+            p = f"{d.rstrip('/')}/{t}.parquet"
+            if fsutil.exists(spark, p):
                 cat.tables[t] = p
         return cat
 

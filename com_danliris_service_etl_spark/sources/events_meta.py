@@ -32,7 +32,14 @@ from pyspark.sql import types as T
 def events_ts_kind(sf_dir: str) -> str:
     """'micros' | 'ntz' | 'nanos' — the physical flavor of events.ts,
     resolved from the parquet footer (cached per directory; fixtures are
-    immutable within a round)."""
+    immutable within a round).
+
+    DRIVER-LOCAL BY DESIGN: the footer is read with pyarrow through the
+    driver's filesystem, so ``sf_dir`` must be a local (or fuse-mounted)
+    fixture path — which is the tool's whole scope: a schema probe over
+    the test fixtures. Production readers don't probe; they declare their
+    schema (streaming) or let Spark infer from the scheme-resolved store
+    (batch). Remote-scheme store probes belong to `sources/fsutil.py`."""
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):
         parts = sorted(glob.glob(f"{path}/*.parquet"))

@@ -1,0 +1,112 @@
+"""Hadoop FileSystem helpers for storage probes and swaps.
+
+Self-managed parquet stores (the streaming folds in `streaming/jobs.py`,
+the maintenance compactors) need existence probes, directory listings and
+renames against the SAME filesystem Spark reads — which is NOT the
+driver's local filesystem once paths are `hdfs://`, `s3a://` or
+`abfss://`. Driver-local `os.path` calls silently return False there (the
+failure class `sources/watermark.py` documents for its read path), so
+every probe here goes through `org.apache.hadoop.fs.FileSystem` resolved
+from the path's own scheme + the session's Hadoop configuration. Local
+paths resolve to `RawLocalFileSystem` and behave exactly as before.
+
+Atomicity note: `rename` maps to `FileSystem.rename`, which is atomic on
+POSIX-like stores (local, HDFS, ABFS). On S3A it is a COPY+DELETE — any
+swap protocol built on these helpers is only crash-atomic on an
+atomic-rename store; object-store deployments should use a transactional
+table format (Delta/Iceberg) instead, as `sinks.merge_upsert` already
+does when available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``, resolved by the path's scheme."""
+    jvm = spark._jvm  # noqa: SLF001 — py4j gateway is the only route to Hadoop FS
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def child_names(spark: SparkSession, path: str) -> list[str]:
+    """Immediate child names of a directory ([] when absent)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def has_committed_parquet(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` contains at least one COMMITTED parquet file
+    (ignoring in-flight ``_temporary`` output) — the existence test every
+    crash-retried reader of a self-managed parquet store needs, since a
+    bare directory appears as soon as a write STARTS."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)  # recursive RemoteIterator
+    while it.hasNext():
+        f = it.next().getPath()
+        if "_temporary" in f.toString():
+            continue
+        if f.getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def parquet_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Byte sizes of every committed parquet file under ``path``
+    (recursive, `_temporary` excluded); [] when the path is absent.
+    Metadata-only listing — never reads data."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    sizes: list[int] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        f = st.getPath()
+        if "_temporary" in f.toString() or not f.getName().endswith(".parquet"):
+            continue
+        sizes.append(int(st.getLen()))
+    return sizes
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory move (atomic on local/HDFS/ABFS — see module docstring).
+    Raises OSError on any failure — Hadoop signals them inconsistently
+    (silent False on some stores, FileNotFoundException on others)."""
+    fs, s = _fs(spark, src)
+    _, d = _fs(spark, dst)
+    try:
+        ok = fs.rename(s, d)
+    except Exception as exc:
+        raise OSError(f"rename failed: {src} -> {dst}: {exc}") from exc
+    if not ok:
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete; no-op when absent."""
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file (overwriting), e.g. an ``_applied_N`` marker."""
+    fs, p = _fs(spark, path)
+    fs.create(p, True).close()

@@ -11,13 +11,13 @@ atomic-rename) because the test image has no Delta jars.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.sources import fsutil
 
 
 def _delta_available(spark: SparkSession) -> bool:
@@ -78,18 +78,23 @@ def merge_upsert(
         else:
             updates = updates.dropDuplicates(key_list)
 
-    # Crash recovery: a kill between the swap's two os.replace calls
-    # below leaves the target missing and `<target>.old` holding the only
+    # Crash recovery: a kill between the swap's two renames below leaves
+    # the target missing and `<target>.old` holding the only
     # copy of the fact. Restore it FIRST — otherwise the fresh-target
     # branch would silently rebuild the fact from this batch alone and a
     # later successful swap would delete the backup, losing every
     # pre-crash row. (merge_upsert is idempotent, so re-running the
-    # interrupted batch after the restore is safe.)
+    # interrupted batch after the restore is safe.) All probes and the
+    # swap route through the Hadoop FileSystem of the target's scheme
+    # (fsutil) — driver-local os.path is always False on hdfs://s3a://
+    # paths, which would rebuild the fact from one batch. The swap's
+    # crash-atomicity needs atomic rename (local/HDFS/ABFS); on S3A use
+    # the Delta branch instead (fsutil module docstring).
     _backup = target_path + ".old"
-    if not os.path.exists(target_path) and os.path.exists(_backup):
-        os.replace(_backup, target_path)
+    if not fsutil.exists(spark, target_path) and fsutil.exists(spark, _backup):
+        fsutil.rename(spark, _backup, target_path)
 
-    if not os.path.exists(target_path):
+    if not fsutil.exists(spark, target_path):
         # Fresh fact: create it in Delta format when Delta is available,
         # or every subsequent merge would miss the `_delta_log` check and
         # run the non-scalable full-rewrite parquet emulation forever.
@@ -99,7 +104,9 @@ def merge_upsert(
             updates.write.mode("overwrite").parquet(target_path)
         return
 
-    if _delta_available(spark) and os.path.exists(os.path.join(target_path, "_delta_log")):
+    if _delta_available(spark) and fsutil.exists(
+        spark, f"{target_path.rstrip('/')}/_delta_log"
+    ):
         from delta.tables import DeltaTable  # type: ignore
 
         tgt = DeltaTable.forPath(spark, target_path)
@@ -138,18 +145,20 @@ def merge_upsert(
         cond = eq if cond is None else (cond & eq)
     kept = target.join(upd_keys, cond, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
-    tmp = tempfile.mkdtemp(prefix="merge_", dir=os.path.dirname(target_path) or ".")
+    # Temp dir is a SIBLING of the target (same filesystem — rename must
+    # not cross schemes), uniquified so concurrent merges to different
+    # targets never collide.
+    tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     # Swap with a recovery copy at every step: old target is renamed aside
     # (atomic), the new data moved into place (atomic), and only then is the
     # backup removed — a crash at any point leaves either the old or the new
     # fact intact on disk (as <target>.old if the final rename didn't run).
     backup = target_path + ".old"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.replace(target_path, backup)
-    os.replace(tmp, target_path)
-    shutil.rmtree(backup)
+    fsutil.delete(spark, backup)
+    fsutil.rename(spark, target_path, backup)
+    fsutil.rename(spark, tmp, target_path)
+    fsutil.delete(spark, backup)
 
 
 def write_fact(

@@ -43,10 +43,32 @@ class WatermarkStore:
         # filesystem: os.path.exists is always False for hdfs://, s3a://,
         # abfss:// paths, which would make every nightly read EPOCH and
         # silently degrade the incremental protocol to full re-extracts.
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.path)
-        except Exception as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        except AnalysisException as exc:
+            # Missing-path is distinguished by the structured ERROR CLASS,
+            # not message text (which varies across Spark versions,
+            # connectors, and locales). getCondition() is the 4.x name,
+            # getErrorClass() the 3.x one; the message substring is only a
+            # last-resort fallback for builds that expose neither.
+            cond = None
+            for probe in ("getCondition", "getErrorClass"):
+                fn = getattr(exc, probe, None)
+                if fn is not None:
+                    try:
+                        cond = fn()
+                    except Exception:
+                        cond = None
+                    if cond:
+                        break
+            missing = (
+                cond == "PATH_NOT_FOUND"
+                if cond
+                else ("Path does not exist" in str(exc) or "PATH_NOT_FOUND" in str(exc))
+            )
+            if missing:
                 return self.spark.createDataFrame([], LOG_SCHEMA)
             raise
 

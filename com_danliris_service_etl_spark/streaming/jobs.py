@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from com_danliris_service_etl_spark.sources import fsutil
+
 def events_schema(sf_dir: str) -> T.StructType:
     """Explicit readStream schema for the events fixture, with the `ts`
     field type resolved from the parquet FOOTER (sources/events_meta.py) —
@@ -46,12 +48,18 @@ def _stream_table(
     must be a directory) and as a single file (streamed via the parent
     dir + a pathGlobFilter, which matches leaf FILE names; using the
     filter against the directory form would silently stream zero rows,
-    and streaming a file path directly fails the basePath check)."""
-    import os
+    and streaming a file path directly fails the basePath check).
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
+    The directory probe goes through the Hadoop FileSystem resolved from
+    the path's own scheme (`sources/fsutil.py`) — a driver-local
+    `os.path.isdir` is always False for hdfs://s3a://abfss:// fixtures,
+    which would misroute the directory form to the glob-filter fallback
+    and silently stream zero rows."""
+    from com_danliris_service_etl_spark.sources import fsutil
+
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
+    if fsutil.is_dir(spark, path):
         return reader.parquet(path)
     return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
 
@@ -246,19 +254,10 @@ def run_incremental_merge(
     q.awaitTermination()
 
 
-def _has_committed_parquet(path: str) -> bool:
-    """True iff ``path`` contains at least one COMMITTED parquet file
-    (ignoring in-flight ``_temporary`` output) — the existence test every
-    crash-retried reader of a self-managed parquet store needs, since a
-    bare directory appears as soon as a write STARTS."""
-    import os
-
-    for root, _dirs, files in os.walk(path):
-        if "_temporary" in root:
-            continue
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+# Committed-parquet existence probe — Hadoop-FS-routed (sources/fsutil.py)
+# so the folds work against hdfs://s3a://abfss:// stores, not only the
+# driver's local disk. Signature: _has_committed_parquet(spark, path).
+_has_committed_parquet = fsutil.has_committed_parquet
 
 
 def fold_incremental_lsh(
@@ -287,24 +286,22 @@ def fold_incremental_lsh(
     signatures are written LAST, so that marker proves the pairs landed
     too) is skipped outright. ``batch_id=None`` keeps the plain append
     contract for non-streaming callers that manage delivery themselves."""
-    import os
-
     from com_danliris_service_etl_spark.operators.dedup import (
         incremental_minhash_lsh_pairs,
         minhash_lsh_pairs,
         minhash_signatures,
     )
 
+    sess = batch_df.sparkSession
     sig_dst, pairs_dst, mode = sig_store_path, pairs_out_path, "append"
     if batch_id is not None:
-        sig_dst = os.path.join(sig_store_path, f"batch_id={batch_id}")
-        pairs_dst = os.path.join(pairs_out_path, f"batch_id={batch_id}")
+        sig_dst = f"{sig_store_path.rstrip('/')}/batch_id={batch_id}"
+        pairs_dst = f"{pairs_out_path.rstrip('/')}/batch_id={batch_id}"
         mode = "overwrite"
-        if os.path.exists(os.path.join(sig_dst, "_SUCCESS")):
+        if fsutil.exists(sess, f"{sig_dst}/_SUCCESS"):
             return  # batch already fully folded — redelivery is a no-op
 
-    sess = batch_df.sparkSession
-    if _has_committed_parquet(sig_store_path):
+    if _has_committed_parquet(sess, sig_store_path):
         store = sess.read.parquet(sig_store_path)
         pairs = incremental_minhash_lsh_pairs(store, batch_df)
     else:
@@ -370,29 +367,33 @@ def fold_rollup(
     whose marker is already live is a no-op. An interrupted swap (state
     missing, ``.old`` backup present) is restored before anything else
     runs, and first-batch detection looks for COMMITTED parquet, not the
-    bare directory."""
-    import os
-    import shutil
+    bare directory.
 
+    Every probe and the swap itself route through the Hadoop FileSystem
+    of the state path's scheme (`sources/fsutil.py`): the protocol's
+    crash-atomicity rests on atomic directory rename, which local, HDFS
+    and ABFS provide. On a rename-by-copy object store (S3A) the swap is
+    not atomic — deploy the rollup state on a transactional table format
+    there instead (fsutil module docstring)."""
     from com_danliris_service_etl_spark.operators.rollup import (
         bucket_aggregate,
         merge_rollup,
     )
 
+    sess = batch_df.sparkSession
     backup = state_path + ".old"
-    # crash recovery: a kill between the two os.replace calls of a prior
-    # fold leaves the state missing and the backup holding the only copy
+    # crash recovery: a kill between the two renames of a prior fold
+    # leaves the state missing and the backup holding the only copy
     # — restore it or the "first batch" branch below would silently
     # rebuild the rollup from one batch's delta.
-    if not os.path.exists(state_path) and os.path.exists(backup):
-        os.replace(backup, state_path)
-    if batch_id is not None and os.path.exists(
-        os.path.join(state_path, f"_applied_{batch_id}")
+    if not fsutil.exists(sess, state_path) and fsutil.exists(sess, backup):
+        fsutil.rename(sess, backup, state_path)
+    if batch_id is not None and fsutil.exists(
+        sess, f"{state_path.rstrip('/')}/_applied_{batch_id}"
     ):
         return  # redelivered batch already folded into the live state
-    sess = batch_df.sparkSession
     delta = bucket_aggregate(batch_df, "ts_us", bucket_us, ["event_type"], "value")
-    if _has_committed_parquet(state_path):
+    if _has_committed_parquet(sess, state_path):
         state = sess.read.parquet(state_path)
         merged = merge_rollup(state, delta, ["bucket_us", "event_type"])
     else:
@@ -405,19 +406,16 @@ def fold_rollup(
     # markers: carry every previously applied batch id forward, add this
     # one — underscore-prefixed files are invisible to parquet readers
     # and a few bytes per batch.
-    if os.path.exists(state_path):
-        for f in os.listdir(state_path):
-            if f.startswith("_applied_"):
-                open(os.path.join(tmp, f), "w").close()
+    for f in fsutil.child_names(sess, state_path):
+        if f.startswith("_applied_"):
+            fsutil.touch(sess, f"{tmp}/{f}")
     if batch_id is not None:
-        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    if os.path.exists(state_path):
-        os.replace(state_path, backup)
-    os.replace(tmp, state_path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+        fsutil.touch(sess, f"{tmp}/_applied_{batch_id}")
+    fsutil.delete(sess, backup)
+    if fsutil.exists(sess, state_path):
+        fsutil.rename(sess, state_path, backup)
+    fsutil.rename(sess, tmp, state_path)
+    fsutil.delete(sess, backup)
 
 
 def run_streaming_rollup(
@@ -530,6 +528,22 @@ def run_streaming_interval_join(
     grows forever). Batch twin:
     `plans/queries_round4.py::st6_interval_join`; tests pin stream ≡
     batch over the fixture."""
+    joined = _interval_join_frame(spark, sf_dir)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def _interval_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join plan shared by the
+    memory-sink driver (stream≡batch tests) and the MERGE sink
+    (production shape)."""
     v = (
         streaming_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -552,7 +566,7 @@ def run_streaming_interval_join(
             F.col("ts_us").alias("p_ts_us"),
         )
     )
-    joined = v.join(
+    return v.join(
         p,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") > F.col("v_ts"))
@@ -563,12 +577,35 @@ def run_streaming_interval_join(
         "user_id",
         (F.col("p_ts_us") - F.col("v_ts_us")).cast("long").alias("lag_us"),
     )
+
+
+def run_streaming_interval_join_merge(
+    spark: SparkSession, sf_dir: str, target_path: str, checkpoint_dir: str
+) -> None:
+    """The interval join's PRODUCTION sink: `foreachBatch(merge_upsert)`
+    keyed on the join identity (view_id, purchase_id). foreachBatch is
+    at-least-once, so a crash-replayed micro-batch re-delivers rows the
+    sink already holds — the key MERGE makes redelivery a no-op
+    (upsert-to-same-key), giving end-to-end effectively-once: the same
+    S6 story the batch jobs rely on, now at the stream boundary.
+    Idempotence under full replay is pinned by
+    `test_interval_join_merge_sink_replay_idempotent`."""
+    from com_danliris_service_etl_spark.sources.sinks import merge_upsert
+
+    joined = _interval_join_frame(spark, sf_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys=["view_id", "purchase_id"],
+        )
+
     q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
+        joined.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)

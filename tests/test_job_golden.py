@@ -292,8 +292,19 @@ def test_golden_kanban(spark, golden):
 
 
 def test_golden_total_hutang(spark, golden):
+    """Pins dense 1..N row_id against the oracle row_number AND that the
+    A4 counter runs through the DISTRIBUTED surrogate-key form — the plan
+    must not funnel the fact through an Exchange SinglePartition (the
+    global-window serialization VERDICT r4 flagged)."""
+    import contextlib
+    import io
+
     cat, con = golden
     df = ALL_SPECS["Fact Total Hutang from MongoDB to Azure DWH"].build(spark, cat, WM)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
     sql = f"""
     WITH items AS (
       SELECT urni.urnid, urni.pricePerDealUnit, urni.receiptQuantity AS deliveredQuantity,

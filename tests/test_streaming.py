@@ -179,6 +179,38 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert stream == batch and len(batch) > 0
 
 
+def test_interval_join_merge_sink_replay_idempotent(spark, tmp_path):
+    """st6's exactly-once story at the sink: foreachBatch is
+    at-least-once, so the production interval-join sink is a key MERGE
+    on (view_id, purchase_id). A full crash-replay — the same stream
+    re-run against a FRESH checkpoint, re-delivering every micro-batch
+    into the existing target — must leave the fact unchanged, and equal
+    to the batch twin (the S6 idempotence contract, at the stream
+    boundary)."""
+    from com_danliris_service_etl_spark.plans.registry import load_all
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_interval_join_merge,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    target = str(tmp_path / "attrib_fact")
+    run_streaming_interval_join_merge(
+        spark, sf_dir, target, str(tmp_path / "ckpt1")
+    )
+    first = {tuple(r) for r in spark.read.parquet(target).collect()}
+    # crash-replay: fresh checkpoint == every batch re-delivered
+    run_streaming_interval_join_merge(
+        spark, sf_dir, target, str(tmp_path / "ckpt2")
+    )
+    replayed = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert replayed == first
+    batch = {
+        tuple(r)
+        for r in load_all()["st6_interval_join"][0](spark, sf_dir).collect()
+    }
+    assert first == batch and len(batch) > 0
+
+
 def test_rollup_fold_redelivery_and_crash_recovery(spark, tmp_path):
     """fold_rollup survives the two failure modes foreachBatch exposes:
     a redelivered batch must not double-count (marker idempotency), and
