@@ -632,10 +632,30 @@ def pq_encode(
     )
 
 
+def pq_codebook_collect(
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[tuple[tuple[float, ...], ...], int]:
+    """Collect the pre-transposed codebook to the driver as a hashable
+    ((slice, ...), K) tuple — the offline-artifact form `pq_topk` accepts
+    directly. PQ codebooks are trained offline and reused across query
+    batches by definition; callers that serve many batches collect ONCE
+    (and may lru_cache on their own key) instead of re-running the
+    collection job per batch."""
+    row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
+    return (
+        tuple(tuple(s) for s in row["__cbf"]),
+        int(row["__ncb"]),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
-    codebook: DataFrame,
+    codebook: DataFrame | tuple,
     k: int = 5,
     m: int = 8,
     dim: int = 64,
@@ -675,11 +695,17 @@ def pq_topk(
     literal column (zero extra jobs — no checkpoint, no broadcast
     exchange), large ones ship as a one-row broadcast join of the
     already-materialized row. Distances are identical doubles either way
-    (repr round-trips exactly)."""
+    (the literal's %.17e round-trips exactly). ``codebook`` may be the
+    source DataFrame (collected here, one job) or the precollected
+    ``pq_codebook_collect`` tuple — the offline-artifact form that
+    serves many query batches without re-collecting."""
     from pyspark.sql import Window
 
-    cb_row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
-    cbf_vals, n_cb = list(cb_row["__cbf"]), int(cb_row["__ncb"])
+    if isinstance(codebook, tuple):
+        cbf_vals, n_cb = list(codebook[0]), int(codebook[1])
+    else:
+        cb_row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
+        cbf_vals, n_cb = list(cb_row["__cbf"]), int(cb_row["__ncb"])
     sub = dim // m
     # code POSITIONS into the cid-sorted codebook: same argmin/tiebreak
     # as pq_encode (position order == cid order; identical sd rounding)
@@ -697,12 +723,17 @@ def pq_topk(
         f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')}))[0]))"
     )
     if n_cb * dim <= PQ_LITERAL_MAX_DOUBLES:
-        # repr() is the shortest exact round-trip for a double — the
-        # literal carries the SAME values the column-borne path would.
+        # Exponent notation: Spark SQL parses `7.5e-2` as a DOUBLE
+        # literal but `0.075` as a DECIMAL — a plain-decimal literal
+        # array would type as array<decimal(20,20)> and drag decimal
+        # casts through the hot projection. 17 significant digits is an
+        # exact double round-trip, so the literal carries the SAME
+        # values the column-borne path would.
         lit_sql = (
             "array("
             + ",".join(
-                "array(" + ",".join(map(repr, s)) + ")" for s in cbf_vals
+                "array(" + ",".join("%.17e" % x for x in s) + ")"
+                for s in cbf_vals
             )
             + ")"
         )
