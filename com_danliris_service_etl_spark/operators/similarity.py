@@ -706,6 +706,10 @@ def pq_topk(
     else:
         cb_row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
         cbf_vals, n_cb = list(cb_row["__cbf"]), int(cb_row["__ncb"])
+    if n_cb == 0:
+        # an empty codebook would render as an untyped `array()` literal
+        # and fail analysis obscurely — fail loud at the API boundary.
+        raise ValueError("pq_topk: codebook is empty (no vectors to train on)")
     sub = dim // m
     # code POSITIONS into the cid-sorted codebook: same argmin/tiebreak
     # as pq_encode (position order == cid order; identical sd rounding)

@@ -102,6 +102,11 @@ def surrogate_key_distributed(
         r["__pid"]: r["cnt"]
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    if not counts:
+        # empty input (a nightly increment with no new rows): zero-entry
+        # create_map() is untyped and fails analysis — emit the schema
+        # with no rows instead of crashing the job.
+        return ranged.drop("__pid").withColumn(out_col, F.lit(None).cast("int"))
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):

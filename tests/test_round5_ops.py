@@ -146,3 +146,71 @@ def test_fuzzy_blocked_join_threshold_contract(spark):
     # abcdef↔abcdxf = 1 edit (kept); abcdef↔abQQQf = 3 edits (dropped:
     # threshold form yields -1, filtered); zzzzzz blocks apart entirely
     assert got == {(1, 10): 1}
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs for the round-5 surfaces
+# ---------------------------------------------------------------------------
+
+
+def test_surrogate_key_distributed_empty_and_duplicates(spark):
+    from com_danliris_service_etl_spark.operators.windows import (
+        surrogate_key_distributed,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    assert surrogate_key_distributed(empty, F.col("v")).count() == 0
+    # heavy duplication: the order is made total by the caller's contract,
+    # but even a NON-total order must still emit dense unique 1..N
+    dup = spark.createDataFrame([(7,)] * 50 + [(3,)] * 50, "v long")
+    got = surrogate_key_distributed(dup, F.col("v"), out_col="sk").collect()
+    sks = sorted(r.sk for r in got)
+    assert sks == list(range(1, 101))
+    assert all(r.sk <= 50 for r in got if r.v == 3)  # range order respected
+
+
+def test_pq_topk_empty_queries_and_corpus(spark):
+    from com_danliris_service_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = emb.filter(F.col("vec_id") < 16)
+    none = emb.filter(F.col("vec_id") < 0)
+    assert sim.pq_topk(emb, none, cb, k=3).count() == 0
+    assert sim.pq_topk(none, emb.limit(3), cb, k=3).count() == 0
+
+
+def test_fuzzy_blocked_join_null_text_no_match_no_crash(spark):
+    from com_danliris_service_etl_spark.operators.joins import fuzzy_blocked_join
+
+    l = spark.createDataFrame([(1, None), (2, "abcd")], "lk long, nm string")
+    r = spark.createDataFrame([(9, "abce"), (8, None)], "rk long, nm string")
+    got = fuzzy_blocked_join(l, r, "nm", max_dist=2, block_chars=2).collect()
+    # NULL names produce NULL blocks — equi-join drops them; only the
+    # real pair survives
+    assert [(row.lk, row.rk) for row in got] == [(2, 9)]
+
+
+def test_contamination_passages_null_and_empty_text(spark):
+    from com_danliris_service_etl_spark.operators.dedup import (
+        contamination_passages,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination_passages(docs, bench, k_pass=3).collect()}
+    assert 2 not in got  # NULL text filtered, not a nonsense 2-passage row
+    assert got[1].n_passages == 2 and got[1].n_contaminated == 1
+    assert got[1].first_hit_pos == 0
+    # empty string -> one 1-token passage, shorter than the shingle: clean
+    assert got[3].n_passages == 1 and got[3].n_contaminated == 0
+
+
+def test_pq_topk_empty_codebook_raises_clearly(spark):
+    from com_danliris_service_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="codebook is empty"):
+        sim.pq_topk(emb, emb.limit(2), emb.filter(F.col("vec_id") < 0), k=3)
