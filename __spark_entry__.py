@@ -39,9 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      NEW (j11b) or with CHANGED implementation/oracle this round
 #      (s6: merge_upsert swap/probe path rewritten onto the Hadoop
 #      FileSystem API; j6: first_match_join's sort-order detection is
-#      now positive node-type introspection; j11/sim8/llm11 changed too
-#      but are already in (a)), (c) the 25 alphabetically-first of the
-#      remaining r03-green entries (stalest evidence).
+#      now positive node-type introspection; txt5: tf fork checkpointed;
+#      j11/sim8/llm11 changed too but are already in (a)), (c) the 24
+#      alphabetically-first of the remaining r03-green entries (stalest
+#      evidence).
 #   2. _RECORD_LAST — first the 19 r03-green entries deferred to round
 #      6, then the 49 entries whose latest green row is r4 (freshest
 #      evidence, sacrificed to the cap this round by design).
@@ -73,6 +74,7 @@ _PRIORITY = [
     "j11b_fuzzy_join_sparse",   # NEW: sparse-regime fuzzy join (<0.1% hits)
     "s6_merge_idempotent",      # merge_upsert now swaps via Hadoop FS API
     "j6_first_match_join",      # positive SortOrder introspection fast-path
+    "txt5_tfidf_top_terms",     # tf fork now checkpointed (was r3-deferred)
     # (c) latest green row is round 3 — stalest evidence, rotate in
     "a0_pricing_summary",
     "a3_weighted_score",
@@ -98,11 +100,11 @@ _PRIORITY = [
     "llm8_mixture_sample",
     "mm1_binary_metadata",
     "mm4_resize_payloads",
-    "o3_top_n",
 ]
 
 _RECORD_LAST = [
     # r03-green, deferred to the HEAD of round 6's _PRIORITY
+    "o3_top_n",
     "o4_offset_fetch",
     "p1_projection_alias",
     "p3_soft_delete",
@@ -118,7 +120,6 @@ _RECORD_LAST = [
     "sim5_int8_topk",
     "txt2_quality_score",
     "txt3_langid",
-    "txt5_tfidf_top_terms",
     "u2_union_discriminator",
     "w1_ordinal_index",
     "w2_last_in_group",
