@@ -71,3 +71,43 @@ def test_plan_shape_not_regressed(spark, name):
             f"{name}: {metric} regressed {base[metric]} -> {cur[metric]} — "
             "review the plan; if intentional, regenerate PLAN_AUDIT.json"
         )
+
+
+# Queries ALLOWED to carry an Exchange SinglePartition, with the reason
+# each is scale-safe: in every case map-side partial aggregation reduces
+# the stream to a scalar row (global count/min/max) or a bounded
+# broadcast artifact (the MB-scale benchmark shingle array, per-dim
+# layout stats) BEFORE the single-partition exchange — one task receives
+# a handful of partial states, never the relation. Anything else funnels
+# real data through one task at 100 TB and must fail here.
+_SINGLE_PARTITION_ALLOWED = {
+    "a4_surrogate_key": "global window on a DIMENSION-sized table by design; fact-scale keys use surrogate_key_distributed (plan-asserted in the TotalHutang golden)",
+    "a5_row_count": "global count() — one partial state per partition",
+    "g5_funnel_conversion": "final scalar conversion row",
+    "llm5_decontamination": "benchmark shingles collapse to ONE broadcast array (eval sets are MB-scale)",
+    "llm11_contamination_spans": "same broadcast benchmark-shingle array",
+    "o5_zorder_key": "per-dim min/max stat row broadcast to the scan",
+    "q1_data_quality": "four scalar metric aggregates unioned",
+    "st7_gap_fill": "grid bounds (min/max bucket) scalar",
+    "txt5_tfidf_top_terms": "corpus-N scalar for the idf term",
+    "txt8_bm25_topk": "corpus-N/avgdl scalar",
+    "txt9_unigram_logprob": "vocabulary-total scalar",
+}
+
+
+def test_single_partition_exchanges_only_in_allowlist():
+    """The committed audit must show SinglePartition exchanges ONLY in
+    the documented scalar/bounded-aggregate queries — a new occurrence
+    anywhere else is a fact-scale serialization bug (the class the r4
+    verdict flagged on the global surrogate_key window)."""
+    offenders = {
+        name
+        for name, counts in BASELINE.items()
+        if counts.get("single_partition_exchanges", 0) > 0
+    }
+    unexpected = offenders - set(_SINGLE_PARTITION_ALLOWED)
+    assert not unexpected, (
+        f"new Exchange SinglePartition in {sorted(unexpected)} — a single "
+        "task would receive the relation at scale; restructure (distributed "
+        "two-pass, broadcast stat row) or justify in the allowlist"
+    )

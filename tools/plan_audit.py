@@ -38,6 +38,12 @@ def plan_counts(df) -> dict[str, int]:
         "broadcast_exchanges": broadcast_ex,
         "sort_merge_joins": plan.count("SortMergeJoin ("),
         "cartesian_products": plan.count("CartesianProduct ("),
+        # Exchange SinglePartition funnels its input relation through
+        # ONE task — fine only when map-side partial aggregation has
+        # already reduced the stream to a scalar/bounded row set (global
+        # count, broadcast stat row). tests/test_plan_audit.py pins the
+        # exact allowlist; any new occurrence fails CI.
+        "single_partition_exchanges": plan.count("SinglePartition"),
     }
 
 
