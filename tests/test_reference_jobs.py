@@ -725,3 +725,24 @@ def test_reference_bug_divergences(spark, catalog):
     # GarmentTotalHutang/run.js:134 reads data.roNo (Promise.all array) so
     # PR enrichment never matches; intent (`item.roNo`) is pinned by
     # test_garment_total_hutang_asof's category_type assertion.
+
+
+@pytest.mark.parametrize("name", sorted(ALL_SPECS))
+def test_job_builds_survive_empty_increment(spark, catalog, name):
+    """A nightly run where NOTHING changed (watermark in the far future,
+    so every incremental filter yields zero rows) must build an empty
+    increment without crashing — the empty-input failure class the
+    distributed surrogate key had (zero-entry create_map fails analysis).
+    Extra targets (S9 dual loads) ride the same contract."""
+    future = dt.datetime(2100, 1, 1)
+    spec = ALL_SPECS[name]
+    df = spec.build(spark, catalog, future)
+    if name == "Migration Log from MongoDB to Azure DWH":
+        # MigrationLogFunc is a FULL sync by design (latest log row per
+        # description, `MigrationLogFunc/index.js:14-45` has no watermark)
+        # — it must still build, but emptiness is not its contract.
+        assert df.count() >= 0
+    else:
+        assert df.count() == 0, name
+    for target, (build_fn, _keys) in spec.extra_targets.items():
+        assert build_fn(spark, catalog, future).count() == 0, (name, target)
