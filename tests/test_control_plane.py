@@ -234,3 +234,18 @@ def test_jdbc_source_contract(spark):
         part.filter(part.ID < 10)._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "LessThan(ID,10)" in plan
+
+
+def test_merge_upsert_empty_increments(spark, tmp_path):
+    """Empty nightly increments flow through the MERGE unharmed: an
+    empty batch may CREATE the fact (schema-only parquet, readable), a
+    later real batch merges into it, and an empty batch onto live data
+    is a no-op."""
+    target = str(tmp_path / "fact_empty")
+    empty = spark.createDataFrame([], "id long, v string")
+    merge_upsert(spark, target, empty, keys=["id"])
+    assert spark.read.parquet(target).count() == 0
+    data = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(spark, target, data, keys=["id"])
+    merge_upsert(spark, target, empty, keys=["id"])
+    assert [(r.id, r.v) for r in spark.read.parquet(target).collect()] == [(1, "a")]

@@ -333,3 +333,65 @@ def test_sessionize_fn_orders_across_chunks():
         zip(out["session_start_us"], out["session_end_us"], out["n_events"])
     )
     assert sessions == [(0, 1000, 2), (2 * gap, 2 * gap + 1000, 2)]
+
+
+def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
+    """Production append-mode semantics: once the watermark passes a
+    window's end the window is EMITTED and its state EVICTED — a later
+    row falling inside it is dropped, not re-aggregated. This is the
+    contract that bounds state on an unbounded stream (the complete-mode
+    fixture drains elsewhere never evict). Driven as two real
+    micro-batches: batch 2 carries a row 75 minutes older than the
+    watermark reached in batch 1."""
+    import datetime as dt
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, src / name)
+
+    d = dt.datetime
+    write_file("f1.parquet", [
+        (d(2024, 1, 1, 10, 0), 1.0),
+        (d(2024, 1, 1, 10, 30), 1.0),
+        (d(2024, 1, 1, 12, 0), 1.0),  # advances watermark to 11:30
+    ])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double").parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE row into the already-finalized 10:00 window,
+        # plus a fresh row that pushes the watermark past 12:00's window
+        write_file("f2.parquet", [
+            (d(2024, 1, 1, 10, 15), 1.0),   # late: watermark is 11:30
+            (d(2024, 1, 1, 14, 0), 1.0),
+        ])
+        q.processAllAvailable()
+        got = {
+            r.ws: r.n for r in spark.table("t_late_drop").collect()
+        }
+    finally:
+        q.stop()
+    # the 10:00 window was emitted ONCE with the two on-time rows; the
+    # late 10:15 row was dropped, never re-emitted as n=3
+    assert got[d(2024, 1, 1, 10, 0)] == 2
+    assert list(got.values()).count(3) == 0
