@@ -339,3 +339,88 @@ def test_contamination_passages_bounds_and_self_hit(spark, texts):
             if len(toks[p * 4 : p * 4 + 4]) >= 3
         )
         assert r.n_contaminated == eligible
+
+
+# ---------------------------------------------------------------------------
+# join determinism properties: as-of and first-match vs brute-force models
+# ---------------------------------------------------------------------------
+
+_t_small = st.integers(min_value=0, max_value=8)
+_key = st.integers(min_value=0, max_value=1)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.tuples(_key, _t_small), min_size=1, max_size=6),
+    right=st.lists(st.tuples(_key, _t_small, st.integers(0, 9)), min_size=0, max_size=8),
+    direction=st.sampled_from(["backward", "forward"]),
+    exact=st.booleans(),
+)
+def test_asof_join_matches_bruteforce_model(spark, left, right, direction, exact):
+    """J7 determinism over arbitrary inputs: for every left row the as-of
+    pick must equal the brute-force model — nearest right_on in the
+    direction (boundary included iff allow_exact_match), ties on equal
+    right_on resolved to the HIGHEST tiebreak value (SURVEY §7.4). Runs
+    both physical strategies through the same oracle."""
+    from com_danliris_service_etl_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "id long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(right, "k long, rt long, val long") if right else (
+        spark.createDataFrame([], "k long, rt long, val long")
+    )
+
+    def model(k, lt):
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in right if rk == k and (rt <= lt if exact else rt < lt)]
+            if not cands:
+                return None
+            best_rt = max(rt for rt, _ in cands)
+        else:
+            cands = [(rt, v) for rk, rt, v in right if rk == k and (rt >= lt if exact else rt > lt)]
+            if not cands:
+                return None
+            best_rt = min(rt for rt, _ in cands)
+        return max(v for rt, v in cands if rt == best_rt)
+
+    want = {i: model(k, t) for i, (k, t) in enumerate(left)}
+    for strategy in ("sort", "broadcast"):
+        out = asof_join(
+            ldf, rdf, "lt", "rt", by=[("k", "k")],
+            direction=direction, tiebreak="val",
+            allow_exact_match=exact, strategy=strategy,
+        )
+        got = {r["id"]: r["val"] for r in out.collect()}
+        assert got == want, (strategy, direction, exact)
+
+
+@SETTINGS
+@given(
+    right=st.lists(
+        st.tuples(_key, st.integers(0, 5), st.integers(0, 9)),
+        min_size=1, max_size=8,
+    ),
+    descending=st.booleans(),
+)
+def test_first_match_join_matches_bruteforce_model(spark, right, descending):
+    """J6 determinism: under a TOTAL order (ord, v) the kept right row
+    must equal the brute-force min/max — on both physical paths (min_by
+    fast path for plain columns, window for explicit sort orders)."""
+    from com_danliris_service_etl_spark.operators.joins import first_match_join
+
+    keys = sorted({k for k, _, _ in right})
+    ldf = spark.createDataFrame([(k,) for k in keys], "k long")
+    rdf = spark.createDataFrame(right, "k long, ord long, v long")
+    order = (
+        [F.col("ord").desc(), F.col("v").desc()]
+        if descending
+        else [F.col("ord"), F.col("v")]
+    )
+    pick = max if descending else min
+    want = {k: pick((o, v) for rk, o, v in right if rk == k)[1] for k in keys}
+    got = {
+        r["k"]: r["v"]
+        for r in first_match_join(ldf, rdf, on="k", order_by=order).collect()
+    }
+    assert got == want, (descending,)
