@@ -96,7 +96,7 @@ _PRIORITY = [
     "j3_broadcast_dim_join",
     "j4_group_join",
     "j5_correlated_subquery",
-    "llm1_clean_corpus",
+    "llm1_clean_corpus",     # also changed: digest fused into single-pass base
     "llm8_mixture_sample",
     "mm1_binary_metadata",
     "mm4_resize_payloads",
