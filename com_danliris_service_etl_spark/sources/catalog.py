@@ -34,6 +34,29 @@ class JdbcSource:
 
 
 @dataclass
+class MongoSource:
+    """MongoDB source descriptor (S3 — the reference's MigrationLogFunc
+    reads Mongo directly with an aggregation pipeline,
+    `MigrationLogFunc/index.js:14-45`).
+
+    Reads through the official Spark connector
+    (`spark.read.format("mongodb")`), which must be on the classpath
+    (`org.mongodb.spark:mongo-spark-connector`); this image does not ship
+    it, so `Catalog.read` raises a clear error here and the semantics are
+    covered by the DataFrame twin (`jobs/control.py` models the log sync
+    as an argmax over the log table). ``pipeline`` pushes the reference's
+    aggregation (match/sort/group) INTO Mongo — the connector's
+    `aggregation.pipeline` option — so only the reduced result crosses
+    the wire, exactly like the reference's server-side aggregate."""
+
+    uri: str
+    database: str
+    collection: str
+    pipeline: str | None = None  # JSON aggregation pipeline, pushed down
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
 class Catalog:
     """name → parquet path (test/bench) or JdbcSource (production shape)."""
 
@@ -79,6 +102,25 @@ class Catalog:
             for k, v in src.options.items():
                 reader = reader.option(k, v)
             return reader.load()
+        if isinstance(src, MongoSource):
+            reader = (
+                self.spark.read.format("mongodb")
+                .option("connection.uri", src.uri)
+                .option("database", src.database)
+                .option("collection", src.collection)
+            )
+            if src.pipeline:
+                reader = reader.option("aggregation.pipeline", src.pipeline)
+            for k, v in src.options.items():
+                reader = reader.option(k, v)
+            try:
+                return reader.load()
+            except Exception as exc:
+                raise RuntimeError(
+                    f"MongoSource {name!r} needs the mongo-spark-connector "
+                    "on the classpath (org.mongodb.spark:mongo-spark-connector); "
+                    f"underlying error: {exc}"
+                ) from exc
         return self.spark.read.parquet(src)
 
     def register_views(self) -> None:

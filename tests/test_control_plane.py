@@ -249,3 +249,26 @@ def test_merge_upsert_empty_increments(spark, tmp_path):
     merge_upsert(spark, target, data, keys=["id"])
     merge_upsert(spark, target, empty, keys=["id"])
     assert [(r.id, r.v) for r in spark.read.parquet(target).collect()] == [(1, "a")]
+
+
+def test_mongo_source_contract(spark):
+    """S3 production path: the reference reads Mongo directly with an
+    aggregation pipeline (`MigrationLogFunc/index.js:14-45`). The catalog
+    descriptor carries uri/database/collection and pushes the pipeline
+    into the connector's aggregation option; this image has no
+    mongo-spark-connector jar, so the read must fail with a CLEAR
+    actionable error (never a silent wrong-format fallback). On a
+    connector-equipped cluster the same descriptor reads live; the
+    semantics are covered by the DataFrame twin in jobs/control.py."""
+    from com_danliris_service_etl_spark.sources.catalog import Catalog, MongoSource
+
+    cat = Catalog(spark=spark)
+    cat.tables["miglog"] = MongoSource(
+        uri="mongodb://localhost:27017",
+        database="dl",
+        collection="migration-log",
+        pipeline='[{"$match": {"status": "Successful"}},'
+        ' {"$sort": {"finish": -1}}, {"$limit": 1}]',
+    )
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        cat.read("miglog")
