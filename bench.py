@@ -106,13 +106,33 @@ def main() -> int:
         key="queries keys = unique leading code of registry query name",
         full="BENCH_FULL.json",
     )
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # headroom under the 2000-char capture window:
-        # degrade precision before dropping entries
-        out["queries"] = {c: round(s, 2) for c, s in coded.items()}
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(fit_capture_line(out))
     return 0
+
+
+def fit_capture_line(out: dict, limit: int = 1900) -> str:
+    """Render ``out`` as one JSON line that fits the driver's 2000-char
+    stdout capture window (with headroom). Degradation ladder, re-checked
+    at every rung (registry growth past ~150 queries defeated the old
+    single-shot rounding): (1) full 3-dp precision, (2) 2-dp precision,
+    (3) drop the CHEAPEST per-query entries one at a time — the expensive
+    tail is the signal; the drop is announced in the line itself
+    (``dropped_cheapest``) so truncation is loud, never silent, and the
+    complete record stays in BENCH_FULL.json."""
+    out = dict(out)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= limit:
+        return line
+    coded = out["queries"]
+    out["queries"] = {c: round(s, 2) for c, s in coded.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    kept = sorted(out["queries"].items(), key=lambda kv: (kv[1], kv[0]))
+    while len(line) > limit and kept:
+        kept.pop(0)  # cheapest first
+        out["queries"] = dict(sorted(kept))
+        out["dropped_cheapest"] = len(coded) - len(kept)
+        line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -42,16 +42,55 @@ def _spread(df: DataFrame) -> DataFrame:
     DOWN-partition a 100 TB input into a handful of giant partitions, the
     opposite of its purpose.
 
-    PRECONDITION: pass only narrow scan-rooted frames (scan/filter/project
-    — every in-repo call site). The probe is `df.rdd.getNumPartitions()`,
-    which is pure plan metadata for a narrow frame, but under AQE touching
-    `.rdd` on a plan that CONTAINS EXCHANGES materializes the upstream
-    query stages (runs real jobs). Composed inputs should be repartitioned
-    explicitly by the caller instead."""
+    The probe is `df.rdd.getNumPartitions()`, which is pure plan metadata
+    for a narrow scan-rooted frame (scan/filter/project/explode — every
+    in-repo call site), but under AQE touching `.rdd` on a plan that
+    CONTAINS EXCHANGES materializes the upstream query stages (runs real
+    jobs). Public operators (`fuzzy_blocked_join`, `pq_topk`) accept
+    caller-supplied frames, so the probe is GUARDED: a composed plan
+    (join/aggregate/window/sort upstream) is passed through untouched —
+    its exchange already partitioned it to `spark.sql.shuffle.partitions`,
+    and a caller wanting different layout repartitions explicitly."""
     sc = df.sparkSession.sparkContext
+    if not _is_scan_rooted(df):
+        return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)
+
+
+# Analyzed-plan node names that cannot introduce an exchange: for these the
+# `.rdd` partition probe is pure metadata even under AQE.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRDD",
+        "LocalRelation",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "Generate",
+        "GlobalLimit",
+        "LocalLimit",
+        "View",
+    }
+)
+
+
+def _is_scan_rooted(df: DataFrame) -> bool:
+    """True iff every node of the analyzed logical plan is narrow (no
+    join/aggregate/window/sort/repartition anywhere) — the condition under
+    which `.rdd.getNumPartitions()` runs no jobs. Unknown nodes and probe
+    failures default to False (treat as composed: skip the probe)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +:-").split(" ", 1)[0].split("(", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True
 
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:

@@ -18,6 +18,16 @@ with the error text on failure (the reference logs the error into the
 migration log and rethrows — `run.js`'s catch does the log-append; ours
 does too, inside `run_job`), 404 for an unknown job name.
 
+Auth: the reference's function host gated invocation behind function
+keys (`function.json` authLevel); the twin's equivalent is a shared
+secret — pass ``token=...`` and every ``/run/<job>`` request must carry
+it in an ``X-Job-Key`` header (401 otherwise). ``/run`` also only
+accepts POST by default (GET mutates state — it runs jobs and advances
+watermarks; 405 with an Allow header otherwise); the reference bound
+GET too, so ``allow_get_run=True`` restores that for parity setups.
+``serve()`` binds loopback by default and refuses a non-loopback bind
+without a token.
+
 Jobs are serialized behind one lock: the reference ran one Node process
 per function invocation against a DB that serialized writers; here a
 single Spark driver is the writer, and two concurrent MERGEs into one
@@ -46,9 +56,15 @@ def make_server(
     store: WatermarkStore,
     host: str = "127.0.0.1",
     port: int = 0,
+    token: str | None = None,
+    allow_get_run: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the trigger server; ``port=0`` binds an ephemeral
-    port (tests). Call ``serve_forever()`` / ``shutdown()`` to run/stop."""
+    port (tests). Call ``serve_forever()`` / ``shutdown()`` to run/stop.
+
+    ``token`` gates ``/run/<job>`` behind an ``X-Job-Key`` header;
+    ``allow_get_run`` re-enables GET on the mutating route (reference
+    parity — `Pembelian/function.json` bound GET and POST)."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -67,6 +83,14 @@ def make_server(
                 return
             if not path.startswith("/run/"):
                 self._respond(404, {"error": f"no route {path}"})
+                return
+            if self.command == "GET" and not allow_get_run:
+                self.send_response(405)
+                self.send_header("Allow", "POST")
+                self.end_headers()
+                return
+            if token is not None and self.headers.get("X-Job-Key") != token:
+                self._respond(401, {"error": "missing or bad X-Job-Key"})
                 return
             name = path[len("/run/") :]
             spec = specs.get(name)
@@ -105,12 +129,24 @@ def serve(
     specs: dict[str, JobSpec],
     catalog: Catalog,
     store: WatermarkStore,
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 7071,
+    token: str | None = None,
+    allow_get_run: bool = False,
 ) -> None:
     """Blocking entry point (the Azure Functions host's default port was
-    7071 locally). Ctrl-C stops cleanly."""
-    srv = make_server(spark, specs, catalog, store, host, port)
+    7071 locally). Ctrl-C stops cleanly. Binds loopback by default; a
+    non-loopback bind without a shared-secret ``token`` is refused —
+    /run mutates state (runs jobs, advances watermarks) and must not be
+    open to arbitrary network peers."""
+    if host not in ("127.0.0.1", "localhost", "::1") and token is None:
+        raise ValueError(
+            f"refusing to bind {host!r} without token=...; /run mutates state"
+        )
+    srv = make_server(
+        spark, specs, catalog, store, host, port,
+        token=token, allow_get_run=allow_get_run,
+    )
     try:
         srv.serve_forever()
     finally:

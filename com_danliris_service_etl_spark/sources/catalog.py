@@ -116,11 +116,22 @@ class Catalog:
             try:
                 return reader.load()
             except Exception as exc:
-                raise RuntimeError(
-                    f"MongoSource {name!r} needs the mongo-spark-connector "
-                    "on the classpath (org.mongodb.spark:mongo-spark-connector); "
-                    f"underlying error: {exc}"
-                ) from exc
+                # Only translate the MISSING-CONNECTOR class of error; an
+                # auth/URI/network failure on a connector-equipped cluster
+                # must surface unchanged, not masquerade as a classpath
+                # problem.
+                msg = str(exc)
+                if (
+                    "Failed to find data source: mongodb" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFoundException" in msg
+                ):
+                    raise RuntimeError(
+                        f"MongoSource {name!r} needs the mongo-spark-connector "
+                        "on the classpath (org.mongodb.spark:mongo-spark-connector); "
+                        f"underlying error: {exc}"
+                    ) from exc
+                raise
         return self.spark.read.parquet(src)
 
     def register_views(self) -> None:

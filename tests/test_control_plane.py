@@ -272,3 +272,32 @@ def test_mongo_source_contract(spark):
     )
     with pytest.raises(RuntimeError, match="mongo-spark-connector"):
         cat.read("miglog")
+
+
+def test_mongo_source_non_classpath_errors_pass_through(spark):
+    """Only the missing-connector class of error is translated; an auth /
+    URI / network failure on a connector-equipped cluster must surface
+    unchanged — not be misattributed to a missing jar."""
+    from com_danliris_service_etl_spark.sources.catalog import Catalog, MongoSource
+
+    cat = Catalog(spark=spark)
+    cat.tables["miglog"] = MongoSource(
+        uri="mongodb://localhost:27017", database="dl", collection="log"
+    )
+
+    class _Reader:
+        def format(self, *_):
+            return self
+
+        def option(self, *_):
+            return self
+
+        def load(self):
+            raise ValueError("MongoSecurityException: auth failed for user etl")
+
+    class _FakeSpark:
+        read = _Reader()
+
+    cat.spark = _FakeSpark()
+    with pytest.raises(ValueError, match="auth failed"):
+        cat.read("miglog")

@@ -54,13 +54,14 @@ def served(spark, tmp_path):
         srv.server_close()
 
 
-def _call(url, method="GET"):
-    req = urllib.request.Request(url, method=method)
+def _call(url, method="GET", headers=None):
+    req = urllib.request.Request(url, method=method, headers=headers or {})
     try:
         with urllib.request.urlopen(req) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
-        return e.code, json.loads(e.read())
+        raw = e.read()
+        return e.code, json.loads(raw) if raw else {}
 
 
 def test_http_trigger_runs_job_and_advances_watermark(served):
@@ -70,7 +71,7 @@ def test_http_trigger_runs_job_and_advances_watermark(served):
     fact = spark.read.parquet(specs["Fact Simple Test"].target)
     assert fact.count() == 2
     # second poke: watermark advanced → empty increment, fact unchanged
-    code, body = _call(f"{base}/run/Fact%20Simple%20Test")  # GET works too
+    code, body = _call(f"{base}/run/Fact%20Simple%20Test", method="POST")
     assert code == 200 and body["rows"] == 0
     assert spark.read.parquet(specs["Fact Simple Test"].target).count() == 2
 
@@ -79,10 +80,68 @@ def test_http_trigger_lists_jobs_and_404s(served):
     base, _, _, _ = served
     code, body = _call(f"{base}/jobs")
     assert code == 200 and body["jobs"] == ["Fact Boom", "Fact Simple Test"]
-    code, body = _call(f"{base}/run/Nope")
+    code, body = _call(f"{base}/run/Nope", method="POST")
     assert code == 404 and "unknown job" in body["error"]
     code, body = _call(f"{base}/nothing")
     assert code == 404
+
+
+def test_http_trigger_get_on_run_is_405_by_default(served):
+    base, spark, specs, _ = served
+    code, _ = _call(f"{base}/run/Fact%20Simple%20Test", method="GET")
+    assert code == 405
+    # and the job did NOT run — /run mutates state, GET must not
+    import os
+
+    assert not os.path.exists(specs["Fact Simple Test"].target)
+
+
+def test_http_trigger_token_gates_run_but_not_jobs(spark, tmp_path):
+    cat = Catalog(spark=spark)
+    ran = []
+
+    def build(sp, catalog, wm):
+        ran.append(1)
+        return sp.range(1).selectExpr(
+            "id", "timestamp'2024-01-02' as lastmodifiedutc"
+        )
+
+    specs = {"Fact T": JobSpec("Fact T", build, ["id"], str(tmp_path / "t"))}
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    srv = make_server(spark, specs, cat, store, token="s3cret")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # /jobs is read-only — open
+        code, body = _call(f"{base}/jobs")
+        assert code == 200 and body["jobs"] == ["Fact T"]
+        # /run without the key: 401, job untouched
+        code, body = _call(f"{base}/run/Fact%20T", method="POST")
+        assert code == 401 and not ran
+        code, body = _call(
+            f"{base}/run/Fact%20T", method="POST", headers={"X-Job-Key": "wrong"}
+        )
+        assert code == 401 and not ran
+        # with the key: runs
+        code, body = _call(
+            f"{base}/run/Fact%20T", method="POST", headers={"X-Job-Key": "s3cret"}
+        )
+        assert code == 200 and ran
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_refuses_non_loopback_bind_without_token(spark, tmp_path):
+    from com_danliris_service_etl_spark.plans.http_trigger import serve
+
+    with pytest.raises(ValueError, match="refusing to bind"):
+        serve(
+            spark, {}, Catalog(spark=spark),
+            WatermarkStore(spark, str(tmp_path / "log")),
+            host="0.0.0.0",
+        )
 
 
 def test_http_trigger_failure_is_500_and_logged(served):

@@ -939,3 +939,39 @@ def test_minute_diff_subsecond_exact(spark):
     # true delta 59.9 s → 0 whole minutes (per-operand second-flooring
     # used to report 1)
     assert df.collect()[0].m == 0
+
+
+def test_spread_skips_probe_on_composed_frames(spark):
+    """ADVICE r5: `_spread`'s `.rdd.getNumPartitions()` probe materializes
+    upstream AQE query stages when the plan contains exchanges. The guard
+    must pass composed frames (join/agg/window upstream) through untouched
+    — public operators (`fuzzy_blocked_join`, `pq_topk`) accept arbitrary
+    caller frames — while still spreading narrow scan-rooted inputs."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        _is_scan_rooted,
+        _spread,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # narrow shapes: scan, filter+project, explode, limit
+    assert _is_scan_rooted(docs)
+    assert _is_scan_rooted(docs.filter("n_chars > 10").select("doc_id"))
+    assert _is_scan_rooted(
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    )
+    # composed shapes: aggregate, join, window, repartition
+    agg = docs.groupBy("lang").count()
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert not _is_scan_rooted(agg)
+    assert not _is_scan_rooted(joined)
+    assert not _is_scan_rooted(docs.repartition(4))
+    # composed → identity (no probe, no repartition)
+    assert _spread(agg) is agg
+    assert _spread(joined) is joined
+    # scan-rooted single-file input → spread to full parallelism
+    out = _spread(docs)
+    assert out is not docs
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
