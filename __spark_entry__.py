@@ -31,8 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # consecutive rounds cannot cover the registry; the guarantee is a
 # 3-ROUND CYCLE — r4 recorded 50 (all green), r5 recorded 50 (all
 # green), round 6 below leads with the 19 queries whose latest green row
-# is still r3 plus anything NEW or CHANGED this round; the r4+r5+r6
-# union then covers every registered query.
+# is still r3 plus the 4 queries NEW this round (g8/sk3/w6/j12 — 122
+# registered total); the r4+r5+r6 union then covers every registered
+# query.
 #   1. _PRIORITY — exactly the 50-row budget: (a) the 19 r03-green
 #      entries deferred from round 5 (stalest evidence), (b) queries
 #      new or with changed implementation this round, (c) the stalest
@@ -61,7 +62,11 @@ _PRIORITY = [
     "u2_union_discriminator",
     "w1_ordinal_index",
     "w2_last_in_group",
-    # (b) new / changed in round 6 (kept in sync as the round proceeds)
+    # (b) new in round 6 — first driver evidence
+    "g8_pagerank",
+    "sk3_countmin_heavy_hitters",
+    "w6_decile_profile",
+    "j12_asof_nearest",
     # (c) stalest r04-green entries — refresh before they age out
     "sk2_salted_aggregate",
     "g5_funnel_conversion",
@@ -90,15 +95,15 @@ _PRIORITY = [
     "m6_m7_categories",
     "mm2_decode_features",
     "mm3_frame_sample",
-    "o1_o2_ordered_extract",
-    "p2_incremental_watermark",
-    "p5_not_null",
-    "p8_falsy_zero",
 ]
 
 _RECORD_LAST = [
     # r04-green, unchanged, next-stalest — first in line if the cap ever
     # rises above 50
+    "o1_o2_ordered_extract",
+    "p2_incremental_watermark",
+    "p5_not_null",
+    "p8_falsy_zero",
     "pk2_chunk_documents",
     "pv1_k_anonymity",
     "q1_data_quality",

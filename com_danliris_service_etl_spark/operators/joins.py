@@ -312,6 +312,126 @@ def _asof_broadcast(
     return out.select(*left.columns, F.col("__asof_m.*"))
 
 
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: Sequence[tuple[str, str]] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): for each left row, the right row with the smallest
+    absolute time distance; exact/backward wins a distance tie, and among
+    equal-time right rows the HIGHEST ``tiebreak`` wins (the same
+    determinism rule as `asof_join` — pass a tiebreak that makes
+    ``(time, tiebreak)`` unique per key or ties are partition-order
+    dependent). ``tiebreak`` must be numeric (it is negated for the
+    forward scan); ``left_on``/``right_on`` must support ``-`` with an
+    ordered result (numeric or timestamp).
+
+    Physical plan — the 100 TB shape: tag + union + ONE shuffle + ONE
+    sort; both candidate scans are window frames over the same ordering
+    (``max`` of a (ts, tb, payload) struct over the preceding frame =
+    backward candidate; ``min`` of (ts, -tb, payload) over the following
+    frame = forward candidate), so Spark plans a single WindowExec with
+    two frames — no second sort, no per-left-row candidate blowup on hot
+    keys. Struct-max/min (order-insensitive) rather than last()/first()
+    keeps full-duplicate rows deterministic."""
+    from pyspark.sql import types as T
+
+    pairs = list(by or [])
+    rename = {c: f"__r_{c}" for c in right.columns if c in left.columns}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    r_on = rename.get(right_on, right_on)
+    r_tb = rename.get(tiebreak, tiebreak) if tiebreak else None
+    r_keys = [rename.get(rk, rk) for _, rk in pairs]
+    l_keys = [lk for lk, _ in pairs]
+    r_vals = [c for c in r.columns if c not in r_keys]
+    r = r.filter(F.col(r_on).isNotNull())
+
+    l_struct_t = T.StructType([left.schema[c] for c in left.columns])
+    r_struct_t = T.StructType([r.schema[c] for c in r_vals])
+    tb_t = r.schema[r_tb].dataType if r_tb else T.IntegerType()
+
+    keys = [f"__nst_k{i}" for i in range(len(l_keys))]
+    lu = left.select(
+        *[F.col(lk).alias(k) for lk, k in zip(l_keys, keys)],
+        F.col(left_on).alias("__nst_ts"),
+        F.lit(1).alias("__nst_tag"),
+        F.lit(None).cast(tb_t).alias("__nst_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__nst_l"),
+        F.lit(None).cast(r_struct_t).alias("__nst_r"),
+    )
+    ru = r.select(
+        *[F.col(rk).alias(k) for rk, k in zip(r_keys, keys)],
+        F.col(r_on).alias("__nst_ts"),
+        F.lit(0).alias("__nst_tag"),
+        (F.col(r_tb) if r_tb else F.lit(0)).cast(tb_t).alias("__nst_tb"),
+        F.lit(None).cast(l_struct_t).alias("__nst_l"),
+        F.struct(*[F.col(c) for c in r_vals]).alias("__nst_r"),
+    )
+    u = lu.unionByName(ru)
+
+    # Right rows sort BEFORE left rows at equal time (tag 0 < 1), so the
+    # preceding frame sees exact matches and the following frame starts
+    # strictly after them.
+    order = [F.col("__nst_ts").asc(), F.col("__nst_tag").asc(), F.col("__nst_tb").asc()]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_r = F.col("__nst_tag") == 0
+    back = F.max(
+        F.when(
+            is_r,
+            F.struct(
+                F.col("__nst_ts").alias("ts"),
+                F.col("__nst_tb").alias("tb"),
+                F.col("__nst_r").alias("v"),
+            ),
+        )
+    ).over(wb)
+    fwd = F.min(
+        F.when(
+            is_r,
+            F.struct(
+                F.col("__nst_ts").alias("ts"),
+                (-F.col("__nst_tb")).alias("ntb"),
+                F.col("__nst_r").alias("v"),
+            ),
+        )
+    ).over(wf)
+
+    # NULL by-keys / NULL left time match nothing (equi-join semantics —
+    # same mask as _asof_union_sort).
+    valid = F.col("__nst_ts").isNotNull()
+    for k in keys:
+        valid = valid & F.col(k).isNotNull()
+
+    lts = F.col("__nst_ts")
+    b, f = F.col("__nst_b"), F.col("__nst_f")
+    choose_back = b.isNotNull() & (
+        f.isNull() | ((lts - b["ts"]) <= (f["ts"] - lts))
+    )
+    chosen = F.when(choose_back, b["v"]).otherwise(f["v"])
+    return (
+        u.withColumn("__nst_b", back)
+        .withColumn("__nst_f", fwd)
+        .withColumn("__nst_m", F.when(valid, chosen))
+        .filter(F.col("__nst_tag") == 1)
+        .select(F.col("__nst_l.*"), F.col("__nst_m.*"))
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     keys: str | Sequence[str],

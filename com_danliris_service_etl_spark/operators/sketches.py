@@ -1,0 +1,100 @@
+"""Count-min sketch over token streams — the mergeable heavy-hitter
+structure a 100 TB corpus profile uses where an exact per-token groupBy
+would shuffle the full vocabulary.
+
+Complements sk1 (HLL / t-digest accuracy contract, plans/queries_olap.py)
+with the frequency-sketch member of the family. The sketch is a
+``depth × width`` grid of counters; build = one map-side-combinable
+groupBy of ``(row, bucket)`` — depth·width rows total, independent of
+corpus size — and estimates are ``min`` over each token's depth cells.
+The one-sided error bound (estimate ≥ exact, ≤ exact + εN) is verified
+IN-QUERY the sk1 way: the query emits exact + estimate + the boolean
+invariant, and the oracle pins the boolean TRUE, giving a cross-engine
+checkable accuracy contract on integer counts (bit-exact everywhere).
+
+Hashing is the repo's shared cross-engine scheme (verify gotchas: md5 is
+the ONLY deterministic hash Spark and DuckDB agree on):
+``conv(substring(md5(row || ':' || token), 1, 8), 16, 10) % width``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(row: int, token_col: str, width: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(row)), F.lit(":"), F.col(token_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).alias(f"__b{row}")
+
+
+def tokens_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, empty tokens and NULL texts dropped — the same
+    contract the text-family operators use (ops/text.py)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def countmin_sketch(
+    tokens: DataFrame, token_col: str = "token", width: int = 256, depth: int = 2
+) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)`` — depth·width rows max.
+
+    One wide projection computes all depth buckets per token, then a
+    single explode + groupBy with map-side partial aggregation; the
+    shuffle carries at most depth·width distinct keys per map task."""
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(r, token_col, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    token_col: str = "token",
+    width: int = 256,
+    depth: int = 2,
+) -> DataFrame:
+    """Point-estimate each candidate token: min over its depth cells.
+
+    The sketch is bounded (depth·width rows) so its side of the join is
+    always broadcast — candidate estimation never shuffles the corpus."""
+    cand_cells = candidates.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _bucket(r, token_col, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(token_col, F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+    return (
+        cand_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

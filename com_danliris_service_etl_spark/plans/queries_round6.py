@@ -1,0 +1,273 @@
+"""Round-6 registry queries: the iterative-graph, frequency-sketch,
+rank-profile, and nearest-asof capabilities.
+
+- g8_pagerank — weighted PageRank (operators/graph.py) over the
+  bidirected supplier↔customer fulfillment graph; the oracle unrolls the
+  three power iterations as chained CTEs.
+- sk3_countmin_heavy_hitters — count-min sketch (operators/sketches.py)
+  with the sk1-style in-query accuracy contract on integer counts.
+- w6_decile_profile — ntile/percent_rank/cume_dist rank profiling, the
+  window-family rows (W-family) not yet covered by w1/w2/w4/w5.
+- j12_asof_nearest — nearest-direction as-of join (operators/joins.py
+  `asof_nearest`): single-shuffle single-sort two-frame window plan vs
+  the oracle's quadratic per-key candidate ranking.
+
+Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
+driver's parquet tables (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators.graph import pagerank
+from com_danliris_service_etl_spark.operators.joins import asof_nearest
+from com_danliris_service_etl_spark.operators.sketches import (
+    countmin_estimate,
+    countmin_sketch,
+    tokens_of,
+)
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# G8 — PageRank over the supplier↔customer fulfillment graph
+# ---------------------------------------------------------------------------
+
+# Three power iterations unrolled as CTEs; arithmetic is written to hit
+# the SAME IEEE operations as the Spark side ((1.0 - 0.85) computed, not
+# the literal 0.15 — a different double), and ranks round to 8dp so
+# summation-order noise (~1e-15 relative) can never flip a digit.
+_G8_SQL = """
+WITH pairs AS (
+  SELECT 's' || l_suppkey AS s, 'c' || o_custkey AS c, count(*) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT s AS src, c AS dst, cnt FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst, cnt FROM pairs
+),
+norm AS (
+  SELECT src, dst, cnt * 1.0 / sum(cnt) OVER (PARTITION BY src) AS w
+  FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT norm.dst AS node, sum(r0.r * norm.w) AS c
+       FROM norm JOIN r0 ON r0.node = norm.src GROUP BY norm.dst),
+r1 AS (SELECT v.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+       FROM nodes v CROSS JOIN nn LEFT JOIN c1 ON c1.node = v.node),
+c2 AS (SELECT norm.dst AS node, sum(r1.r * norm.w) AS c
+       FROM norm JOIN r1 ON r1.node = norm.src GROUP BY norm.dst),
+r2 AS (SELECT v.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+       FROM nodes v CROSS JOIN nn LEFT JOIN c2 ON c2.node = v.node),
+c3 AS (SELECT norm.dst AS node, sum(r2.r * norm.w) AS c
+       FROM norm JOIN r2 ON r2.node = norm.src GROUP BY norm.dst),
+r3 AS (SELECT v.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS r
+       FROM nodes v CROSS JOIN nn LEFT JOIN c3 ON c3.node = v.node)
+SELECT node, round(r, 8) AS rank FROM r3
+"""
+
+
+@register("g8_pagerank", _G8_SQL)
+def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 iterations, d=0.85, over the bidirected
+    supplier↔customer graph (edge weight = fulfilled line items). The
+    bidirection guarantees out-degree ≥ 1 everywhere (no dangling-mass
+    term), which keeps both engines' formulations identical. The Spark
+    side is the scale path: per-superstep equi-join + partial-aggregated
+    groupBy on stable shuffle keys (operators/graph.py)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # pairs feeds BOTH directions of the edge union — checkpoint the
+        # fork so the join+aggregate runs once (the dd8/txt5 lesson).
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"), "cnt"
+    ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "cnt"))
+    pr = pagerank(edges, weight="cnt", iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SK3 — count-min heavy hitters with the in-query accuracy contract
+# ---------------------------------------------------------------------------
+
+_SK3_SQL = """
+WITH tok AS (
+  SELECT t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE text IS NOT NULL AND t.token <> ''
+),
+exact AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY token),
+top AS (SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 20),
+rows_ AS (SELECT unnest([0, 1]) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substring(md5(r::VARCHAR || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+  FROM tok CROSS JOIN rows_
+),
+sketch AS (SELECT r, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY r, bucket),
+cand AS (
+  SELECT token, r,
+         ('0x' || substring(md5(r::VARCHAR || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+  FROM top CROSS JOIN rows_
+),
+est AS (SELECT c.token, min(s.cnt) AS est_cnt
+        FROM cand c JOIN sketch s USING (r, bucket) GROUP BY c.token)
+SELECT t.token, t.exact_cnt, e.est_cnt, e.est_cnt >= t.exact_cnt AS cms_ok
+FROM top t JOIN est e USING (token)
+"""
+
+
+@register("sk3_countmin_heavy_hitters", _SK3_SQL)
+def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (2×256, shared md5 hashing) over document tokens;
+    the top-20 exact heavy hitters are point-estimated from the sketch
+    and the CMS one-sided bound (estimate ≥ exact) is emitted as a
+    boolean the oracle pins TRUE. Integer counts — bit-exact across
+    engines. The sketch build shuffles ≤ depth·width keys; estimation
+    broadcasts the bounded sketch (operators/sketches.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    # tokens feed BOTH the exact counts and the sketch — one fork, one
+    # lazy checkpoint so the explode runs once.
+    toks = tokens_of(docs).localCheckpoint(eager=False)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(20)
+        .localCheckpoint(eager=False)  # referenced by estimate + output join
+    )
+    sketch = countmin_sketch(toks, width=256, depth=2)
+    est = countmin_estimate(top.select("token"), sketch, width=256, depth=2)
+    return top.join(F.broadcast(est), "token").select(
+        "token",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("cms_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — rank-profile windows (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+_W6_SQL = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, decile,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value,
+       round(min(pr), 6) AS pr_min,
+       round(max(cd), 6) AS cd_max
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
+@register("w6_decile_profile", _W6_SQL)
+def w6_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: ntile(10) + percent_rank + cume_dist over a
+    TOTAL order (value, event_id — the tiebreak rule the verify gotchas
+    pin for cross-engine determinism), aggregated to a per-(type, decile)
+    profile. Scale note: WindowExec buffers one event_type per task; at
+    100 TB with few types, the same deciles come from approx_percentile
+    cut-points (sk1's sketch path) or a repartitionByRange two-pass — the
+    exact-NTILE window form is the reference semantics being pinned."""
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("pr"), 6).alias("pr_min"),
+        F.round(F.max("cd"), 6).alias("cd_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+_J12_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'click'
+),
+c AS (
+  SELECT l.event_id, r.r_id, r.r_ts, r.r_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(l.ts_us - r.r_ts),
+                    CASE WHEN r.r_ts <= l.ts_us THEN 0 ELSE 1 END,
+                    r.r_id DESC
+         ) AS rn
+  FROM l JOIN r ON r.user_id = l.user_id
+)
+SELECT l.event_id, l.user_id, l.ts_us, l.value,
+       c.r_id AS nearest_click_id,
+       c.r_ts AS nearest_click_ts_us,
+       c.r_value AS nearest_click_value,
+       l.ts_us - c.r_ts AS gap_us
+FROM l LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.event_id = l.event_id
+"""
+
+
+@register("j12_asof_nearest", _J12_SQL)
+def j12_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's click nearest in time (either
+    direction; exact/backward wins ties, highest event_id among equal
+    timestamps). The oracle ranks every (purchase × same-user click)
+    candidate — quadratic per hot user; `asof_nearest` is the linear
+    shape: tag + union + ONE shuffle + ONE sort, both direction scans as
+    two frames of a single WindowExec (operators/joins.py)."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("nearest_click_id"),
+        F.col("ts_us").alias("nearest_click_ts_us"),
+        F.col("value").alias("nearest_click_value"),
+    )
+    out = asof_nearest(
+        left,
+        right,
+        left_on="ts_us",
+        right_on="nearest_click_ts_us",
+        by=[("user_id", "r_user")],
+        tiebreak="nearest_click_id",
+    )
+    return out.withColumn(
+        "gap_us", F.col("ts_us") - F.col("nearest_click_ts_us")
+    )

@@ -91,6 +91,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_pipeline,
         queries_round3,
         queries_round4,
+        queries_round6,
         queries_scalars,
         queries_streaming,
     )

@@ -1,0 +1,205 @@
+"""Round-6 operators: PageRank, count-min sketch, nearest as-of join —
+each checked against a small pure-Python reference model (the same
+strategy test_properties.py uses for the as-of/first-match joins)."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pr_ref(edges, iters=3, d=0.85):
+    """Reference PageRank: dict-of-floats power iteration."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    out = collections.Counter()
+    for s, _, w in edges:
+        out[s] += w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = collections.defaultdict(float)
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / out[s]
+        r = {v: (1 - d) / n + d * contrib.get(v, 0.0) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_model(spark):
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("b", "a", 2.0),
+        ("b", "c", 1.0), ("c", "b", 1.0),
+        ("a", "c", 1.0), ("c", "a", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(df, weight="w", iterations=3).collect()}
+    want = _pr_ref(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # ranks are a probability distribution (bidirected graph, no dangling
+    # mass): they must sum to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_unweighted_and_hub_dominates(spark):
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+
+    # star: hub h bidirected to 3 leaves — hub must outrank every leaf
+    edges = []
+    for leaf in ("x", "y", "z"):
+        edges += [("h", leaf, 1.0), (leaf, "h", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(df, weight="w", iterations=5).collect()}
+    want = _pr_ref(edges, iters=5)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert got["h"] > max(got[v] for v in ("x", "y", "z"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_ref(counts: dict[str, int], width: int, depth: int) -> dict[str, int]:
+    """Reference CMS estimate per token (same md5 hashing scheme)."""
+    def bucket(r, tok):
+        return int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:8], 16) % width
+
+    est = {}
+    for tok in counts:
+        cells = []
+        for r in range(depth):
+            b = bucket(r, tok)
+            cells.append(sum(c for t, c in counts.items() if bucket(r, t) == b))
+        est[tok] = min(cells)
+    return est
+
+
+@pytest.mark.parametrize("width", [4, 1024])
+def test_countmin_estimates_match_reference(spark, width):
+    from com_danliris_service_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    counts = {"alpha": 7, "beta": 3, "gamma": 5, "delta": 2, "epsilon": 1}
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    toks = spark.createDataFrame(rows, "token string")
+    sketch = countmin_sketch(toks, width=width, depth=2)
+    cand = spark.createDataFrame([(t,) for t in counts], "token string")
+    got = {
+        r.token: r.est_cnt
+        for r in countmin_estimate(cand, sketch, width=width, depth=2).collect()
+    }
+    want = _cms_ref(counts, width, 2)
+    assert got == want
+    # the CMS one-sided bound: never an underestimate
+    for t, c in counts.items():
+        assert got[t] >= c
+    if width == 1024:  # collision-free at this vocabulary — exact
+        assert got == counts
+
+
+def test_tokens_of_drops_nulls_and_empties(spark):
+    from com_danliris_service_etl_spark.operators.sketches import tokens_of
+
+    docs = spark.createDataFrame(
+        [(1, "a  b"), (2, None), (3, ""), (4, "c")], "doc_id long, text string"
+    )
+    got = sorted(r.token for r in tokens_of(docs).collect())
+    assert got == ["a", "b", "c"]  # double space → empty token dropped
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join
+# ---------------------------------------------------------------------------
+
+
+def _nearest_ref(left, right):
+    """Reference nearest-asof: brute force per left row. left rows are
+    (id, key, ts); right rows are (key, rts, rid). Returns id -> rid."""
+    out = {}
+    for lid, lk, lts in left:
+        best = None
+        for rk, rts, rid in right:
+            if rk != lk or rk is None or lk is None:
+                continue
+            cand = (abs(lts - rts), 0 if rts <= lts else 1, -rid)
+            if best is None or cand < best[0]:
+                best = (cand, rid)
+        out[lid] = best[1] if best else None
+    return out
+
+
+def test_asof_nearest_directions_ties_and_misses(spark):
+    from com_danliris_service_etl_spark.operators.joins import asof_nearest
+
+    left = [
+        (1, "k1", 100),  # backward (90) closer than forward (150)
+        (2, "k1", 140),  # forward (150) closer than backward (90)
+        (3, "k1", 120),  # equidistant 90/150 → backward wins
+        (4, "k2", 50),   # exact match at 50
+        (5, "k3", 10),   # no right rows for k3 → null
+        (6, None, 10),   # NULL key matches nothing
+    ]
+    right = [
+        ("k1", 90, 11), ("k1", 150, 12),
+        ("k2", 50, 21), ("k2", 49, 22),
+        (None, 10, 31),  # NULL-key right row can never match
+    ]
+    ldf = spark.createDataFrame(left, "id long, k string, ts long")
+    rdf = spark.createDataFrame(right, "rk string, rts long, rid long")
+    out = asof_nearest(
+        ldf, rdf, left_on="ts", right_on="rts", by=[("k", "rk")], tiebreak="rid"
+    )
+    got = {r.id: r.rid for r in out.collect()}
+    assert got == _nearest_ref(left, right)
+    assert got == {1: 11, 2: 12, 3: 11, 4: 21, 5: None, 6: None}
+
+
+def test_asof_nearest_equal_ts_highest_tiebreak(spark):
+    from com_danliris_service_etl_spark.operators.joins import asof_nearest
+
+    ldf = spark.createDataFrame([(1, 100), (2, 205)], "id long, ts long")
+    rdf = spark.createDataFrame(
+        [(90, 5), (90, 7), (210, 3), (210, 9)], "rts long, rid long"
+    )
+    out = asof_nearest(ldf, rdf, left_on="ts", right_on="rts", tiebreak="rid")
+    got = {r.id: r.rid for r in out.collect()}
+    # backward at 90: rid 7 beats 5; forward at 210: rid 9 beats 3
+    assert got == {1: 7, 2: 9}
+
+
+def test_asof_nearest_single_shuffle_single_sort(spark):
+    """The 100 TB contract: tag+union+one exchange+one sort; both
+    direction scans are frames of the same window ordering."""
+    import contextlib
+    import io
+
+    from com_danliris_service_etl_spark.operators.joins import asof_nearest
+
+    ldf = spark.range(100).selectExpr("id", "id * 7 as ts", "id % 5 as k")
+    rdf = spark.range(50).selectExpr(
+        "id as rid", "id * 11 as rts", "id % 5 as rk"
+    )
+    out = asof_nearest(
+        ldf, rdf, left_on="ts", right_on="rts", by=[("k", "rk")], tiebreak="rid"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Sort (") == 1, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
