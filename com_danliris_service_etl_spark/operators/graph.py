@@ -12,17 +12,20 @@ keeps the whole plan inside Catalyst/Tungsten.
 
 Scale notes (100 TB):
 - Each superstep is one equi-join of the rank vector onto the edge list
-  (both partitioned by the join key) plus one groupBy(dst) with partial
-  aggregation — the same shuffle keys every iteration, so AQE/bucketing
-  can co-locate them; no all-pairs stage anywhere.
-- The rank vector is |V| rows (node, double) — tiny relative to |E|;
-  Spark broadcasts it automatically when it fits, degrading gracefully
-  to a shuffle join when it does not.
+  plus one groupBy(dst) with partial aggregation — the same shuffle keys
+  every iteration, so bucketing the edge list on src (or AQE exchange
+  reuse) amortizes the edge shuffle; no all-pairs stage anywhere.
+- The rank vector is |V| rows — usually orders of magnitude smaller than
+  |E|. ``broadcast_ranks=True`` hints it (and the out-degree table) into
+  broadcast joins, making every superstep's join map-side; leave it
+  False when |V| itself is beyond broadcast range and Spark's own size
+  estimate decides.
 - Hot destination nodes (celebrity pages) are safe: groupBy(dst) partial
   aggregation combines map-side, unlike a window-over-dst form.
 - `localCheckpoint(eager=False)` per superstep stops the plan doubling
   per iteration (the dedup_clusters lesson); only the final action runs
-  the chain.
+  the chain. Measured on the registry graph (sf0.1): checkpoint-each +
+  broadcast beats both no-checkpoint variants.
 """
 
 from __future__ import annotations
@@ -38,6 +41,8 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
+    sources_cover_nodes: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns ``(node, rank)``.
 
@@ -45,9 +50,16 @@ def pagerank(
     weight normalization (``w(u→v) = weight / Σ weight over u's
     out-edges``). Every node that appears as a source or destination is a
     node; callers wanting no dangling mass loss should pass a bidirected
-    edge list (every node then has out-degree ≥ 1), which is what the
-    registry query does.
+    edge list (every node then has out-degree ≥ 1), and may then also set
+    ``sources_cover_nodes=True``: the node set is read off the out-degree
+    aggregate for free instead of a distinct over the full edge list.
+
+    ``broadcast_ranks=True`` additionally hints the |V|-row rank vector /
+    out-degree / contribution tables into broadcast joins (every
+    superstep join becomes map-side; one shuffle per superstep remains —
+    the groupBy(dst)). Use it when |V| is dimension-scale.
     """
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w_col.alias("__w")
@@ -56,15 +68,19 @@ def pagerank(
     # hub node's window partition would buffer its whole out-edge set in
     # one task (the hot-key hazard pinned in the verify gotchas).
     out = e.groupBy("__src").agg(F.sum("__w").alias("__tot"))
+    if sources_cover_nodes:
+        out = out.localCheckpoint(eager=False)  # reused: norm join + node set
+        nodes = out.select(F.col("__src").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("__src").alias("node"))
+            .unionByName(e.select(F.col("__dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)  # reused every superstep
+        )
     norm = (
-        e.join(out, "__src")
+        e.join(maybe_b(out), "__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__tot")).alias("__nw"))
-        .localCheckpoint(eager=False)  # reused every superstep
-    )
-    nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
         .localCheckpoint(eager=False)  # reused every superstep
     )
     # |V| as a 1-row frame cross-joined in (broadcast of a scalar), so the
@@ -74,14 +90,16 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     reset = F.lit(1.0 - damping) / F.col("__n")
-    for _ in range(iterations):
+    for i in range(iterations):
+        rk = maybe_b(ranks)
         contrib = (
-            norm.join(ranks, norm["__src"] == ranks["node"])
+            norm.join(rk, norm["__src"] == rk["node"])
             .groupBy("__dst")
             .agg(F.sum(F.col("__nw") * F.col("rank")).alias("__c"))
         )
+        cb = maybe_b(contrib)
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["__dst"], "left")
+            nodes.join(cb, nodes["node"] == cb["__dst"], "left")
             .join(F.broadcast(n))
             .select(
                 "node",
@@ -89,6 +107,7 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=False)
         )
+        if i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

