@@ -185,6 +185,40 @@ def sk3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST8 — the count-min grid itself (batch twin of the streaming fold)
+# ---------------------------------------------------------------------------
+
+_ST8_SQL = """
+WITH tok AS (
+  SELECT t.token
+  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+  WHERE text IS NOT NULL AND t.token <> ''
+),
+cells AS (
+  SELECT r,
+         ('0x' || substring(md5(r::VARCHAR || ':' || token), 1, 8))::BIGINT % 256 AS bucket
+  FROM tok CROSS JOIN (SELECT unnest([0, 1]) AS r) rows_
+)
+SELECT r AS "row", bucket, count(*)::BIGINT AS cnt
+FROM cells GROUP BY r, bucket
+"""
+
+
+@register("st8_countmin_sketch", _ST8_SQL)
+def st8_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min grid over the document token stream — the BATCH
+    twin of `streaming/jobs.py::run_streaming_countmin`, which maintains
+    the same grid as Structured Streaming state (at most depth×width
+    rows, constant in the corpus — the bounded-state property that makes
+    a live heavy-hitter monitor viable where exact counts grow with the
+    vocabulary). Cell sums are associative, so micro-batch folding lands
+    on this identical grid; tests/test_streaming.py pins stream ≡
+    batch, and integer counts make the oracle bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return countmin_sketch(tokens_of(docs), width=256, depth=2)
+
+
+# ---------------------------------------------------------------------------
 # W6 — rank-profile windows (ntile / percent_rank / cume_dist)
 # ---------------------------------------------------------------------------
 

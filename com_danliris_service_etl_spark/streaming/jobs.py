@@ -517,6 +517,44 @@ def run_streaming_dedup_stats(
     )
 
 
+def run_streaming_countmin(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = 256,
+    depth: int = 2,
+    query_name: str = "countmin_stream",
+) -> DataFrame:
+    """Live heavy-hitter tracking with BOUNDED state: maintain the
+    count-min grid (operators/sketches.py) as Structured Streaming state
+    over the document token stream. State is at most depth×width rows —
+    constant in the corpus — where an exact token-count monitor's state
+    grows with the vocabulary; that bounded-vs-unbounded trade is the
+    whole reason a production ingest monitor runs the sketch. Cell sums
+    are associative, so the streaming fold over micro-batches lands on
+    the IDENTICAL grid as the batch build — the registry batch twin is
+    `plans/queries_round6.py::st8_countmin_sketch`, and
+    tests/test_streaming.py pins stream ≡ batch. The complete-mode
+    memory drain is the bounded-replay form (see
+    `run_streaming_windowed_counts`); estimates for any candidate set
+    come from `countmin_estimate` over the drained grid."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        countmin_sketch,
+        tokens_of,
+    )
+
+    raw = _stream_table(spark, documents_schema(), sf_dir, "documents")
+    grid = countmin_sketch(tokens_of(raw), width=width, depth=depth)
+    q = (
+        grid.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_streaming_interval_join(
     spark: SparkSession, sf_dir: str, query_name: str = "interval_join_stream"
 ) -> DataFrame:

@@ -84,6 +84,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "a4_surrogate_key": "global window on a DIMENSION-sized table by design; fact-scale keys use surrogate_key_distributed (plan-asserted in the TotalHutang golden)",
     "a5_row_count": "global count() — one partial state per partition",
     "g5_funnel_conversion": "final scalar conversion row",
+    "g8_pagerank": "|V| node-count scalar for the reset term (one partial state per partition; broadcast back)",
+    "sk3_countmin_heavy_hitters": "global top-20 heavy hitters over the vocabulary aggregate — 20-row bounded result",
     "llm5_decontamination": "benchmark shingles collapse to ONE broadcast array (eval sets are MB-scale)",
     "llm11_contamination_spans": "same broadcast benchmark-shingle array",
     "o5_zorder_key": "per-dim min/max stat row broadcast to the scan",

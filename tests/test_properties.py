@@ -424,3 +424,40 @@ def test_first_match_join_matches_bruteforce_model(spark, right, descending):
         for r in first_match_join(ldf, rdf, on="k", order_by=order).collect()
     }
     assert got == want, (descending,)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.tuples(_key, _t_small), min_size=1, max_size=6),
+    right=st.lists(
+        st.tuples(_key, _t_small, st.integers(0, 9)), min_size=0, max_size=8
+    ),
+)
+def test_asof_nearest_matches_bruteforce_model(spark, left, right):
+    """J12 determinism over arbitrary inputs: the nearest pick must equal
+    the brute-force model — smallest |Δt|, exact/backward wins a distance
+    tie, and among equal right_on the HIGHEST tiebreak value wins (the
+    SURVEY §7.4 determinism rule extended to both directions)."""
+    from com_danliris_service_etl_spark.operators.joins import asof_nearest
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "id long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(right, "k long, rt long, val long") if right else (
+        spark.createDataFrame([], "k long, rt long, val long")
+    )
+
+    def model(k, lt):
+        best = None
+        for rk, rt, v in right:
+            if rk != k:
+                continue
+            cand = (abs(lt - rt), 0 if rt <= lt else 1, -v)
+            if best is None or cand < best[0]:
+                best = (cand, v)
+        return best[1] if best else None
+
+    want = {i: model(k, t) for i, (k, t) in enumerate(left)}
+    out = asof_nearest(ldf, rdf, "lt", "rt", by=[("k", "k")], tiebreak="val")
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == want

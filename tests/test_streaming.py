@@ -395,3 +395,19 @@ def test_append_mode_watermark_drops_late_rows(spark, tmp_path):
     # late 10:15 row was dropped, never re-emitted as n=3
     assert got[d(2024, 1, 1, 10, 0)] == 2
     assert list(got.values()).count(3) == 0
+
+
+def test_streaming_countmin_matches_batch(spark):
+    """The streaming-folded count-min grid ≡ the batch sketch: cell sums
+    are associative, so micro-batch folding lands on the identical
+    depth×width grid (bounded state — the monitor's whole point)."""
+    from com_danliris_service_etl_spark.plans.queries_round6 import (
+        st8_countmin_sketch,
+    )
+    from com_danliris_service_etl_spark.streaming.jobs import run_streaming_countmin
+
+    stream_out = run_streaming_countmin(spark, SF_DIR, query_name="st_cms_test").toPandas()
+    batch_out = st8_countmin_sketch(spark, SF_DIR).toPandas()
+    assert_frames_match(stream_out, batch_out, "streaming_countmin_vs_batch")
+    # bounded-state contract: the grid never exceeds depth x width
+    assert len(stream_out) <= 2 * 256
