@@ -225,10 +225,11 @@ def ivf_assign_cells(
     cell, the fallback is that join plus a map-side-combinable
     `max_by` groupBy — still no sort.) Ties break to the lowest
     centroid id: the array is cid-sorted and the fold's strict `>`
-    keeps the first maximum. Centroid TRAINING (Lloyd's iterations)
-    happens offline in a real deployment; here any deterministic
-    centroid sample works — the operator contract is the cell
-    assignment + probe, not the quantizer quality.
+    keeps the first maximum. Centroid TRAINING is available in-engine —
+    `operators/clustering.py::kmeans_fit` runs Lloyd's iterations with
+    THIS assignment kernel — or happens offline; either way the operator
+    contract here is the cell assignment + probe, not the quantizer
+    quality, so any deterministic centroid set works.
 
     Pass ``cent_arr`` (a prebuilt/materialized :func:`build_centroid_array`
     row) when assigning several vector sets against the same codebook —

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from com_danliris_service_etl_spark.operators.clustering import kmeans_fit
 from com_danliris_service_etl_spark.operators.graph import pagerank
 from com_danliris_service_etl_spark.operators.joins import asof_nearest
 from com_danliris_service_etl_spark.operators.sketches import (
@@ -266,6 +267,75 @@ def w6_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.min("pr"), 6).alias("pr_min"),
         F.round(F.max("cd"), 6).alias("cd_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIM6 — k-means centroid training (Lloyd's, in-engine)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIMS = 64
+_KM_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _kmeans_sql() -> str:
+    dot_vc = _KM_DOT.format(a="v.e", b="c.cv")
+    n_v = _KM_DOT.format(a="v.e", b="v.e")
+    n_c = _KM_DOT.format(a="c.cv", b="c.cv")
+    assign = f"""
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {dot_vc} / (sqrt({n_v}) * sqrt({n_c})) DESC, c.cid
+               ) AS rk
+        FROM v CROSS JOIN {{cents}} c) WHERE rk = 1
+    """
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (SELECT unnest(range(1, {_KM_DIMS + 1})) AS dim),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {_KM_K}),
+    a1 AS ({assign.format(cents="c0")}),
+    m1 AS (SELECT a1.cell, dims.dim, avg(v.e[dims.dim]) AS m
+           FROM v JOIN a1 USING (vec_id) CROSS JOIN dims
+           GROUP BY a1.cell, dims.dim),
+    c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+    a2 AS ({assign.format(cents="c1")})
+    SELECT a2.cell AS cid, dims.dim,
+           round(avg(v.e[dims.dim]), 6) AS centroid_val,
+           count(*)::BIGINT AS n_members
+    FROM v JOIN a2 USING (vec_id) CROSS JOIN dims
+    GROUP BY a2.cell, dims.dim
+    """
+
+
+@register("sim6_kmeans_fit", _kmeans_sql())
+def sim6_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine Lloyd's k-means (k=8, 2 iterations, cosine assignment,
+    lowest-id seeds) — the centroid TRAINING step sim4's IVF quantizer
+    previously stood in for with raw seed vectors (operators/
+    clustering.py closes that loop with the same assignment kernel the
+    IVF search path uses). Output is the trained codebook flattened to
+    (cid, dim, value) rows with per-cell member counts; the oracle
+    unrolls both Lloyd iterations as CTEs. Assignment folds are
+    bit-identical across engines (the sim4-proven dot-fold parity);
+    per-dimension means are rounded at the output boundary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=_KM_K, iterations=2)
+    return cent.select(
+        "cid",
+        F.posexplode("centroid").alias("dim0", "val"),
+        "n_members",
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round("val", 6).alias("centroid_val"),
+        "n_members",
     )
 
 

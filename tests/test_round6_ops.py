@@ -249,3 +249,78 @@ def test_asof_nearest_single_shuffle_single_sort(spark):
     assert plan.count("Exchange (") == 1, plan
     assert plan.count("Sort (") == 1, plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# k-means fit
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ref(vecs: dict[int, list[float]], k: int, iters: int):
+    """Reference Lloyd's: cosine assignment (lowest cid on ties), mean
+    update, seeds = k lowest ids."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    cents = {i: vecs[i] for i in sorted(vecs)[:k]}
+    for _ in range(iters):
+        members = {}
+        for vid, v in vecs.items():
+            best = max(
+                sorted(cents),
+                key=lambda c: (cos(v, cents[c]), -c),
+            )
+            members.setdefault(best, []).append(v)
+        cents = {
+            c: [sum(col) / len(vs) for col in zip(*vs)]
+            for c, vs in members.items()
+        }
+    return cents, {c: len(vs) for c, vs in members.items()}
+
+
+def test_kmeans_fit_matches_reference_model(spark):
+    from com_danliris_service_etl_spark.operators.clustering import kmeans_fit
+
+    # two tight clusters around orthogonal directions; ids 0 and 1 are the
+    # seeds and land one in each cluster
+    vecs = {
+        0: [1.0, 0.1, 0.0, 0.0],
+        2: [0.9, 0.0, 0.1, 0.0],
+        4: [1.1, 0.1, 0.1, 0.0],
+        1: [0.0, 1.0, 0.0, 0.1],
+        3: [0.1, 0.9, 0.0, 0.0],
+        5: [0.0, 1.1, 0.1, 0.1],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.cid: (list(r.centroid), r.n_members)
+        for r in kmeans_fit(df, k=2, iterations=2).collect()
+    }
+    want_c, want_n = _kmeans_ref(vecs, k=2, iters=2)
+    assert set(got) == set(want_c) == {0, 1}
+    for cid in want_c:
+        assert got[cid][1] == want_n[cid] == 3
+        for a, b in zip(got[cid][0], want_c[cid]):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_kmeans_fit_is_deterministic_across_runs(spark):
+    """Same input → identical centroids (seeds and tiebreaks are pinned),
+    the property the DuckDB oracle checks exactly at sf0.01."""
+    from com_danliris_service_etl_spark.operators.clustering import kmeans_fit
+
+    df = spark.range(40).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 6), i -> cast(hash(id, i) % 100 AS DOUBLE) / 10.0)"
+        " as embedding",
+    )
+    a = {r.cid: list(r.centroid) for r in kmeans_fit(df, k=4, iterations=2).collect()}
+    b = {r.cid: list(r.centroid) for r in kmeans_fit(df, k=4, iterations=2).collect()}
+    assert a == b
