@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # consecutive rounds cannot cover the registry; the guarantee is a
 # 3-ROUND CYCLE — r4 recorded 50 (all green), r5 recorded 50 (all
 # green), round 6 below leads with the 19 queries whose latest green row
-# is still r3 plus the 6 queries NEW this round (g8/sk3/w6/
-# j12/st8/sim6 — 124 registered total); the r4+r5+r6 union then covers every
+# is still r3 plus the 7 queries NEW this round (g8/sk3/w6/
+# j12/st8/sim6/llm12 — 125 registered total); the r4+r5+r6 union then covers every
 # registered query.
 #   1. _PRIORITY — exactly the 50-row budget: (a) the 19 r03-green
 #      entries deferred from round 5 (stalest evidence), (b) queries
@@ -69,6 +69,7 @@ _PRIORITY = [
     "j12_asof_nearest",
     "st8_countmin_sketch",
     "sim6_kmeans_fit",
+    "llm12_centrality_keeper",
     # (c) stalest r04-green entries — refresh before they age out
     "sk2_salted_aggregate",
     "g5_funnel_conversion",
@@ -94,10 +95,10 @@ _PRIORITY = [
     "llm6_weighted_sample",
     "m1_m2_m9_math_scalars",
     "m4_m8_buckets_status",
-    "m6_m7_categories",
 ]
 
 _RECORD_LAST = [
+    "m6_m7_categories",
     "mm2_decode_features",
     "mm3_frame_sample",
     # r04-green, unchanged, next-stalest — first in line if the cap ever

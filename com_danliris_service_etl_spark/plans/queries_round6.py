@@ -271,6 +271,111 @@ def w6_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM12 — centrality-based keeper selection over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_L12_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, x) -> acc + x)"
+)
+_L12_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+)
+
+_LLM12_SQL = f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                            ({_L12_BUCKET}) AS blk
+                     FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_L12_DOT.format(a="a.e", b="b.e")}
+               / (sqrt({_L12_DOT.format(a="a.e", b="a.e")})
+                  * sqrt({_L12_DOT.format(a="b.e", b="b.e")})), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.blk = b.blk),
+good AS (SELECT * FROM pairs WHERE cos_sim >= 0.3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst, cos_sim AS w FROM good
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cos_sim AS w FROM good),
+norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS nw FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (SELECT norm.dst AS node, sum(r0.r * norm.nw) AS c
+       FROM norm JOIN r0 ON r0.node = norm.src GROUP BY norm.dst),
+r1 AS (SELECT x.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS r
+       FROM nodes x CROSS JOIN nn LEFT JOIN c1 ON c1.node = x.node),
+c2 AS (SELECT norm.dst AS node, sum(r1.r * norm.nw) AS c
+       FROM norm JOIN r1 ON r1.node = norm.src GROUP BY norm.dst),
+r2 AS (SELECT x.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS r
+       FROM nodes x CROSS JOIN nn LEFT JOIN c2 ON c2.node = x.node),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT comp.node AS vec_id,
+       CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+       round(r2.r, 8) AS rank,
+       (row_number() OVER (PARTITION BY comp.cluster_id
+                           ORDER BY round(r2.r, 8) DESC, comp.node) = 1
+       ) AS is_centrality_keeper
+FROM comp JOIN r2 ON r2.node = comp.node
+"""
+
+
+@register("llm12_centrality_keeper", _LLM12_SQL)
+def llm12_centrality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-document selection, composed end-to-end: embedding
+    near-dup pairs (dd5, sign-bit LSH blocked) → similarity-weighted
+    PageRank over the bidirected dup graph (g8's operator) → connected
+    components (dd6's operator) → per-cluster keeper = the most CENTRAL
+    member (highest rank), not merely the lowest id — the data-curation
+    upgrade over llm7's min-id keeper: the kept document is the one most
+    representative of its duplicate cluster. Keeper comparison uses the
+    8dp-ROUNDED rank on both engines, so a structurally-symmetric
+    cluster (exactly tied centrality) resolves by the id tiebreak
+    identically everywhere; every stage reuses an individually
+    oracle-verified operator."""
+    from com_danliris_service_etl_spark.operators import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(
+        emb, threshold=0.3, lsh_bits=8, materialize_prepped=True
+    ).localCheckpoint(eager=False)  # feeds both edge directions + CC
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim")
+    )
+    pr = pagerank(
+        edges,
+        weight="cos_sim",
+        iterations=2,
+        damping=0.85,
+        sources_cover_nodes=True,  # bidirected by construction
+        broadcast_ranks=True,  # |V| = clustered vectors — dimension-scale
+    )
+    clusters = dd.dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    ranked = clusters.join(
+        pr, clusters["doc_id"] == pr["node"]
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("rank", 8).alias("rank"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col("vec_id").asc()
+    )
+    return ranked.select(
+        "vec_id",
+        "cluster_id",
+        "rank",
+        (F.row_number().over(w) == 1).alias("is_centrality_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SIM6 — k-means centroid training (Lloyd's, in-engine)
 # ---------------------------------------------------------------------------
 

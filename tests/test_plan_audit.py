@@ -87,6 +87,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "g8_pagerank": "|V| node-count scalar for the reset term (one partial state per partition; broadcast back)",
     "sk3_countmin_heavy_hitters": "global top-20 heavy hitters over the vocabulary aggregate — 20-row bounded result",
     "sim6_kmeans_fit": "k-row seed selection (lowest-id vectors) — bounded global limit",
+    "llm12_centrality_keeper": "pagerank's 1-row |V| scalar (same bounded aggregate as g8)",
     "llm5_decontamination": "benchmark shingles collapse to ONE broadcast array (eval sets are MB-scale)",
     "llm11_contamination_spans": "same broadcast benchmark-shingle array",
     "o5_zorder_key": "per-dim min/max stat row broadcast to the scan",

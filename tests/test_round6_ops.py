@@ -324,3 +324,36 @@ def test_kmeans_fit_is_deterministic_across_runs(spark):
     a = {r.cid: list(r.centroid) for r in kmeans_fit(df, k=4, iterations=2).collect()}
     b = {r.cid: list(r.centroid) for r in kmeans_fit(df, k=4, iterations=2).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_round6_ops_degenerate_inputs(spark):
+    """Empty/undersized inputs flow through without ANSI aborts: pagerank
+    of an empty edge list is an empty rank table, k-means with fewer
+    vectors than k returns one (singleton) cluster per vector, and
+    nearest-asof with an empty side degrades to empty/left-null rows."""
+    from com_danliris_service_etl_spark.operators.clustering import kmeans_fit
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+    from com_danliris_service_etl_spark.operators.joins import asof_nearest
+
+    empty_e = spark.createDataFrame([], "src string, dst string, w double")
+    assert pagerank(empty_e, weight="w").collect() == []
+
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = sorted((r.cid, r.n_members) for r in kmeans_fit(two, k=5, iterations=2).collect())
+    assert got == [(0, 1), (1, 1)]
+
+    le = spark.createDataFrame([], "id long, ts long")
+    rt = spark.createDataFrame([(5, 1)], "rts long, rid long")
+    assert asof_nearest(le, rt, "ts", "rts").collect() == []
+
+    l2 = spark.createDataFrame([(1, 10)], "id long, ts long")
+    re_ = spark.createDataFrame([], "rts long, rid long")
+    rows = asof_nearest(l2, re_, "ts", "rts").collect()
+    assert len(rows) == 1 and rows[0].rid is None and rows[0].rts is None
