@@ -357,3 +357,32 @@ def test_round6_ops_degenerate_inputs(spark):
     re_ = spark.createDataFrame([], "rts long, rid long")
     rows = asof_nearest(l2, re_, "ts", "rts").collect()
     assert len(rows) == 1 and rows[0].rid is None and rows[0].rts is None
+
+
+def test_centrality_keeper_beats_min_id_on_path_cluster(spark, tmp_path):
+    """The llm12 upgrade over llm7's min-id keeper, pinned: in a path
+    cluster a—b—c (a,c similar to b but not to each other), the keeper
+    must be the CENTER b — the most representative member — even though
+    a has the lowest id."""
+    import math
+
+    from com_danliris_service_etl_spark.plans.queries_round6 import (
+        llm12_centrality_keeper,
+    )
+
+    def mk(u9, u10):
+        v = [0.1] * 8 + [0.0] * 56  # first 8 dims positive → same LSH block
+        v[8], v[9] = u9, u10
+        return v
+
+    s = 1 / math.sqrt(2)
+    rows = [(0, mk(1.0, 0.0), 0), (1, mk(s, s), 0), (2, mk(0.0, 1.0), 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in llm12_centrality_keeper(spark, str(tmp_path)).collect()}
+    # one cluster (min id 0), keeper is the CENTER (id 1), not the min id
+    assert {r.cluster_id for r in out.values()} == {0}
+    assert [v for v, r in out.items() if r.is_centrality_keeper] == [1]
+    assert out[1].rank > out[0].rank and out[0].rank == out[2].rank
