@@ -386,3 +386,35 @@ def test_centrality_keeper_beats_min_id_on_path_cluster(spark, tmp_path):
     assert {r.cluster_id for r in out.values()} == {0}
     assert [v for v, r in out.items() if r.is_centrality_keeper] == [1]
     assert out[1].rank > out[0].rank and out[0].rank == out[2].rank
+
+
+def test_pagerank_hot_destination_skew(spark):
+    """Scale-honesty pin: a celebrity node with 50k in-edges must flow
+    through the partial-aggregated groupBy(dst) — correct mass in, plan
+    free of window-over-dst (the hot-key hazard) — and the whole run
+    stays seconds, not minutes."""
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+
+    # 50k fans each bidirected with one hub
+    fans = spark.range(1, 50_001).selectExpr("concat('f', id) AS fan")
+    edges = fans.selectExpr("fan AS src", "'hub' AS dst", "1.0 AS w").unionByName(
+        fans.selectExpr("'hub' AS src", "fan AS dst", "1.0 AS w")
+    )
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, weight="w", iterations=2,
+            sources_cover_nodes=True, broadcast_ranks=True,
+        ).collect()
+    }
+    n = 50_001
+    # closed form after 2 iterations of the star: hub gets the reset share
+    # plus d * (total fan mass), each fan gets reset + d * hub_rank / 50k
+    hub1 = (1 - 0.85) / n + 0.85 * (50_000 / n)
+    fan1 = (1 - 0.85) / n + 0.85 * (1 / n) / 50_000
+    hub2 = (1 - 0.85) / n + 0.85 * (50_000 * fan1)
+    fan2 = (1 - 0.85) / n + 0.85 * hub1 / 50_000
+    assert ranks["hub"] == pytest.approx(hub2, rel=1e-9)
+    assert ranks["f1"] == pytest.approx(fan2, rel=1e-9)
+    assert len(ranks) == n
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
