@@ -92,7 +92,14 @@ def countmin_estimate(
     """Point-estimate each candidate token: min over its depth cells.
 
     The sketch is bounded (depth·width rows) so its side of the join is
-    always broadcast — candidate estimation never shuffles the corpus."""
+    always broadcast — candidate estimation never shuffles the corpus.
+
+    The join is LEFT with absent cells coalesced to 0: the sketch table
+    is sparse (cells no token hashed to are simply missing), and a
+    candidate OUTSIDE the sketched corpus hits such empty cells — an
+    inner join would silently drop them from the min, overestimating (or
+    losing) unseen tokens and breaking the one-sided bound, whose
+    correct estimate for an absent token with any empty cell is 0."""
     cand_cells = candidates.select(
         token_col,
         F.explode(
@@ -107,7 +114,7 @@ def countmin_estimate(
         ).alias("cell"),
     ).select(token_col, F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
     return (
-        cand_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        cand_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )

@@ -37,6 +37,7 @@ the DAG (`plans/schedule.py`), not concurrent HTTP pokes.
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -64,7 +65,15 @@ def make_server(
 
     ``token`` gates ``/run/<job>`` behind an ``X-Job-Key`` header;
     ``allow_get_run`` re-enables GET on the mutating route (reference
-    parity — `Pembelian/function.json` bound GET and POST)."""
+    parity — `Pembelian/function.json` bound GET and POST). A
+    non-loopback bind without a token is refused HERE, where the socket
+    is bound — /run mutates state (runs jobs, advances watermarks) and
+    must never be open to arbitrary network peers, whichever entry
+    point built the server."""
+    if host not in ("127.0.0.1", "localhost", "::1") and token is None:
+        raise ValueError(
+            f"refusing to bind {host!r} without token=...; /run mutates state"
+        )
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -89,7 +98,9 @@ def make_server(
                 self.send_header("Allow", "POST")
                 self.end_headers()
                 return
-            if token is not None and self.headers.get("X-Job-Key") != token:
+            if token is not None and not hmac.compare_digest(
+                self.headers.get("X-Job-Key") or "", token
+            ):
                 self._respond(401, {"error": "missing or bad X-Job-Key"})
                 return
             name = path[len("/run/") :]
@@ -136,13 +147,8 @@ def serve(
 ) -> None:
     """Blocking entry point (the Azure Functions host's default port was
     7071 locally). Ctrl-C stops cleanly. Binds loopback by default; a
-    non-loopback bind without a shared-secret ``token`` is refused —
-    /run mutates state (runs jobs, advances watermarks) and must not be
-    open to arbitrary network peers."""
-    if host not in ("127.0.0.1", "localhost", "::1") and token is None:
-        raise ValueError(
-            f"refusing to bind {host!r} without token=...; /run mutates state"
-        )
+    non-loopback bind without a shared-secret ``token`` is refused (the
+    guard lives in ``make_server``, where the socket is bound)."""
     srv = make_server(
         spark, specs, catalog, store, host, port,
         token=token, allow_get_run=allow_get_run,

@@ -274,7 +274,9 @@ def w6_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM12 — centrality-based keeper selection over the near-dup graph
 # ---------------------------------------------------------------------------
 
-_L12_DOT = (
+# Shared 64-dim DuckDB dot-product fold (the cross-engine scheme sim1/dd5
+# established); referenced by both the llm12 and sim6 oracles.
+_DOT64 = (
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
     " (acc, x) -> acc + x)"
 )
@@ -288,9 +290,9 @@ WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                      FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round({_L12_DOT.format(a="a.e", b="b.e")}
-               / (sqrt({_L12_DOT.format(a="a.e", b="a.e")})
-                  * sqrt({_L12_DOT.format(a="b.e", b="b.e")})), 6) AS cos_sim
+         round({_DOT64.format(a="a.e", b="b.e")}
+               / (sqrt({_DOT64.format(a="a.e", b="a.e")})
+                  * sqrt({_DOT64.format(a="b.e", b="b.e")})), 6) AS cos_sim
   FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.blk = b.blk),
 good AS (SELECT * FROM pairs WHERE cos_sim >= 0.3),
 edges AS (
@@ -381,16 +383,12 @@ def llm12_centrality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8
 _KM_DIMS = 64
-_KM_DOT = (
-    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
-    " (acc, x) -> acc + x)"
-)
 
 
 def _kmeans_sql() -> str:
-    dot_vc = _KM_DOT.format(a="v.e", b="c.cv")
-    n_v = _KM_DOT.format(a="v.e", b="v.e")
-    n_c = _KM_DOT.format(a="c.cv", b="c.cv")
+    dot_vc = _DOT64.format(a="v.e", b="c.cv")
+    n_v = _DOT64.format(a="v.e", b="v.e")
+    n_c = _DOT64.format(a="c.cv", b="c.cv")
     assign = f"""
       SELECT vec_id, cid AS cell FROM (
         SELECT v.vec_id, c.cid,

@@ -136,6 +136,38 @@ def test_countmin_estimates_match_reference(spark, width):
         assert got == counts
 
 
+@pytest.mark.parametrize("width", [4, 1024])
+def test_countmin_estimate_handles_unseen_tokens(spark, width):
+    """Candidates OUTSIDE the sketched corpus: an unseen token hitting
+    any empty (absent) cell must estimate 0, and every candidate must
+    appear in the output — the sparse sketch's missing cells coalesce to
+    0 rather than dropping out of the min (review finding r6)."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    counts = {"alpha": 7, "beta": 3}
+    toks = spark.createDataFrame(
+        [(t,) for t, c in counts.items() for _ in range(c)], "token string"
+    )
+    sketch = countmin_sketch(toks, width=width, depth=2)
+    unseen = ["aaa", "aaf", "zzz", "qqq"]
+    cand = spark.createDataFrame(
+        [(t,) for t in list(counts) + unseen], "token string"
+    )
+    got = {
+        r.token: r.est_cnt
+        for r in countmin_estimate(cand, sketch, width=width, depth=2).collect()
+    }
+    want = _cms_ref({**counts, **{t: 0 for t in unseen}}, width, 2)
+    assert got == want                      # includes every candidate
+    for t in unseen:
+        assert got[t] >= 0                  # one-sided bound still holds
+    if width == 1024:                       # collision-free → exactly 0
+        assert all(got[t] == 0 for t in unseen)
+
+
 def test_countmin_rollup_form_equals_stream_form(spark):
     """`counts_col` (build from pre-aggregated (token, count) rows) must
     produce the identical sketch — cell sums are associative."""
