@@ -43,8 +43,17 @@ def pagerank(
     damping: float = 0.85,
     sources_cover_nodes: bool = False,
     broadcast_ranks: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list; returns ``(node, rank)``.
+
+    ``tol``: convergence-based early stop — ``iterations`` becomes the
+    MAXIMUM, and the loop exits once ``max |r_{t+1} − r_t| < tol``. The
+    probe is the dedup_clusters pattern: the driver touches a single
+    1-row scalar per superstep (never row data), and it rides the
+    superstep's own lazy checkpoint so each rank table materializes
+    exactly once. Default ``None`` keeps the fixed-iteration plan with
+    zero driver round-trips (the oracle-parity form).
 
     ``r_{t+1}(v) = (1-d)/N + d * Σ_u r_t(u) · w(u→v)`` with per-source
     weight normalization (``w(u→v) = weight / Σ weight over u's
@@ -91,6 +100,7 @@ def pagerank(
     )
     reset = F.lit(1.0 - damping) / F.col("__n")
     for i in range(iterations):
+        prev = ranks
         rk = maybe_b(ranks)
         contrib = (
             norm.join(rk, norm["__src"] == rk["node"])
@@ -110,4 +120,16 @@ def pagerank(
         )
         if i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
+            if tol is not None:
+                # The agg below materializes the checkpoint just taken, so
+                # the probe costs no extra pass over the superstep.
+                delta = (
+                    ranks.join(
+                        prev.select("node", F.col("rank").alias("__prev")), "node"
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                if delta is not None and delta < tol:
+                    break
     return ranks

@@ -450,3 +450,28 @@ def test_pagerank_hot_destination_skew(spark):
     assert ranks["f1"] == pytest.approx(fan2, rel=1e-9)
     assert len(ranks) == n
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_tol_early_stop_and_equivalence(spark):
+    """With tol set, iterations is a MAXIMUM: an already-converged graph
+    (symmetric pair — ranks stay 1/N forever) stops after the first
+    probe with the correct ranks, and a tiny tol reproduces the
+    fixed-iteration result exactly."""
+    from com_danliris_service_etl_spark.operators.graph import pagerank
+
+    pair = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    got = {r.node: r.rank for r in pagerank(pair, weight="w", iterations=50, tol=1e-12).collect()}
+    assert got == {"a": pytest.approx(0.5), "b": pytest.approx(0.5)}
+
+    tri = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 2.0), ("b", "c", 1.0), ("c", "b", 1.0)],
+        "src string, dst string, w double",
+    )
+    fixed = {r.node: r.rank for r in pagerank(tri, weight="w", iterations=3).collect()}
+    tiny_tol = {
+        r.node: r.rank
+        for r in pagerank(tri, weight="w", iterations=3, tol=1e-300).collect()
+    }
+    assert fixed == tiny_tol
