@@ -166,14 +166,24 @@ def write_fact(
     path: str,
     partition_by: Sequence[str] | None = None,
     mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
 ) -> None:
     """S5 — bulk load. The reference's 200/500/1000/4000-row INSERT chunking
     (`Pembelian/run.js:313`) is Spark partition-level parallel write here;
     ``partition_by`` (typically a date column) is the 100 TB layout knob —
-    partition pruning replaces full scans for incremental readers."""
+    partition pruning replaces full scans for incremental readers.
+
+    ``dynamic_overwrite``: with a partitioned target, a plain
+    ``mode="overwrite")`` TRUNCATES THE WHOLE TABLE even when the batch
+    holds one day — the incremental-nightly hazard. Dynamic mode (the
+    per-write ``partitionOverwriteMode`` option, no session conf touched)
+    replaces only the partitions present in ``df`` and leaves the rest of
+    the 100 TB layout untouched."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+        if dynamic_overwrite and mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
 
 
