@@ -215,3 +215,29 @@ def hourly_anomalies(
         "mad",
         flagged.alias("is_anomaly"),
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-level drift between two snapshots of a table: one row per
+    column that was ADDED, REMOVED, or TYPE_CHANGED (nullability is a
+    property of the data, not the contract — ignored). Complements
+    `snapshot_drift` (value-level) with the contract-level check a
+    nightly load runs BEFORE touching data.
+
+    Pure metadata: both schemas live on the driver already, so this
+    costs zero jobs and zero data movement at any scale — the returned
+    frame is a `createDataFrame` over at most |columns| rows."""
+    spark = old.sparkSession
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(old_t) | set(new_t)):
+        if c not in new_t:
+            rows.append((c, "removed", old_t[c], None))
+        elif c not in old_t:
+            rows.append((c, "added", None, new_t[c]))
+        elif old_t[c] != new_t[c]:
+            rows.append((c, "type_changed", old_t[c], new_t[c]))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

@@ -475,3 +475,24 @@ def test_pagerank_tol_early_stop_and_equivalence(spark):
         for r in pagerank(tri, weight="w", iterations=3, tol=1e-300).collect()
     }
     assert fixed == tiny_tol
+
+
+# ---------------------------------------------------------------------------
+# Schema drift (control plane)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_drift_detects_added_removed_type_changed(spark):
+    from com_danliris_service_etl_spark.operators.quality import schema_drift
+
+    old = spark.createDataFrame([], "id long, v string, amt double, note string")
+    new = spark.createDataFrame([], "id long, v string, amt decimal(12,2), extra int")
+    got = {(r.column, r.status, r.old_type, r.new_type)
+           for r in schema_drift(old, new).collect()}
+    assert got == {
+        ("amt", "type_changed", "double", "decimal(12,2)"),
+        ("extra", "added", None, "int"),
+        ("note", "removed", "string", None),
+    }
+    # identical schemas → empty drift report
+    assert schema_drift(old, old).collect() == []
