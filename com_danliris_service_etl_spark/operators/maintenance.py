@@ -60,6 +60,10 @@ def compact_small_files(
     crash leaves either the old or the new layout intact. On Delta/
     Iceberg deployments this whole operator is `OPTIMIZE`; this is the
     plain-parquet equivalent. Returns {before, after} layout stats."""
+    path = path.rstrip("/")
+    # restore a half-swapped layout / GC stale temp dirs from a crashed
+    # prior compaction before reading anything (shared swap protocol)
+    fsutil.recover_interrupted_swap(spark, path)
     before = fact_layout_stats(spark, path)
     n_parts = max(1, -(-before["total_bytes"] // target_file_bytes))
 
@@ -72,17 +76,13 @@ def compact_small_files(
     # Sibling temp dir (same filesystem — rename must not cross schemes),
     # uniquified against concurrent compactions; swap is Hadoop-FS rename
     # (atomic on local/HDFS/ABFS; on S3A use table-format OPTIMIZE).
-    tmp = f"{path.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    backup = path.rstrip("/") + ".old"
-    fsutil.delete(spark, backup)
-    fsutil.rename(spark, path, backup)
-    fsutil.rename(spark, tmp, path)
-    fsutil.delete(spark, backup)
+    fsutil.swap_with_backup(spark, tmp, path)
     return {"before": before, "after": fact_layout_stats(spark, path)}
 
 

@@ -49,6 +49,21 @@ def child_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def _in_temporary(base, f) -> bool:
+    """True iff file ``f`` sits under a ``_temporary`` PATH COMPONENT
+    inside ``base``. A substring test over the whole URI would also hit
+    stores whose own path merely CONTAINS the text (e.g.
+    `/data/etl_temporary/sig_store`) and misclassify every committed
+    file as in-flight — so walk the parent components instead."""
+    p = f.getParent()
+    stop = base.toString()
+    while p is not None and p.toString() != stop:
+        if p.getName() == "_temporary":
+            return True
+        p = p.getParent()
+    return False
+
+
 def has_committed_parquet(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` contains at least one COMMITTED parquet file
     (ignoring in-flight ``_temporary`` output) — the existence test every
@@ -60,7 +75,7 @@ def has_committed_parquet(spark: SparkSession, path: str) -> bool:
     it = fs.listFiles(p, True)  # recursive RemoteIterator
     while it.hasNext():
         f = it.next().getPath()
-        if "_temporary" in f.toString():
+        if _in_temporary(p, f):
             continue
         if f.getName().endswith(".parquet"):
             return True
@@ -79,7 +94,7 @@ def parquet_file_sizes(spark: SparkSession, path: str) -> list[int]:
     while it.hasNext():
         st = it.next()
         f = st.getPath()
-        if "_temporary" in f.toString() or not f.getName().endswith(".parquet"):
+        if _in_temporary(p, f) or not f.getName().endswith(".parquet"):
             continue
         sizes.append(int(st.getLen()))
     return sizes
@@ -110,3 +125,46 @@ def touch(spark: SparkSession, path: str) -> None:
     """Create an empty file (overwriting), e.g. an ``_applied_N`` marker."""
     fs, p = _fs(spark, path)
     fs.create(p, True).close()
+
+
+def recover_interrupted_swap(spark: SparkSession, target: str) -> None:
+    """Repair the aftermath of a crashed :func:`swap_with_backup` before
+    touching ``target`` again, and garbage-collect stale temp siblings.
+
+    - A kill between the swap's two renames leaves ``target`` missing and
+      ``<target>.old`` holding the only copy — restore it FIRST, or a
+      fresh-target branch would silently rebuild the store from one batch
+      and a later successful swap would delete the backup (data loss).
+    - A kill during a temp write leaves a full-size ``<target>.tmp*``
+      sibling that no later run overwrites (uuid-suffixed names) — each
+      crash-retry cycle would otherwise add another complete copy next to
+      a 100 TB fact. Single-writer-per-target is already the module's
+      protocol (two concurrent merges into one fact race the swap
+      itself), so deleting this target's temp siblings here is safe."""
+    target = target.rstrip("/")
+    backup = target + ".old"
+    if not exists(spark, target) and exists(spark, backup):
+        rename(spark, backup, target)
+    fs, _ = _fs(spark, target)
+    jvm = spark._jvm  # noqa: SLF001
+    matches = fs.globStatus(jvm.org.apache.hadoop.fs.Path(target + ".tmp*"))
+    for st in matches or []:
+        fs.delete(st.getPath(), True)
+
+
+def swap_with_backup(spark: SparkSession, tmp: str, target: str) -> None:
+    """Install the fully-written ``tmp`` directory at ``target`` with a
+    recovery copy at every step: the old target is renamed aside
+    (atomic), the new data moved into place (atomic), and only then is
+    the backup removed — a crash at any point leaves either the old or
+    the new store intact on disk (as ``<target>.old`` if the final rename
+    didn't run; :func:`recover_interrupted_swap` restores it). A missing
+    target (first install) skips the backup step. Crash-atomicity rests
+    on atomic rename — local/HDFS/ABFS, NOT S3A (module docstring)."""
+    target = target.rstrip("/")
+    backup = target + ".old"
+    delete(spark, backup)
+    if exists(spark, target):
+        rename(spark, target, backup)
+    rename(spark, tmp, target)
+    delete(spark, backup)

@@ -23,7 +23,15 @@ from com_danliris_service_etl_spark.sources import fsutil
 def _delta_available(spark: SparkSession) -> bool:
     # NB: plain `spark._jvm.io.delta.tables.DeltaTable` attribute access
     # NEVER raises — py4j silently returns a JavaPackage stub for any
-    # missing class — so probe with an actual JVM class lookup.
+    # missing class — so probe with an actual JVM class lookup. The
+    # PYTHON package must be probed too: with jars but no pip
+    # `delta-spark`, the fresh-fact branch would commit the fact to Delta
+    # format and every later merge would die on the `from delta.tables`
+    # import — with no parquet fallback able to read the fact.
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        return False
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
             "io.delta.tables.DeltaTable"
@@ -78,23 +86,29 @@ def merge_upsert(
         else:
             updates = updates.dropDuplicates(key_list)
 
-    # Crash recovery: a kill between the swap's two renames below leaves
-    # the target missing and `<target>.old` holding the only
-    # copy of the fact. Restore it FIRST — otherwise the fresh-target
-    # branch would silently rebuild the fact from this batch alone and a
-    # later successful swap would delete the backup, losing every
-    # pre-crash row. (merge_upsert is idempotent, so re-running the
-    # interrupted batch after the restore is safe.) All probes and the
+    # Crash recovery first (fsutil.recover_interrupted_swap): restore a
+    # `<target>.old` left by a kill between the swap's two renames — the
+    # fresh-target branch would otherwise silently rebuild the fact from
+    # this batch alone — and garbage-collect stale `.tmp-*` siblings from
+    # crashed temp writes (each would otherwise hold a full copy of the
+    # fact forever). merge_upsert is idempotent, so re-running the
+    # interrupted batch after the restore is safe. All probes and the
     # swap route through the Hadoop FileSystem of the target's scheme
     # (fsutil) — driver-local os.path is always False on hdfs://s3a://
-    # paths, which would rebuild the fact from one batch. The swap's
-    # crash-atomicity needs atomic rename (local/HDFS/ABFS); on S3A use
-    # the Delta branch instead (fsutil module docstring).
-    _backup = target_path + ".old"
-    if not fsutil.exists(spark, target_path) and fsutil.exists(spark, _backup):
-        fsutil.rename(spark, _backup, target_path)
+    # paths. The swap's crash-atomicity needs atomic rename
+    # (local/HDFS/ABFS); on S3A use the Delta branch instead (fsutil
+    # module docstring).
+    target_path = target_path.rstrip("/")
+    fsutil.recover_interrupted_swap(spark, target_path)
 
-    if not fsutil.exists(spark, target_path):
+    # "Fresh" means NO COMMITTED DATA — not "directory absent": a kill
+    # during the very first write leaves a `_temporary`-only directory
+    # that a bare existence probe mistakes for a live fact, wedging every
+    # retry on an unreadable target. Probe for committed parquet or a
+    # Delta log instead, and clear the wreckage before the fresh write.
+    has_delta_log = fsutil.exists(spark, f"{target_path}/_delta_log")
+    if not has_delta_log and not fsutil.has_committed_parquet(spark, target_path):
+        fsutil.delete(spark, target_path)
         # Fresh fact: create it in Delta format when Delta is available,
         # or every subsequent merge would miss the `_delta_log` check and
         # run the non-scalable full-rewrite parquet emulation forever.
@@ -104,16 +118,21 @@ def merge_upsert(
             updates.write.mode("overwrite").parquet(target_path)
         return
 
-    if _delta_available(spark) and fsutil.exists(
-        spark, f"{target_path.rstrip('/')}/_delta_log"
-    ):
+    if _delta_available(spark) and has_delta_log:
         from delta.tables import DeltaTable  # type: ignore
 
         tgt = DeltaTable.forPath(spark, target_path)
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_list)
         if replace_group:
             # Delete every fact row whose group key appears in the batch,
-            # then append the batch: detail rows never collapse.
+            # then append the batch: detail rows never collapse. NB this
+            # is TWO Delta transactions — a crash (or a concurrent
+            # reader) between them sees the batch's groups deleted but
+            # not yet re-inserted. The watermark not advancing heals it
+            # on the re-run, but unlike the parquet swap there is a
+            # visible window; readers needing a consistent view should
+            # read a pinned Delta version (time travel) or gate on the
+            # migration log's Successful row.
             (
                 tgt.alias("t")
                 .merge(updates.select(*key_list).distinct().alias("s"), cond)
@@ -150,15 +169,11 @@ def merge_upsert(
     # targets never collide.
     tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    # Swap with a recovery copy at every step: old target is renamed aside
-    # (atomic), the new data moved into place (atomic), and only then is the
-    # backup removed — a crash at any point leaves either the old or the new
-    # fact intact on disk (as <target>.old if the final rename didn't run).
-    backup = target_path + ".old"
-    fsutil.delete(spark, backup)
-    fsutil.rename(spark, target_path, backup)
-    fsutil.rename(spark, tmp, target_path)
-    fsutil.delete(spark, backup)
+    # Swap with a recovery copy at every step (fsutil.swap_with_backup —
+    # shared with compact_small_files and the streaming folds): a crash
+    # at any point leaves either the old or the new fact intact on disk,
+    # and recover_interrupted_swap above restores/GCs on the next run.
+    fsutil.swap_with_backup(spark, tmp, target_path)
 
 
 def write_fact(

@@ -12,7 +12,6 @@ idempotent re-runs when paired with the MERGE sink.
 from __future__ import annotations
 
 import datetime as dt
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,10 +62,22 @@ class WatermarkStore:
                         cond = None
                     if cond:
                         break
+            # UNABLE_TO_INFER_SCHEMA is the "directory exists but holds no
+            # committed parquet" shape — the aftermath of a kill during
+            # the very FIRST commit_run (a `_temporary`-only dir) or a
+            # pre-created empty dir. Treating it as a missing log returns
+            # the EPOCH fallback, whose failure direction is SAFE: the
+            # job re-extracts from epoch and the idempotent MERGE absorbs
+            # it — where re-raising would crash every job's watermark
+            # read until someone manually deleted the directory.
+            _missing_conds = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
             missing = (
-                cond == "PATH_NOT_FOUND"
+                cond in _missing_conds
                 if cond
-                else ("Path does not exist" in str(exc) or "PATH_NOT_FOUND" in str(exc))
+                else (
+                    "Path does not exist" in str(exc)
+                    or any(c in str(exc) for c in _missing_conds)
+                )
             )
             if missing:
                 return self.spark.createDataFrame([], LOG_SCHEMA)

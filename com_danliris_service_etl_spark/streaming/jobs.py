@@ -381,13 +381,12 @@ def fold_rollup(
     )
 
     sess = batch_df.sparkSession
-    backup = state_path + ".old"
-    # crash recovery: a kill between the two renames of a prior fold
-    # leaves the state missing and the backup holding the only copy
-    # — restore it or the "first batch" branch below would silently
-    # rebuild the rollup from one batch's delta.
-    if not fsutil.exists(sess, state_path) and fsutil.exists(sess, backup):
-        fsutil.rename(sess, backup, state_path)
+    # crash recovery (fsutil.recover_interrupted_swap): a kill between
+    # the two renames of a prior fold leaves the state missing and the
+    # backup holding the only copy — restore it or the "first batch"
+    # branch below would silently rebuild the rollup from one batch's
+    # delta; stale temp dirs from killed writes are GC'd with it.
+    fsutil.recover_interrupted_swap(sess, state_path)
     if batch_id is not None and fsutil.exists(
         sess, f"{state_path.rstrip('/')}/_applied_{batch_id}"
     ):
@@ -411,11 +410,7 @@ def fold_rollup(
             fsutil.touch(sess, f"{tmp}/{f}")
     if batch_id is not None:
         fsutil.touch(sess, f"{tmp}/_applied_{batch_id}")
-    fsutil.delete(sess, backup)
-    if fsutil.exists(sess, state_path):
-        fsutil.rename(sess, state_path, backup)
-    fsutil.rename(sess, tmp, state_path)
-    fsutil.delete(sess, backup)
+    fsutil.swap_with_backup(sess, tmp, state_path)
 
 
 def run_streaming_rollup(

@@ -330,3 +330,83 @@ def test_write_fact_dynamic_partition_overwrite(spark, tmp_path):
     # static overwrite: whole table truncated to the batch
     write_fact(one_day, path, partition_by=["day"])
     assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_recovers_from_killed_first_write(spark, tmp_path):
+    """A kill during the very FIRST fact write leaves a _temporary-only
+    directory; the next merge must treat it as a fresh fact (the data
+    was never committed) instead of wedging every retry on an unreadable
+    target (review finding r6)."""
+    target = tmp_path / "fact_wedged"
+    (target / "_temporary" / "0").mkdir(parents=True)
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(spark, str(target), batch, keys=["id"])
+    got = spark.read.parquet(str(target)).collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a")]
+    # and the merge path keeps working after the recovery
+    merge_upsert(
+        spark,
+        str(target),
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        keys=["id"],
+    )
+    assert spark.read.parquet(str(target)).count() == 2
+
+
+def test_merge_upsert_gc_stale_tmp_dirs(spark, tmp_path):
+    """Crashed swaps leave full-size `.tmp-<uuid>` siblings; the next
+    merge garbage-collects them instead of letting each retry add
+    another complete copy of the fact."""
+    target = str(tmp_path / "fact_gc")
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(spark, target, batch, keys=["id"])
+    stale = tmp_path / "fact_gc.tmp-deadbeef"
+    stale.mkdir()
+    (stale / "part-stale.parquet").write_bytes(b"junk")
+    merge_upsert(spark, target, batch, keys=["id"])
+    assert not stale.exists()
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_merge_upsert_trailing_slash_target(spark, tmp_path):
+    """A trailing slash must not turn the swap's tmp/backup siblings into
+    CHILDREN of the live fact (rename-into-own-subdir fails on Hadoop)."""
+    target = str(tmp_path / "fact_slash") + "/"
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(1, "a2"), (2, "b")], "id long, v string")
+    merge_upsert(spark, target, a, keys=["id"])
+    merge_upsert(spark, target, b, keys=["id"])  # exercises the swap path
+    got = sorted((r.id, r.v) for r in spark.read.parquet(target).collect())
+    assert got == [(1, "a2"), (2, "b")]
+    assert not (tmp_path / "fact_slash" / ".old").exists()
+
+
+def test_watermark_store_survives_empty_or_inflight_log_dir(spark, tmp_path):
+    """A killed FIRST commit_run leaves a _temporary-only log directory;
+    every job's watermark read must fall back to EPOCH (safe: re-extract
+    + idempotent MERGE) instead of crashing until manual cleanup."""
+    log = tmp_path / "log_wedged"
+    (log / "_temporary" / "0").mkdir(parents=True)
+    store = WatermarkStore(spark, str(log))
+    assert store.read_watermark("Fact X") == EPOCH
+    # and the protocol proceeds normally afterwards
+    t1 = dt.datetime(2024, 3, 1)
+    store.commit_run("Fact X", t1, t1, "Successful", 10)
+    assert store.read_watermark("Fact X") == t1
+
+
+def test_fsutil_store_path_containing_temporary_substring(spark, tmp_path):
+    """A store whose PATH merely contains the text '_temporary' must not
+    have its committed files misclassified as in-flight (component-wise
+    check, not URI substring)."""
+    from com_danliris_service_etl_spark.sources import fsutil
+
+    store = tmp_path / "etl_temporary" / "sig_store"
+    spark.createDataFrame([(1,)], "x long").write.parquet(str(store))
+    assert fsutil.has_committed_parquet(spark, str(store))
+    assert len(fsutil.parquet_file_sizes(spark, str(store))) >= 1
+    # while real in-flight output is still excluded
+    inflight = tmp_path / "plain_store"
+    (inflight / "_temporary" / "0").mkdir(parents=True)
+    (inflight / "_temporary" / "0" / "part-x.parquet").write_bytes(b"junk")
+    assert not fsutil.has_committed_parquet(spark, str(inflight))
