@@ -23,7 +23,7 @@ from com_danliris_service_etl_spark.functions.dates import (
     fmt_time,
     to_jakarta,
 )
-from com_danliris_service_etl_spark.functions.strings import quote_sanitize
+from com_danliris_service_etl_spark.functions.strings import quote_sanitize, truncate
 
 
 def _col(c: str | Column) -> Column:
@@ -35,17 +35,21 @@ def nz_str(c: str | Column, n: int | None = None, sanitize: bool = True) -> Colu
     (T1/T2/M10). Empty string is falsy in JS, so '' also maps to NULL."""
     col = _col(c).cast("string")
     if n is not None:
-        col = F.substring(col, 1, n)
+        col = truncate(col, n)  # T2 — one implementation (functions/strings.py)
     if sanitize:
         col = quote_sanitize(col)
     return F.when((_col(c).isNotNull()) & (_col(c).cast("string") != ""), col)
 
 
 def nz_num(c: str | Column, default: float | None = None) -> Column:
-    """Numeric with JS falsy semantics (P8): 0/NULL → default (NULL keeps
-    the strict ternary `x ? x : null`; a 0 default mirrors `x ? x : 0`)."""
+    """Numeric with JS falsy semantics (P8): 0/NULL/NaN → default (NULL
+    keeps the strict ternary `x ? x : null`; a 0 default mirrors
+    `x ? x : 0`). NaN is falsy in JS, so a corrupted NaN field maps to the
+    default instead of flowing into the fact and poisoning SUM/AVG
+    downstream; the isnan probe runs on a double cast so integer/decimal
+    inputs stay valid."""
     col = _col(c)
-    falsy = col.isNull() | (col == 0)
+    falsy = col.isNull() | F.isnan(col.cast("double")) | (col == 0)
     if default is None:
         return F.when(~falsy, col)
     return F.when(~falsy, col).otherwise(F.lit(default)).cast("double")
@@ -53,20 +57,25 @@ def nz_num(c: str | Column, default: float | None = None) -> Column:
 
 def bool_str(c: str | Column) -> Column:
     """Booleans load as `'true'`/`'false'` strings in the reference facts
-    (`Pembelian/run.js:277-278`)."""
+    (`Pembelian/run.js:277-278`: ``deletedPR: `'${item.prDeleted}'` `` — a
+    raw template literal, so the reference renders a MISSING flag as the
+    junk string `'undefined'` (and null as `'null'`). That is a §2.14
+    reference-bug class; the engine keeps NULL for NULL — the documented
+    intent divergence — and `'true'`/`'false'` for real booleans."""
     return _col(c).cast("string")
 
 
 def jkt_date(c: str | Column) -> Column:
-    """D3+D4 — `moment(x).add(7,'hours').format('YYYY-MM-DD')`, null-guarded."""
-    return F.when(_col(c).isNotNull(), fmt_date(to_jakarta(_col(c))))
+    """D3+D4 — `moment(x).add(7,'hours').format('YYYY-MM-DD')`. The shift
+    and format are null-propagating, so NULL in → NULL out needs no guard."""
+    return fmt_date(to_jakarta(_col(c)))
 
 
 def jkt_datetime(c: str | Column) -> Column:
-    """D3+D4 — `...format('YYYY-MM-DD HH:mm:ss')`, null-guarded."""
-    return F.when(_col(c).isNotNull(), fmt_datetime(to_jakarta(_col(c))))
+    """D3+D4 — `...format('YYYY-MM-DD HH:mm:ss')`, null-propagating."""
+    return fmt_datetime(to_jakarta(_col(c)))
 
 
 def jkt_time(c: str | Column) -> Column:
-    """D3+D4 — `...format('HH:mm:ss')`, null-guarded."""
-    return F.when(_col(c).isNotNull(), fmt_time(to_jakarta(_col(c))))
+    """D3+D4 — `...format('HH:mm:ss')`, null-propagating."""
+    return fmt_time(to_jakarta(_col(c)))

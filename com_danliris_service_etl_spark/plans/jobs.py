@@ -21,9 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from com_danliris_service_etl_spark.sources.catalog import Catalog
 from com_danliris_service_etl_spark.sources.sinks import merge_upsert
-from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+from com_danliris_service_etl_spark.sources.watermark import EPOCH, WatermarkStore
 
 BuildFn = Callable[[SparkSession, Catalog, dt.datetime], DataFrame]
+
+
+def _target_has_data(spark: SparkSession, target: str) -> bool:
+    """Committed data present at the fact target (parquet files or a Delta
+    log) — the probe behind the empty-fact ⇒ full-extract invariant."""
+    from com_danliris_service_etl_spark.sources import fsutil
+
+    target = target.rstrip("/")
+    return fsutil.exists(spark, f"{target}/_delta_log") or fsutil.has_committed_parquet(
+        spark, target
+    )
 
 
 @dataclass
@@ -39,9 +50,14 @@ class JobSpec:
     replaces every fact row of each batch key with ALL the batch's rows for
     it, so the detail grain survives (see sinks.merge_upsert replace_group).
     """
-    extra_targets: dict[str, tuple[BuildFn, Sequence[str]]] = field(default_factory=dict)
+    extra_targets: dict[str, tuple] = field(default_factory=dict)
     """S9 dual-target loads (`DailyOperation/run.js:249,273`): extra
-    (target -> (build, merge_keys)) pairs committed in the same run."""
+    ``target -> (build, merge_keys)`` pairs committed in the same run. An
+    optional third element — a dict of `merge_upsert` kwargs
+    (``order_col``, ``replace_group``) — lets an extra load declare the
+    same winner-picking / group-grain semantics the main target gets, so
+    a duplicate-key extra batch is never silently resolved by an
+    arbitrary ``dropDuplicates`` winner."""
 
 
 @dataclass
@@ -66,6 +82,15 @@ def run_job(
     started = now()
     try:
         wm = store.read_watermark(spec.name)
+        # Empty fact ⇒ full extract, whatever the log says: an advanced
+        # watermark with NO committed target data means the fact was
+        # redirected (run_nightly's target_dir against a shared store),
+        # deleted, or lost — loading only the delta into an empty fact
+        # would silently drop all history with a "Successful" status.
+        # Falling back to EPOCH re-extracts everything; the MERGE makes
+        # that idempotent. (One metadata probe per job per run.)
+        if wm != EPOCH and not _target_has_data(spark, spec.target):
+            wm = EPOCH
         # Persist the increment across the telemetry count and the MERGE:
         # without it the whole extract+join+transform plan re-executes for
         # each action (the count, then the merge's reads). The increment
@@ -88,9 +113,18 @@ def run_job(
             )
         finally:
             df.unpersist()
-        for target, (build_fn, keys) in spec.extra_targets.items():
-            extra = build_fn(spark, catalog, wm)
-            merge_upsert(spark, target, extra, keys)
+        for target, extra_spec in spec.extra_targets.items():
+            build_fn, keys, *rest = extra_spec
+            opts = dict(rest[0]) if rest else {}
+            # Same persist rationale as the main df: the parquet merge
+            # references the batch at least twice (anti-join keys + the
+            # union write) — without the cache the extra extract/join
+            # re-executes per reference.
+            extra = build_fn(spark, catalog, wm).persist()
+            try:
+                merge_upsert(spark, target, extra, keys, **opts)
+            finally:
+                extra.unpersist()
         finished = now()
         store.commit_run(spec.name, started, finished, "Successful", rows)
         return JobResult(spec.name, rows, "Successful", started, finished)

@@ -87,13 +87,32 @@ def run_nightly(
     continue_on_error: bool = True,
 ) -> list[JobResult]:
     """Run the nightly DAG layer by layer. A failed job logs its failure
-    and (matching the reference's independent-timer behavior) does NOT stop
-    sibling or downstream jobs unless ``continue_on_error=False`` — its own
-    watermark simply doesn't advance, so the next night re-extracts the
-    same window idempotently."""
+    (a Failed row in the migration log AND a Failed JobResult in the
+    returned list — callers can see what broke without reading the log)
+    and, matching the reference's independent-timer behavior, does NOT
+    stop sibling or downstream jobs unless ``continue_on_error=False`` —
+    its own watermark simply doesn't advance, so the next night
+    re-extracts the same window idempotently.
+
+    ``target_dir`` redirects every fact target under one base dir.
+    Watermarks stay keyed by job name on the SHARED store, so redirected
+    (empty) targets trigger `run_job`'s empty-fact ⇒ full-extract
+    fallback — a redirect against a store with history re-loads
+    everything instead of silently writing only the post-watermark delta.
+
+    Unknown job names are rejected UP FRONT (before any job runs): a typo
+    in a custom ``layers`` must not half-run the night and then abort
+    mid-DAG past ``continue_on_error``."""
     import dataclasses
 
     from com_danliris_service_etl_spark.jobs import ALL_SPECS
+
+    unknown = [n for layer in layers for n in layer if n not in ALL_SPECS]
+    if unknown:
+        raise ValueError(
+            f"unknown job name(s) in layers: {unknown!r} — "
+            f"known specs: {sorted(ALL_SPECS)}"
+        )
 
     results: list[JobResult] = []
     for layer in layers:
@@ -110,7 +129,9 @@ def run_nightly(
                 )
             try:
                 results.append(run_job(spark, spec, catalog, store, now=now))
-            except Exception:
+            except Exception as exc:  # noqa: BLE001 — per-job failure isolation
+                t = now()
+                results.append(JobResult(name, 0, f"Failed: {exc}"[:500], t, t))
                 if not continue_on_error:
                     raise
     return results

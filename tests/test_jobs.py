@@ -176,3 +176,100 @@ def test_fanout_specs_declare_group_grain():
         "Fact Shipment Document from MongoDB to Azure DWH",
     ]:
         assert ALL_SPECS[name].grain == "group", name
+
+
+def test_run_job_empty_fact_triggers_full_reextract(spark, tmp_path):
+    """Empty fact ⇒ full extract, whatever the log says: an advanced
+    watermark with no committed target data (redirected target_dir,
+    deleted fact) must re-load everything — loading only the delta into
+    an empty fact would silently drop all history (review finding r6)."""
+    import shutil
+
+    from com_danliris_service_etl_spark.plans.jobs import JobSpec, run_job
+    from com_danliris_service_etl_spark.sources.catalog import Catalog
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    cat = Catalog(spark=spark)
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2))],
+        "id long, lastmodifiedutc timestamp",
+    )
+    p = str(tmp_path / "src")
+    src.write.parquet(p)
+    cat.tables["src"] = p
+
+    def build(sp, catalog, wm):
+        return catalog.read("src").filter(F.col("lastmodifiedutc") > F.lit(wm))
+
+    spec = JobSpec("Fact Reload", build, ["id"], str(tmp_path / "fact"))
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    r1 = run_job(spark, spec, cat, store)
+    assert r1.rows == 2
+    # watermark is now 2024-..; wipe the fact and re-run: full reload, not
+    # the empty post-watermark delta
+    shutil.rmtree(tmp_path / "fact")
+    r2 = run_job(spark, spec, cat, store)
+    assert r2.rows == 2
+    assert spark.read.parquet(spec.target).count() == 2
+
+
+def test_run_nightly_rejects_unknown_names_up_front(spark, tmp_path):
+    from com_danliris_service_etl_spark.plans.schedule import run_nightly
+    from com_danliris_service_etl_spark.sources.catalog import Catalog
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    with pytest.raises(ValueError, match="unknown job name"):
+        run_nightly(
+            spark, Catalog(spark=spark), store,
+            layers=[["Fact Pembelian from MongoDB to Azure DWH", "Fact Typo"]],
+        )
+    # nothing ran — the valid sibling was not half-executed
+    assert store.read_watermark("Fact Pembelian from MongoDB to Azure DWH").year == 1970
+
+
+def test_run_nightly_reports_failed_jobs_in_results(spark, tmp_path, monkeypatch):
+    """A failed job must surface as a Failed JobResult in the returned
+    list, not vanish (callers should not need to read the migration log
+    to learn something broke)."""
+    from com_danliris_service_etl_spark.jobs import ALL_SPECS
+    from com_danliris_service_etl_spark.plans.jobs import JobSpec
+    from com_danliris_service_etl_spark.plans.schedule import run_nightly
+    from com_danliris_service_etl_spark.sources.catalog import Catalog
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    def boom(sp, catalog, wm):
+        raise RuntimeError("extract exploded")
+
+    name = "Fact Boom Nightly Test"
+    monkeypatch.setitem(
+        ALL_SPECS, name, JobSpec(name, boom, ["id"], str(tmp_path / "boom"))
+    )
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    results = run_nightly(
+        spark, Catalog(spark=spark), store, layers=[[name]], continue_on_error=True
+    )
+    assert len(results) == 1
+    assert results[0].job == name and results[0].status.startswith("Failed")
+    assert "extract exploded" in results[0].status
+
+
+def test_nz_num_nan_is_falsy(spark):
+    """JS falsy includes NaN: `x ? x : 0` maps NaN to 0, so a corrupted
+    NaN field must take the default instead of poisoning downstream
+    SUM/AVG (review finding r6). Integer columns stay valid (the isnan
+    probe runs on a double cast)."""
+    from com_danliris_service_etl_spark.jobs._helpers import nz_num
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 0.0), (4, None)], "id long, x double"
+    )
+    got = {r.id: r.v for r in df.select("id", nz_num("x", 0.0).alias("v")).collect()}
+    assert got == {1: 0.0, 2: 5.0, 3: 0.0, 4: 0.0}
+    # strict ternary (no default): NaN → NULL like the other falsies
+    got2 = {r.id: r.v for r in df.select("id", nz_num("x").alias("v")).collect()}
+    assert got2 == {1: None, 2: 5.0, 3: None, 4: None}
+    # integer input still analyzes and behaves
+    di = spark.createDataFrame([(1, 7), (2, 0)], "id long, x long")
+    goti = {r.id: r.v for r in di.select("id", nz_num("x", 0.0).alias("v")).collect()}
+    assert goti == {1: 7.0, 2: 0.0}
