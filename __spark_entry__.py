@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # consecutive rounds cannot cover the registry; the guarantee is a
 # 3-ROUND CYCLE — r4 recorded 50 (all green), r5 recorded 50 (all
 # green), round 6 below leads with the 19 queries whose latest green row
-# is still r3 plus the 7 queries NEW this round (g8/sk3/w6/
-# j12/st8/sim6/llm12 — 125 registered total); the r4+r5+r6 union then covers every
+# is still r3 plus the 8 queries NEW this round (g8/sk3/w6/
+# j12/st8/sim6/llm12/a7 — 126 registered total); the r4+r5+r6 union then covers every
 # registered query.
 #   1. _PRIORITY — exactly the 50-row budget: (a) the 19 r03-green
 #      entries deferred from round 5 (stalest evidence), (b) queries
@@ -70,6 +70,7 @@ _PRIORITY = [
     "st8_countmin_sketch",
     "sim6_kmeans_fit",
     "llm12_centrality_keeper",
+    "a7_group_quantiles",
     # (c) stalest r04-green entries — refresh before they age out
     "sk2_salted_aggregate",
     "g5_funnel_conversion",
@@ -94,10 +95,10 @@ _PRIORITY = [
     "llm5_decontamination",
     "llm6_weighted_sample",
     "m1_m2_m9_math_scalars",
-    "m4_m8_buckets_status",
 ]
 
 _RECORD_LAST = [
+    "m4_m8_buckets_status",
     "m6_m7_categories",
     "mm2_decode_features",
     "mm3_frame_sample",

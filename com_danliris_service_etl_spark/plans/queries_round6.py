@@ -271,6 +271,40 @@ def w6_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A7 — exact multi-quantile group profile
+# ---------------------------------------------------------------------------
+
+_A7_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("a7_group_quantiles", _A7_SQL)
+def a7_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile profile (p25/p50/p75/p95) — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation definition, so the values match exactly at 6dp. Scale
+    note: the exact aggregate buffers each group's value multiset; at
+    100 TB the same profile comes from `approx_percentile` (t-digest —
+    the sk1 accuracy-contract path). This query pins the EXACT
+    semantics that sketch is graded against."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM12 — centrality-based keeper selection over the near-dup graph
 # ---------------------------------------------------------------------------
 
