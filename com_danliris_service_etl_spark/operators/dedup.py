@@ -59,13 +59,20 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
-# Analyzed-plan node names that cannot introduce an exchange: for these the
-# `.rdd` partition probe is pure metadata even under AQE.
-_NARROW_NODES = frozenset(
+# Analyzed-plan node CLASSES that cannot introduce an exchange: for these
+# the `.rdd` partition probe is pure metadata even under AQE. Matched on
+# the JVM class simple name (getClass().getSimpleName()), not the plan's
+# string rendering — rendering drifts across Spark versions; class names
+# are the tree itself.
+_NARROW_CLASSES = frozenset(
     {
-        "Relation",
+        "LogicalRelation",  # DataSource V1 scan (parquet here)
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "HiveTableRelation",
         "LogicalRDD",
         "LocalRelation",
+        "Range",
         "Project",
         "Filter",
         "SubqueryAlias",
@@ -77,20 +84,54 @@ _NARROW_NODES = frozenset(
 )
 
 
+def _walk_is_narrow(jplan) -> bool:
+    """Walk the analyzed LogicalPlan tree via py4j: every node's JVM class
+    simple name must be in _NARROW_CLASSES. Raises on py4j failures —
+    callers decide the safe default."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() not in _NARROW_CLASSES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
+
+
+_SCAN_ROOT_SELF_CHECKED = False
+
+
 def _is_scan_rooted(df: DataFrame) -> bool:
     """True iff every node of the analyzed logical plan is narrow (no
     join/aggregate/window/sort/repartition anywhere) — the condition under
-    which `.rdd.getNumPartitions()` runs no jobs. Unknown nodes and probe
-    failures default to False (treat as composed: skip the probe)."""
+    which `.rdd.getNumPartitions()` runs no jobs. Unknown node classes and
+    probe failures default to False (treat as composed: skip the probe —
+    the safe direction, but see the self-check below).
+
+    SELF-CHECK (once per process): a silently-miscategorizing probe would
+    disable `_spread` for every scan input — a silent perf regression, not
+    a correctness bug — so on first use assert the walk classifies a plain
+    scan as narrow and an aggregate as composed; Spark-version drift in
+    the plan representation then fails LOUDLY instead of quietly."""
+    global _SCAN_ROOT_SELF_CHECKED
+    if not _SCAN_ROOT_SELF_CHECKED:
+        spark = df.sparkSession
+        scan_ok = _walk_is_narrow(spark.range(1)._jdf.queryExecution().analyzed())
+        agg_composed = not _walk_is_narrow(
+            spark.range(1).groupBy().count()._jdf.queryExecution().analyzed()
+        )
+        if not (scan_ok and agg_composed):
+            raise RuntimeError(
+                "_is_scan_rooted self-check failed on this Spark version: "
+                f"plain scan narrow={scan_ok}, aggregate composed={agg_composed}. "
+                "Update _NARROW_CLASSES for the new analyzed-plan node classes."
+            )
+        _SCAN_ROOT_SELF_CHECKED = True
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        return _walk_is_narrow(df._jdf.queryExecution().analyzed())
     except Exception:
         return False
-    for line in plan.splitlines():
-        node = line.lstrip(" +:-").split(" ", 1)[0].split("(", 1)[0]
-        if node and node not in _NARROW_NODES:
-            return False
-    return True
 
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:

@@ -59,7 +59,13 @@ def compact_small_files(
     renamed aside, new data moved into place, backup removed last — a
     crash leaves either the old or the new layout intact. On Delta/
     Iceberg deployments this whole operator is `OPTIMIZE`; this is the
-    plain-parquet equivalent. Returns {before, after} layout stats."""
+    plain-parquet equivalent. Returns {before, after} layout stats.
+
+    SINGLE WRITER PER TARGET: the swap protocol (and its crash recovery,
+    which GCs every `<path>.tmp*` sibling) assumes one writer owns the
+    target at a time — a concurrent merge/compaction on the SAME path
+    races the rename and can have its in-flight temp dir GC'd. Serialize
+    per-fact maintenance in the scheduler (the nightly DAG already does)."""
     path = path.rstrip("/")
     # restore a half-swapped layout / GC stale temp dirs from a crashed
     # prior compaction before reading anything (shared swap protocol)

@@ -88,9 +88,15 @@ def run_job(
         # deleted, or lost — loading only the delta into an empty fact
         # would silently drop all history with a "Successful" status.
         # Falling back to EPOCH re-extracts everything; the MERGE makes
-        # that idempotent. (One metadata probe per job per run.)
-        if wm != EPOCH and not _target_has_data(spark, spec.target):
-            wm = EPOCH
+        # that idempotent. (One metadata probe per target per run.) The
+        # probe covers EVERY target the job commits — an extra_targets
+        # fact deleted/redirected while the main target still holds data
+        # is the same silent-history-loss class, because all targets
+        # share the one per-job watermark.
+        if wm != EPOCH:
+            all_targets = [spec.target, *spec.extra_targets]
+            if any(not _target_has_data(spark, t) for t in all_targets):
+                wm = EPOCH
         # Persist the increment across the telemetry count and the MERGE:
         # without it the whole extract+join+transform plan re-executes for
         # each action (the count, then the merge's reads). The increment

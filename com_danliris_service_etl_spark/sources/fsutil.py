@@ -145,11 +145,18 @@ def recover_interrupted_swap(spark: SparkSession, target: str) -> None:
     backup = target + ".old"
     if not exists(spark, target) and exists(spark, backup):
         rename(spark, backup, target)
-    fs, _ = _fs(spark, target)
-    jvm = spark._jvm  # noqa: SLF001
-    matches = fs.globStatus(jvm.org.apache.hadoop.fs.Path(target + ".tmp*"))
-    for st in matches or []:
-        fs.delete(st.getPath(), True)
+    # Temp-sibling GC via parent listing + literal prefix match, NOT
+    # globStatus: a target path containing glob metacharacters ([]{}*?)
+    # would make a glob match unintended siblings (or nothing at all).
+    # listStatus + startswith treats the name as the literal it is.
+    fs, tpath = _fs(spark, target)
+    parent = tpath.getParent()
+    if parent is None or not fs.exists(parent):
+        return
+    prefix = tpath.getName() + ".tmp"
+    for st in fs.listStatus(parent):
+        if st.getPath().getName().startswith(prefix):
+            fs.delete(st.getPath(), True)
 
 
 def swap_with_backup(spark: SparkSession, tmp: str, target: str) -> None:

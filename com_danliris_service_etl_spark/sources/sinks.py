@@ -118,7 +118,23 @@ def merge_upsert(
             updates.write.mode("overwrite").parquet(target_path)
         return
 
-    if _delta_available(spark) and has_delta_log:
+    if has_delta_log and not _delta_available(spark):
+        # HARD STOP, not a fallback: spark.read.parquet over a Delta dir
+        # ignores the transaction log and reads every data file ever
+        # written — logically-removed rows resurrect — and the parquet
+        # swap would then delete `_delta_log`, irreversibly converting
+        # the fact to parquet with corrupted contents. A missing pip
+        # `delta-spark` (or missing jars) on a Delta fact is an
+        # environment error, never a reason to rewrite the fact.
+        raise RuntimeError(
+            f"Delta fact at {target_path} (_delta_log present) but the "
+            "delta-spark python package/jars are unavailable in this "
+            "session; refusing the parquet fallback, which would read "
+            "logically-removed files and destroy the transaction log. "
+            "Install delta-spark + jars, or restore the environment."
+        )
+
+    if has_delta_log:
         from delta.tables import DeltaTable  # type: ignore
 
         tgt = DeltaTable.forPath(spark, target_path)

@@ -410,3 +410,49 @@ def test_fsutil_store_path_containing_temporary_substring(spark, tmp_path):
     (inflight / "_temporary" / "0").mkdir(parents=True)
     (inflight / "_temporary" / "0" / "part-x.parquet").write_bytes(b"junk")
     assert not fsutil.has_committed_parquet(spark, str(inflight))
+
+
+def test_merge_upsert_refuses_parquet_fallback_on_delta_fact(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a fact WITH a _delta_log but WITHOUT a usable
+    delta-spark environment must fail loudly — the parquet emulation would
+    read logically-removed data files (resurrecting deleted rows) and the
+    swap would then delete _delta_log, irreversibly corrupting the fact."""
+    from com_danliris_service_etl_spark.sources import sinks
+
+    target = tmp_path / "fact_delta_noenv"
+    (target / "_delta_log").mkdir(parents=True)
+    (target / "_delta_log" / "00000000000000000000.json").write_text("{}")
+    # removed data file a raw parquet read would resurrect
+    spark.createDataFrame([(1, "stale")], "id long, v string").write.mode(
+        "append"
+    ).parquet(str(target))
+    monkeypatch.setattr(sinks, "_delta_available", lambda sp: False)
+
+    batch = spark.createDataFrame([(1, "new")], "id long, v string")
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        sinks.merge_upsert(spark, str(target), batch, keys=["id"])
+    # the transaction log must be untouched — no silent conversion
+    assert (target / "_delta_log").exists()
+
+
+def test_recover_swap_with_glob_metachars_in_target(spark, tmp_path):
+    """ADVICE r6: a target path containing glob metacharacters must GC
+    exactly ITS OWN `.tmp*` siblings — the old globStatus form treated
+    `[2024]` as a character class, matching (and deleting) a DIFFERENT
+    target's in-flight temp dir."""
+    from com_danliris_service_etl_spark.sources import fsutil
+
+    target = tmp_path / "fact[2024]"
+    target.mkdir()
+    stale = tmp_path / "fact[2024].tmp-dead"
+    stale.mkdir()
+    (stale / "x.parquet").write_bytes(b"junk")
+    # 'fact2.tmp-live' MATCHES the glob char-class `fact[2024].tmp*` —
+    # the concurrent-writer dir the old code would have deleted
+    unrelated = tmp_path / "fact2.tmp-live"
+    unrelated.mkdir()
+    (unrelated / "y.parquet").write_bytes(b"keep")
+
+    fsutil.recover_interrupted_swap(spark, str(target))
+    assert not stale.exists()
+    assert unrelated.exists() and (unrelated / "y.parquet").exists()

@@ -273,3 +273,42 @@ def test_nz_num_nan_is_falsy(spark):
     di = spark.createDataFrame([(1, 7), (2, 0)], "id long, x long")
     goti = {r.id: r.v for r in di.select("id", nz_num("x", 0.0).alias("v")).collect()}
     assert goti == {1: 7.0, 2: 0.0}
+
+
+def test_run_job_empty_extra_target_triggers_full_reextract(spark, tmp_path):
+    """ADVICE r6: the empty-fact ⇒ EPOCH guard covers extra_targets too —
+    a deleted/redirected EXTRA fact while the main target still holds data
+    is the same silent-history-loss class (all targets share one per-job
+    watermark)."""
+    import shutil
+
+    from com_danliris_service_etl_spark.plans.jobs import JobSpec, run_job
+    from com_danliris_service_etl_spark.sources.catalog import Catalog
+    from com_danliris_service_etl_spark.sources.watermark import WatermarkStore
+
+    cat = Catalog(spark=spark)
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2))],
+        "id long, lastmodifiedutc timestamp",
+    )
+    p = str(tmp_path / "src")
+    src.write.parquet(p)
+    cat.tables["src"] = p
+
+    def build(sp, catalog, wm):
+        return catalog.read("src").filter(F.col("lastmodifiedutc") > F.lit(wm))
+
+    extra_path = str(tmp_path / "fact_extra")
+    spec = JobSpec(
+        "Fact Dual Reload", build, ["id"], str(tmp_path / "fact_main"),
+        extra_targets={extra_path: (build, ["id"])},
+    )
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    r1 = run_job(spark, spec, cat, store)
+    assert r1.rows == 2
+    assert spark.read.parquet(extra_path).count() == 2
+    # wipe ONLY the extra fact; the main target keeps its data
+    shutil.rmtree(extra_path)
+    run_job(spark, spec, cat, store)
+    assert spark.read.parquet(extra_path).count() == 2
+    assert spark.read.parquet(spec.target).count() == 2

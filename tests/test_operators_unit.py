@@ -975,3 +975,17 @@ def test_spread_skips_probe_on_composed_frames(spark):
         out.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_is_scan_rooted_self_check_fails_loudly_on_drift(spark, monkeypatch):
+    """ADVICE r6: a Spark version whose analyzed-plan node classes drift
+    out of _NARROW_CLASSES must fail the one-time self-check LOUDLY, not
+    silently classify every frame as composed (disabling _spread)."""
+    from com_danliris_service_etl_spark.operators import dedup
+
+    # simulate drift: no class is recognized as narrow
+    monkeypatch.setattr(dedup, "_NARROW_CLASSES", frozenset())
+    monkeypatch.setattr(dedup, "_SCAN_ROOT_SELF_CHECKED", False)
+    docs = spark.range(3).toDF("doc_id")
+    with pytest.raises(RuntimeError, match="self-check failed"):
+        dedup._is_scan_rooted(docs)
