@@ -945,6 +945,30 @@ def exact_jaccard_verify(
     pairs are dropped by the size join (undefined Jaccard, not a 0).
     Candidates produced by `minhash_lsh_pairs` satisfy this by
     construction (signatures require ≥ shingle_k tokens)."""
+    un = F.col("na") + F.col("nb") - F.col("inter")
+    return _pair_shingle_intersection(docs, pairs, text_col, id_col, shingle_k).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        un.cast("long").alias("union"),
+        F.round(F.col("inter") / un, 6).alias("exact_jaccard"),
+        (F.col("inter") * thresh_den >= un * thresh_num).alias("verified"),
+    )
+
+
+def _pair_shingle_intersection(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared verify-funnel plumbing (exact_jaccard_verify /
+    exact_containment_verify): per candidate pair, the exact distinct-
+    shingle intersection size and both set sizes — (doc_a, doc_b, inter,
+    na, nb). Pairs and the candidate-sliced shingle relation are
+    localCheckpointed (each is referenced multiple times; the pair
+    producer is typically the whole LSH pipeline)."""
     p = pairs.select("doc_a", "doc_b").localCheckpoint()
     ids_a = p.select(F.col("doc_a").alias(id_col))
     ids_b = p.select(F.col("doc_b").alias(id_col))
@@ -967,20 +991,49 @@ def exact_jaccard_verify(
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    un = F.col("na") + F.col("nb") - F.col("inter")
     return (
         p.join(inter, ["doc_a", "doc_b"], "left")
         .join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
         .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("inter").cast("long").alias("inter"),
-            un.cast("long").alias("union"),
-            F.round(F.col("inter") / un, 6).alias("exact_jaccard"),
-            (F.col("inter") * thresh_den >= un * thresh_num).alias("verified"),
-        )
+    )
+
+
+def exact_containment_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    thresh_num: int = 9,
+    thresh_den: int = 10,
+) -> DataFrame:
+    """ASYMMETRIC containment over candidate pairs: C(A|B) = |Sₐ∩S_b| /
+    |Sₐ| and C(B|A) = |Sₐ∩S_b| / |S_b| over distinct word-shingle sets —
+    the subset-duplicate detector Jaccard misses. A short document pasted
+    inside a much longer one has LOW Jaccard (the union is dominated by
+    the long doc) but containment ≈ 1 on the short side; dedup pipelines
+    that only verify Jaccard keep both copies. The subset decision
+    (``is_subset_dup``: max-side containment ≥ thresh_num/thresh_den,
+    default 0.9) is evaluated in exact integer arithmetic — no float
+    decides a deletion — mirroring `exact_jaccard_verify`'s contract.
+
+    Same scale shape as the Jaccard funnel (shared
+    `_pair_shingle_intersection`): intersections run only over the
+    candidate set, every shuffle keyed on ids/shingles, skew bounded by
+    the LSH stage's max_bucket cap. Same PRECONDITION: docs in ``pairs``
+    must have ≥ shingle_k tokens."""
+    return _pair_shingle_intersection(docs, pairs, text_col, id_col, shingle_k).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("size_a"),
+        F.col("nb").cast("long").alias("size_b"),
+        F.round(F.col("inter") / F.col("na"), 6).alias("containment_a"),
+        F.round(F.col("inter") / F.col("nb"), 6).alias("containment_b"),
+        (
+            F.col("inter") * thresh_den >= F.least(F.col("na"), F.col("nb")) * thresh_num
+        ).alias("is_subset_dup"),
     )
 
 
@@ -1062,4 +1115,44 @@ def contamination_passages(
                 F.try_divide(n_cont.cast("double"), n_pass.cast("double")), 6
             ).alias("cont_share"),
         )
+    )
+
+
+def ngram_novelty(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-eval-document n-gram NOVELTY against a training corpus: the
+    fraction of the document's distinct word-``shingle_k``-shingles never
+    seen in ``train_docs`` — the memorization/leakage-adjacent metric
+    (contamination_scores' inverse: high novelty = genuinely new text,
+    near-zero novelty = the eval doc is effectively training data).
+    Returns (doc_id, n_shingles, n_novel, novelty).
+
+    Scale shape: the train shingle set is ONE distinct (map-side-combined
+    aggregate over the shingle hash — uniform keys); the eval side joins
+    against it on the shingle string with a LEFT join, so membership is
+    resolved in a single equi-join with no per-row set lookup; the final
+    per-doc aggregate is partial-combined. Documents with fewer than
+    ``shingle_k`` tokens have no shingle set and drop out (mirrored in
+    the oracle), same as every shingle operator here."""
+    train_sh = (
+        _shingles(train_docs, text_col, id_col, k=shingle_k)
+        .select("s")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    ev = _shingles(eval_docs, text_col, id_col, k=shingle_k).distinct()
+    flagged = ev.join(train_sh, "s", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
     )

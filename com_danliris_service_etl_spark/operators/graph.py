@@ -34,6 +34,119 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_degrees: bool = False,
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph;
+    returns ``(node, triangles)`` for every node in ≥ 1 triangle.
+
+    Input edges may be directed/duplicated; they are canonicalized to the
+    distinct undirected edge set first. The enumeration is the
+    compact-forward / degree-orientation algorithm: orient every edge
+    from its lower-(degree, id) endpoint to the higher one, generate
+    two-paths u→v, u→w only from each node's ORIENTED out-edges, and close
+    them against the oriented edge set. Every triangle is emitted exactly
+    once (as its unique oriented u→v→w ordering), and the two-path fanout
+    is Σ C(out-deg, 2) with out-degrees bounded by O(√m) under degree
+    orientation — the property that keeps the join sized by the graph's
+    arboricity instead of the hub nodes' full degrees at 100 TB. All
+    stages are equi-joins + partial-aggregated groupBys; no node ever
+    buffers its whole neighborhood in one task.
+
+    ``broadcast_degrees``: hint the |V|-row degree table into the two
+    orientation joins (map-side) when |V| is dimension-scale."""
+    maybe_b = F.broadcast if broadcast_degrees else (lambda df: df)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # referenced by the degree aggregate AND both orientation joins —
+        # checkpoint the fork or the upstream pipeline runs per reference
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # joined twice below
+    )
+    da = maybe_b(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")))
+    db = maybe_b(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")))
+    # orient by the (deg, id) total order — struct comparison is
+    # lexicographic, so ties in degree break on the node id
+    lo_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)  # referenced 3×: two-path sides + closure
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    # two-paths from each node's oriented out-edges; w1 < w2 emits each
+    # unordered {v, w} pair once
+    paths = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2")).unionByName(
+        oriented.select(F.col("u").alias("w2"), F.col("v").alias("w1"))
+    )
+    tris = paths.join(closing, ["w1", "w2"], "left_semi")
+    return (
+        tris.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    explored to ``max_hops``; returns ``(node, hops)`` for every reached
+    node (sources at 0). Edges are followed src→dst as given — pass a
+    bidirected list for undirected reachability.
+
+    FRONTIER form, not path enumeration: each level expands only the
+    previous frontier (one equi-join onto the edge list), dedups it
+    (groupBy — map-side combinable), and anti-joins the visited set; a
+    recursive path-union (the naive SQL) enumerates every distinct PATH
+    and explodes combinatorially on dense graphs. Per-level
+    `localCheckpoint(eager=False)` cuts the lineage the same way
+    `pagerank`'s supersteps do; the visited set is only ever joined on
+    its key — never collected."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    visited = sources.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "__s"), "__s")
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(hop))
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

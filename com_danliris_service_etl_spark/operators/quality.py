@@ -241,3 +241,46 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, status string, old_type string, new_type string"
     )
+
+
+def histogram_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Equal-width histogram per group over GLOBAL value bounds:
+    (group, bucket, bin_lo, bin_hi, n). Shared global bounds make the
+    per-group histograms comparable (distribution drift between groups
+    reads directly off the bucket counts — the numeric companion to
+    `snapshot_drift`'s categorical compare).
+
+    Scale shape: one scan computes min/max (scalar aggregate), broadcast
+    to a second scan that buckets rows inside the projection — then one
+    partial-aggregated groupBy on (group, bucket). Bucket arithmetic is
+    plain IEEE ((v − mn) / width, floored, max clamped into the top
+    bucket); a constant column (width 0) degenerates to bucket 0 instead
+    of dividing by zero."""
+    stats = df.agg(
+        F.min(value_col).cast("double").alias("__mn"),
+        F.max(value_col).cast("double").alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    bucket = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(value_col) - F.col("__mn")) / width).cast("int"),
+        )
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .select(F.col(group_col), bucket.alias("bucket"), "__mn", "__mx", F.col(value_col))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.round(F.min(F.col("__mn") + F.col("bucket") * width), 6).alias("bin_lo"),
+            F.round(
+                F.min(F.col("__mn") + (F.col("bucket") + 1) * width), 6
+            ).alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -595,3 +595,68 @@ def boilerplate_ngram_stats(
             "boiler_share"
         ),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs —
+    collocation extraction (PMI = ln(p(w1,w2) / (p(w1)·p(w2)))), the
+    phrase-mining primitive behind tokenizer vocabulary candidates and
+    boilerplate phrase detection. Returns (w1, w2, n_ab, pmi) for bigrams
+    with ``n_ab ≥ min_count`` (the standard low-count PMI noise filter).
+
+    Scale shape: bigram and unigram counts are each ONE explode +
+    map-side-combined groupBy over the token stream (no windows — a
+    window-over-position form would buffer whole documents per task);
+    the probability normalizers ride as broadcast 1-row scalars; the two
+    unigram lookups are equi-joins on the word (vocabulary-sized right
+    sides, Jaccard-class skew only on true stopword hubs — bounded
+    because the bigram side is already aggregated, one row per pair).
+    All-integer counts; the single ln() at the output boundary is the
+    only float, computed from the same integers in any engine."""
+    toks = docs.select(F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=False)  # joined twice (w1 and w2 lookups)
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("double").alias("N"),
+    )
+    # B must normalize over ALL bigram occurrences, not just the bigrams
+    # surviving min_count — which is exactly sum(size(t) − 1) per doc.
+    b_total = toks.agg(
+        F.sum(F.size("t") - F.lit(1)).cast("double").alias("B")
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .join(F.broadcast(totals))
+        .join(F.broadcast(b_total))
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("B"))
+        / ((F.col("n_a") / F.col("N")) * (F.col("n_b") / F.col("N")))
+    )
+    return joined.select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))

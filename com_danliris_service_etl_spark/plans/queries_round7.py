@@ -1,0 +1,327 @@
+"""Round-7 registry queries: triangle counting, multi-source BFS, PMI
+collocations, histogram profiling, n-gram novelty, and containment dedup.
+
+- g9_triangle_count — per-node triangle counts over the part co-purchase
+  graph (operators/graph.py `triangle_counts`, degree-oriented
+  compact-forward enumeration); the oracle closes two-paths with the
+  simple id-ordered join (triangle counts are orientation-invariant).
+- g10_bfs_hops — frontier BFS over the bidirected supplier↔customer
+  fulfillment graph (operators/graph.py `bfs_hops`); the oracle unrolls
+  per-level frontier CTEs (a recursive path-union would enumerate every
+  PATH and explode combinatorially on this dense bipartite graph).
+- txt12_pmi_bigrams — PMI collocation mining (operators/text.py
+  `pmi_bigrams`).
+- a8_histogram — per-type equal-width histogram over global bounds
+  (operators/quality.py `histogram_profile`).
+- llm13_ngram_novelty — eval-vs-train shingle novelty under the llm2
+  hash split (operators/dedup.py `ngram_novelty`).
+- dd9_containment — asymmetric containment verification of dd2's LSH
+  candidates (operators/dedup.py `exact_containment_verify`) — the
+  subset-duplicate detector Jaccard misses.
+
+Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
+driver's parquet tables (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators import dedup as dd
+from com_danliris_service_etl_spark.operators.graph import bfs_hops, triangle_counts
+from com_danliris_service_etl_spark.operators.quality import histogram_profile
+from com_danliris_service_etl_spark.operators.text import pmi_bigrams
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# G9 — per-node triangle counts over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+# The oracle enumerates each triangle once as its id-ordered (x < y < z)
+# corner: e1 = (x,y), e2 = (y,z), closed by e3 = (x,z). Per-node counts
+# are orientation-invariant, so the Spark side is free to use the
+# degree-ordered orientation that bounds the two-path fanout at scale.
+_G9_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*)::BIGINT AS triangles FROM corners GROUP BY node
+"""
+
+
+@register("g9_triangle_count", _G9_SQL)
+def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts linked
+    when they appear in the same order) — the local-clustering primitive
+    behind community structure and recommendation features. The edge
+    build is one self-equi-join on the order key (never all-pairs across
+    orders); `triangle_counts` then orients every edge by the (degree,
+    id) total order, so two-path generation is Σ C(out-deg, 2) with
+    out-degrees O(√m) — the compact-forward bound that survives hub
+    nodes at 100 TB, where orienting by raw id would square the hottest
+    part's full degree."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges, broadcast_degrees=True)
+
+
+# ---------------------------------------------------------------------------
+# G10 — multi-source frontier BFS over the fulfillment graph
+# ---------------------------------------------------------------------------
+
+_G10_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT 's' || l_suppkey AS s, 'c' || o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+l0 AS (SELECT 's' || s_suppkey AS node FROM supplier WHERE s_suppkey <= 2),
+f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON e.src = l0.node),
+l1 AS (SELECT node FROM f1 WHERE node NOT IN (SELECT node FROM l0)),
+f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON e.src = l1.node),
+l2 AS (SELECT node FROM f2 WHERE node NOT IN (SELECT node FROM l0)
+                             AND node NOT IN (SELECT node FROM l1)),
+f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON e.src = l2.node),
+l3 AS (SELECT node FROM f3 WHERE node NOT IN (SELECT node FROM l0)
+                             AND node NOT IN (SELECT node FROM l1)
+                             AND node NOT IN (SELECT node FROM l2))
+SELECT node, 0::BIGINT AS hops FROM l0
+UNION ALL SELECT node, 1::BIGINT FROM l1
+UNION ALL SELECT node, 2::BIGINT FROM l2
+UNION ALL SELECT node, 3::BIGINT FROM l3
+"""
+
+
+@register("g10_bfs_hops", _G10_SQL)
+def g10_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from suppliers {0,1,2} over the bidirected
+    supplier↔customer fulfillment graph, explored to 3 hops — the
+    reachability/radius primitive (blast-radius analysis, graph-distance
+    features). `bfs_hops` is the FRONTIER form: each level is one
+    equi-join of the previous frontier onto the edge list + a distinct +
+    an anti-join against the visited set; per-level lazy checkpoints cut
+    the lineage exactly like pagerank's supersteps. The iteration runs
+    on BIGINT node ids (supplier 2k, customer 2k+1 — the g8 scheme) and
+    projects display strings only on the final result."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both edge directions
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 2)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    hops = bfs_hops(edges, sources, max_hops=3)
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("s"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+    return hops.select(node_str.alias("node"), F.col("hops").cast("long").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# TXT12 — PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+_TXT12_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+bc AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_ab FROM bi
+  GROUP BY w1, w2 HAVING count(*) >= 5
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS n_w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+nn AS (SELECT sum(n_w)::DOUBLE AS n FROM uni),
+bb AS (SELECT sum(len(t) - 1)::DOUBLE AS b FROM toks)
+SELECT bc.w1, bc.w2, bc.n_ab,
+       round(ln((bc.n_ab / bb.b) / ((ua.n_w / nn.n) * (ub.n_w / nn.n))), 6) AS pmi
+FROM bc
+JOIN uni ua ON ua.w = bc.w1
+JOIN uni ub ON ub.w = bc.w2
+CROSS JOIN nn CROSS JOIN bb
+"""
+
+
+@register("txt12_pmi_bigrams", _TXT12_SQL)
+def txt12_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over adjacent token pairs (min count 5) —
+    see operators/text.py::pmi_bigrams for the one-explode-per-relation
+    scale shape. Both engines derive the single output ln() from the
+    same exact integers, so 6dp rounding is deterministic."""
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# A8 — equal-width histogram profile over global bounds
+# ---------------------------------------------------------------------------
+
+_A8_SQL = """
+WITH s AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM events),
+b AS (
+  SELECT event_type,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE least(9, floor((value - s.mn) / ((s.mx - s.mn) / 10.0))::INT)
+         END::BIGINT AS bucket,
+         s.mn, s.mx
+  FROM events CROSS JOIN s
+)
+SELECT event_type, bucket,
+       round(min(mn + bucket * ((mx - mn) / 10.0)), 6) AS bin_lo,
+       round(min(mn + (bucket + 1) * ((mx - mn) / 10.0)), 6) AS bin_hi,
+       count(*)::BIGINT AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@register("a8_histogram", _A8_SQL)
+def a8_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equal-width 10-bin histogram over GLOBAL value
+    bounds (operators/quality.py::histogram_profile): one scalar
+    min/max pass broadcast into a bucketing projection + one partial-
+    aggregated groupBy. Bucket arithmetic is identical IEEE on both
+    engines; bin edges round at 6dp."""
+    ev = _events(spark, sf_dir)
+    out = histogram_profile(ev, "event_type", "value", bins=10)
+    return out.withColumn("bucket", F.col("bucket").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# LLM13 — n-gram novelty of the eval split against the train split
+# ---------------------------------------------------------------------------
+
+_LLM13_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+),
+toks AS (SELECT doc_id, bucket, string_split(text, ' ') AS t FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, bucket, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+train AS (SELECT DISTINCT s AS ts FROM sh WHERE bucket < 90),
+ev AS (SELECT doc_id, s FROM sh WHERE bucket >= 90)
+SELECT ev.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN train.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN train.ts IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM ev LEFT JOIN train ON train.ts = ev.s
+GROUP BY ev.doc_id
+"""
+
+
+@register("llm13_ngram_novelty", _LLM13_SQL)
+def llm13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc distinct-3-shingle novelty against the train split
+    (llm2's hash-split rule: md5 bucket < 90 = train, ≥ 90 = eval) —
+    operators/dedup.py::ngram_novelty. The membership test is one LEFT
+    equi-join on the shingle string against the train set's distinct
+    aggregate; no per-row set structure anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    with_bucket = docs.withColumn("__bucket", bucket)
+    train = with_bucket.filter(F.col("__bucket") < 90)
+    ev = with_bucket.filter(F.col("__bucket") >= 90)
+    return dd.ngram_novelty(train, ev, shingle_k=3)
+
+
+# ---------------------------------------------------------------------------
+# DD9 — asymmetric containment verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _containment_sql(thresh_num: int = 9, thresh_den: int = 10, k: int = 3) -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH cand AS ({_minhash_sql()}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, {shingle} AS s
+           FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+           WHERE len(t) >= {k}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(i.i, 0)::BIGINT AS inter,
+           sa.n::BIGINT AS size_a,
+           sb.n::BIGINT AS size_b,
+           round(COALESCE(i.i, 0) / sa.n, 6) AS containment_a,
+           round(COALESCE(i.i, 0) / sb.n, 6) AS containment_b,
+           (COALESCE(i.i, 0) * {thresh_den}
+            >= least(sa.n, sb.n) * {thresh_num}) AS is_subset_dup
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register("dd9_containment", _containment_sql())
+def dd9_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verification of dd2's MinHash+LSH
+    candidates (operators/dedup.py::exact_containment_verify): C(A|B) and
+    C(B|A) over distinct 3-shingle sets, with the subset-duplicate
+    decision (max-side containment ≥ 0.9) made in exact integer
+    arithmetic. Catches the short-doc-pasted-into-long-doc duplicates
+    whose Jaccard stays low — the case llm9's symmetric funnel keeps."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_pairs(docs)
+    return dd.exact_containment_verify(
+        docs, cands, shingle_k=3, thresh_num=9, thresh_den=10
+    )

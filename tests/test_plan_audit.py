@@ -83,6 +83,8 @@ def test_plan_shape_not_regressed(spark, name):
 _SINGLE_PARTITION_ALLOWED = {
     "a4_surrogate_key": "global window on a DIMENSION-sized table by design; fact-scale keys use surrogate_key_distributed (plan-asserted in the TotalHutang golden)",
     "a5_row_count": "global count() — one partial state per partition",
+    "a8_histogram": "global min/max stat row (one partial state per partition), broadcast back to the bucketing scan",
+    "txt12_pmi_bigrams": "corpus-N and bigram-total scalars (partial-aggregated), broadcast back for the PMI normalizers",
     "g5_funnel_conversion": "final scalar conversion row",
     "g8_pagerank": "|V| node-count scalar for the reset term (one partial state per partition; broadcast back)",
     "sk3_countmin_heavy_hitters": "global top-20 heavy hitters over the vocabulary aggregate — 20-row bounded result",

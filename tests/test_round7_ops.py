@@ -1,0 +1,228 @@
+"""Round-7 operators: triangle counting, frontier BFS, PMI bigrams,
+histogram profile, n-gram novelty, containment verify — each checked
+against a small pure-Python reference model (the test_round6_ops.py
+strategy)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _tri_ref(edges):
+    """Per-node triangle counts by brute force over node triples."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    counts = dict.fromkeys(nodes, 0)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return {n: c for n, c in counts.items() if c > 0}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from com_danliris_service_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1..4} (every node in C(3,2)=3 triangles) plus a pendant node
+    # and a disconnected edge (no triangles)
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _tri_ref(edges)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    """Directed duplicates, reversed edges, and self-loops must not change
+    the undirected triangle structure."""
+    from com_danliris_service_etl_spark.operators.graph import triangle_counts
+
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (1, 1), (3, 3)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_degree_tie_orientation(spark):
+    """A regular graph (all degrees equal) exercises the id tiebreak of
+    the (degree, id) orientation: C5 has no triangles, C5 + one chord has
+    exactly one."""
+    from com_danliris_service_etl_spark.operators.graph import triangle_counts
+
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    assert triangle_counts(spark.createDataFrame(c5, "src long, dst long")).count() == 0
+    chord = c5 + [(1, 3)]
+    got = {
+        r.node: r.triangles
+        for r in triangle_counts(
+            spark.createDataFrame(chord, "src long, dst long")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Frontier BFS
+# ---------------------------------------------------------------------------
+
+
+def _bfs_ref(edges, sources, max_hops):
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    for hop in range(1, max_hops + 1):
+        nxt = {d for s in frontier for d in adj.get(s, ())} - dist.keys()
+        for n in nxt:
+            dist[n] = hop
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_reference(spark):
+    from com_danliris_service_etl_spark.operators.graph import bfs_hops
+
+    # path 1→2→3→4→5 plus a shortcut 1→4 and an unreachable island 8→9
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(e, src, max_hops=3).collect()}
+    assert got == _bfs_ref(edges, [1], 3)
+    # the shortcut must win: node 4 at hop 1, node 5 at hop 2; 8/9 absent
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hops_multi_source_min_distance(spark):
+    from com_danliris_service_etl_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,), (10,), (10,)], "node long")  # dup source
+    got = {r.node: r.hops for r in bfs_hops(e, src, max_hops=3).collect()}
+    # 4 is 3 hops from 1 but 1 hop from 10 — min wins
+    assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# PMI bigrams
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.text import pmi_bigrams
+
+    # "a b" ×3 in doc1; doc2 contributes unigrams and one more "a b"
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {(r.w1, r.w2): r for r in pmi_bigrams(docs, min_count=2).collect()}
+    # bigram totals: doc1 has 5 (a b, b a, a b, b a, a b), doc2 has 3 → B=8
+    # "a b" count 4; unigrams over ALL docs: a=4, b=4, c=3, N=11
+    assert ("a", "b") in rows
+    r = rows[("a", "b")]
+    assert r.n_ab == 4
+    want = math.log((4 / 8.0) / ((4 / 11.0) * (4 / 11.0)))
+    assert r.pmi == pytest.approx(round(want, 6), abs=1e-9)
+    # below min_count bigrams are filtered ("b a" has 2 → kept; "b c" 1 → out)
+    assert ("b", "c") not in rows
+    assert rows[("b", "a")].n_ab == 2
+
+
+# ---------------------------------------------------------------------------
+# Histogram profile
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_profile_buckets_and_edges(spark):
+    from com_danliris_service_etl_spark.operators.quality import histogram_profile
+
+    df = spark.createDataFrame(
+        [("x", 0.0), ("x", 5.0), ("x", 9.9), ("y", 10.0)], "g string, v double"
+    )
+    rows = {(r.g, r.bucket): r for r in histogram_profile(df, "g", "v", bins=10).collect()}
+    # global bounds 0..10, width 1: 0.0→b0, 5.0→b5, 9.9→b9, 10.0 (== max) clamps to b9
+    assert set(rows) == {("x", 0), ("x", 5), ("x", 9), ("y", 9)}
+    assert rows[("x", 5)].bin_lo == 5.0 and rows[("x", 5)].bin_hi == 6.0
+    assert rows[("y", 9)].n == 1
+
+
+def test_histogram_profile_constant_column(spark):
+    """A constant value column (width 0) degenerates to a single bucket 0
+    instead of dividing by zero."""
+    from com_danliris_service_etl_spark.operators.quality import histogram_profile
+
+    df = spark.createDataFrame([("x", 7.0), ("y", 7.0)], "g string, v double")
+    rows = histogram_profile(df, "g", "v", bins=10).collect()
+    assert {(r.g, r.bucket, r.n) for r in rows} == {("x", 0, 1), ("y", 0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.dedup import ngram_novelty
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [
+            (10, "a b c d"),      # all shingles seen → novelty 0
+            (11, "x y z"),        # 1 shingle, unseen → novelty 1
+            (12, "a b c x y"),    # shingles: abc(seen), bcx, cxy → 2/3
+            (13, "a b"),          # < k tokens → drops out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(train, evals, shingle_k=3).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert (rows[10].n_shingles, rows[10].n_novel, rows[10].novelty) == (2, 0, 0.0)
+    assert (rows[11].n_shingles, rows[11].n_novel, rows[11].novelty) == (1, 1, 1.0)
+    assert rows[12].n_novel == 2 and rows[12].novelty == round(2 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# Containment verify
+# ---------------------------------------------------------------------------
+
+
+def test_exact_containment_verify_subset_detection(spark):
+    """The case Jaccard misses: a short doc pasted inside a long one has
+    low Jaccard but containment 1.0 on the short side."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        exact_containment_verify,
+        exact_jaccard_verify,
+    )
+
+    short = "q w e r t"
+    long_ = short + " " + " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different text here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): r for r in exact_containment_verify(docs, pairs).collect()}
+    r12 = got[(1, 2)]
+    assert r12.containment_a == 1.0  # every shingle of the short doc is in the long
+    assert r12.is_subset_dup
+    assert r12.size_a == 3 and r12.inter == 3
+    # while Jaccard on the same pair is low and NOT verified at 0.95
+    jac = {(r.doc_a, r.doc_b): r for r in exact_jaccard_verify(docs, pairs).collect()}
+    assert not jac[(1, 2)].verified
+    assert jac[(1, 2)].exact_jaccard < 0.1
+    # disjoint pair: zero containment, not a subset dup
+    r13 = got[(1, 3)]
+    assert (r13.inter, r13.containment_a, r13.is_subset_dup) == (0, 0.0, False)
