@@ -44,20 +44,30 @@ def triangle_counts(
     returns ``(node, triangles)`` for every node in ≥ 1 triangle.
 
     Input edges may be directed/duplicated; they are canonicalized to the
-    distinct undirected edge set first. The enumeration is the
-    compact-forward / degree-orientation algorithm: orient every edge
-    from its lower-(degree, id) endpoint to the higher one, generate
-    two-paths u→v, u→w only from each node's ORIENTED out-edges, and close
-    them against the oriented edge set. Every triangle is emitted exactly
-    once (as its unique oriented u→v→w ordering), and the two-path fanout
-    is Σ C(out-deg, 2) with out-degrees bounded by O(√m) under degree
-    orientation — the property that keeps the join sized by the graph's
-    arboricity instead of the hub nodes' full degrees at 100 TB. All
-    stages are equi-joins + partial-aggregated groupBys; no node ever
-    buffers its whole neighborhood in one task.
+    distinct undirected edge set first. Algorithm: compact-forward with
+    ADJACENCY-LIST INTERSECTION. Every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one; each node's oriented
+    out-neighbors collapse to ONE array (bounded at O(√m) elements by the
+    degree orientation — hub nodes keep only their higher-ranked
+    neighbors); then for each oriented edge (u, v) the triangles through
+    it are |N⁺(u) ∩ N⁺(v)|, a ROW-LOCAL `array_intersect` inside codegen.
+    Each triangle has exactly one base edge under the orientation (its
+    out-degree-2 corner), so nothing double-counts.
 
-    ``broadcast_degrees``: hint the |V|-row degree table into the two
-    orientation joins (map-side) when |V| is dimension-scale."""
+    Why not the join formulation (explode two-paths u→v, u→w and
+    semi-join the closure): the two-path relation is Σ C(out-deg, 2)
+    rows — 49M for the sf0.1 co-purchase graph's 1.2M edges — and
+    shuffling it dominated end-to-end cost 10× (21.7s vs ~2s measured).
+    The intersection form does the same Σ C(out-deg, 2) element
+    comparisons STREAMING inside whole-stage codegen: nothing wider than
+    one adjacency array per row is ever materialized or shuffled. The
+    per-triangle explode that remains emits exactly 1 row per triangle
+    (the w-corner attribution), orders of magnitude below the two-path
+    relation.
+
+    ``broadcast_degrees``: hint the |V|-row degree table (and the
+    |V|-row adjacency-array table) into map-side joins when |V| is
+    dimension-scale; leave False to let size estimates decide."""
     maybe_b = F.broadcast if broadcast_degrees else (lambda df: df)
     e = (
         edges.select(
@@ -89,22 +99,55 @@ def triangle_counts(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .localCheckpoint(eager=False)  # referenced 3×: two-path sides + closure
+        .localCheckpoint(eager=False)  # referenced by adj build + edge probe
     )
-    o1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
-    # two-paths from each node's oriented out-edges; w1 < w2 emits each
-    # unordered {v, w} pair once
-    paths = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
-    closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2")).unionByName(
-        oriented.select(F.col("u").alias("w2"), F.col("v").alias("w1"))
+    # collect_list state is bounded by the oriented out-degree — O(√m) —
+    # so no task ever buffers a hub's full neighborhood
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .localCheckpoint(eager=False)  # edge probe re-derives from it + nv join
     )
-    tris = paths.join(closing, ["w1", "w2"], "left_semi")
-    return (
-        tris.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+    # Re-derive each oriented edge WITH its tail's adjacency array by
+    # exploding the adjacency table itself — one join fewer than probing
+    # oriented×adj; the duplicated nu array streams inside codegen, it is
+    # never shuffled (the join below keys on v alone).
+    #
+    # The intersection scan is CPU-bound, and adj sits at
+    # spark.sql.shuffle.partitions post-aggregate — on a local/bench
+    # session that under-uses the cores (8 tasks on 32 cores measured
+    # 3.1× slower than spread). Spread ONLY when the configured shuffle
+    # width is below the cluster parallelism; a real deployment sizes
+    # shuffle partitions >= cores and the repartition vanishes.
+    sc = edges.sparkSession.sparkContext
+    try:
+        shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = sc.defaultParallelism
+    probe = adj.repartition(sc.defaultParallelism) if shuffle_n < sc.defaultParallelism else adj
+    with_nu = probe.select("u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
+    # inner join: an edge whose head has no out-neighbors closes nothing
+    both = with_nu.join(
+        maybe_b(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))), "v"
     )
+    tri_edges = (
+        both.select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+        .filter(F.size("ws") > 0)
+        # referenced 3×: u-corner, v-corner, and w-corner attributions
+        .localCheckpoint(eager=False)
+    )
+    per_corner = (
+        tri_edges.select(F.col("u").alias("node"), F.size("ws").cast("long").alias("c"))
+        .unionByName(
+            tri_edges.select(
+                F.col("v").alias("node"), F.size("ws").cast("long").alias("c")
+            )
+        )
+        .unionByName(
+            tri_edges.select(F.explode("ws").alias("node"), F.lit(1).cast("long").alias("c"))
+        )
+    )
+    return per_corner.groupBy("node").agg(F.sum("c").alias("triangles"))
 
 
 def bfs_hops(
@@ -124,27 +167,40 @@ def bfs_hops(
     previous frontier (one equi-join onto the edge list), dedups it
     (groupBy — map-side combinable), and anti-joins the visited set; a
     recursive path-union (the naive SQL) enumerates every distinct PATH
-    and explodes combinatorially on dense graphs. Per-level
-    `localCheckpoint(eager=False)` cuts the lineage the same way
-    `pagerank`'s supersteps do; the visited set is only ever joined on
-    its key — never collected."""
+    and explodes combinatorially on dense graphs. Only each LEVEL frame
+    is lazily checkpointed — the visited set is a plain union of those
+    already-checkpointed levels, so giving it its own checkpoint would
+    add one wasted job per level (~0.15 s each at bench scale) for
+    lineage the union never grows. The visited set is only ever joined
+    on its key — never collected."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    visited = sources.select(F.col(node_col).alias("node")).distinct().select(
-        "node", F.lit(0).alias("hops")
-    ).localCheckpoint(eager=False)
-    frontier = visited.select("node")
+    # no checkpoint on level 0: the source set is a tiny scan/projection
+    # whose recompute is cheaper than a dedicated checkpoint job
+    level0 = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hops"))
+    )
+    levels = [level0]
+    frontier = level0.select("node")
     for hop in range(1, max_hops + 1):
+        visited_nodes = levels[0].select("node")
+        for lv in levels[1:]:
+            visited_nodes = visited_nodes.unionByName(lv.select("node"))
         nxt = (
             e.join(frontier.withColumnRenamed("node", "__s"), "__s")
             .select(F.col("__d").alias("node"))
             .distinct()
             .withColumn("hops", F.lit(hop))
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        levels.append(nxt)
         frontier = nxt.select("node")
-    return visited
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def pagerank(

@@ -75,12 +75,31 @@ def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes at 100 TB, where orienting by raw id would square the hottest
     part's full degree."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # Per-order pair generation in-array (the LSH-bucket trick): ONE
+    # groupBy shuffle of the fact instead of a fact×fact self-join that
+    # shuffles it twice; collect_set state is bounded by the order's line
+    # count. sort_array ⇒ pairs come out src < dst for free.
+    sc = spark.sparkContext
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    # the pair explode + distinct partial-agg is CPU-bound and sits at
+    # the configured shuffle width — spread to cluster parallelism when
+    # that width under-uses the cores (same rationale as the operator's
+    # internal intersection spread)
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = sc.defaultParallelism
+    if shuffle_n < sc.defaultParallelism:
+        per_order = per_order.repartition(sc.defaultParallelism)
+    pair_expr = (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+    )
     edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        per_order.select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
     return triangle_counts(edges, broadcast_degrees=True)
