@@ -593,3 +593,102 @@ def fuzzy_blocked_join(
         .withColumnRenamed("__l_text", f"l_{text_col}")
         .withColumnRenamed("__r_text", f"r_{text_col}")
     )
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k independent bit positions from the repo's shared cross-engine
+    hash (md5 is the only deterministic hash Spark and DuckDB agree on;
+    15 hex chars = 60 bits, no sign overflow)."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 8192, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over a key set as ONE ROW holding a dense
+    ``array<long>`` of ``m_bits/64`` bitset words.
+
+    Shape: k hash positions per key (one wide projection + explode),
+    bit_or-aggregated into sparse words (map-side combinable — the
+    shuffle carries at most ``m_bits/64`` rows per map task), then
+    densified into a single array row via map lookup over
+    ``sequence(0, n_words-1)``. The result is broadcast-sized by
+    construction (1 KiB per 8192 bits) regardless of |keys| — that is
+    the point: at 100 TB a dim-side key set can be far too large to
+    broadcast as a set, while its Bloom image always fits."""
+    n_words = m_bits // 64
+    key = F.col(key_col)
+    pos = keys.filter(key.isNotNull()).select(
+        F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("__p")
+    )
+    # F.shiftleft only takes a literal int shift; call_function reaches
+    # the SQL ShiftLeft expression, which accepts a column shift amount
+    sparse = pos.groupBy((F.col("__p") / 64).cast("long").alias("__w")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
+            )
+        ).alias("__bits")
+    )
+    return sparse.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(F.element_at(F.col("__m"), w), F.lit(0).cast("long")),
+        ).alias("__bloom_words")
+    )
+
+
+def bloom_might_contain(key: Column, words: Column, m_bits: int, k: int) -> Column:
+    """Row-local membership test: all k bits set. Each probe is one O(1)
+    array index + one variable-shift bit test, entirely inside
+    whole-stage codegen — no join, no per-row Python."""
+    tests = []
+    for p in _bloom_positions(key, m_bits, k):
+        word = F.element_at(words, ((p / 64).cast("long") + 1).cast("int"))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        tests.append(word.bitwiseAND(bit) != 0)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-pruned exact semi-join: broadcast the key set's Bloom image,
+    drop fact rows that cannot match BEFORE the shuffle, then remove the
+    (bounded-rate) false positives with the exact ``left_semi``.
+
+    Output rows are EXACTLY ``fact ⋉ keys`` — the Bloom stage never
+    changes the result, only the volume that reaches the exchange. At
+    100 TB this is runtime row-level filtering made explicit: the fact
+    side typically shrinks 10-1000× before its semi-join shuffle, while
+    the broadcast is a fixed kilobyte bitset instead of an
+    un-broadcastable key set."""
+    words = bloom_build(keys, dim_key, m_bits, k)
+    probed = fact.crossJoin(F.broadcast(words)).filter(
+        bloom_might_contain(F.col(fact_key), F.col("__bloom_words"), m_bits, k)
+    )
+    return probed.drop("__bloom_words").join(
+        keys.select(F.col(dim_key).alias(fact_key)).distinct(), fact_key, "left_semi"
+    )

@@ -118,3 +118,68 @@ def countmin_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def bitmap_distinct_state(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """EXACT mergeable distinct-count state: one binary roaring-style
+    bitmap per ``(*group_cols, __bm_bucket)`` via Spark's native
+    ``bitmap_construct_agg`` (each bucket covers a fixed 32768-value
+    range of the key, so state per group is bounded by the key range,
+    never by the row count).
+
+    This is the Snowflake/Kylin bitmap-rollup pattern: the state frame
+    is a PARTIAL AGGREGATE that composes — union bitmaps across days /
+    increments / partitions with :func:`bitmap_rollup_counts` and the
+    result is the exact distinct count at any coarser grain, without
+    ever re-scanning raw rows. At 100 TB that turns every
+    "distinct users per X" dashboard into a merge of kilobyte bitmaps.
+
+    ``key_col`` must be integral (ids). NULL keys are dropped (COUNT
+    (DISTINCT) semantics)."""
+    key = F.col(key_col).cast("long")
+    return (
+        df.filter(key.isNotNull())
+        .groupBy(*group_cols, F.bitmap_bucket_number(key).alias("__bm_bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(key)).alias("__bm"))
+    )
+
+
+def bitmap_rollup_counts(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge bitmap state up to a coarser grain and finalize to exact
+    distinct counts: per-bucket ``bitmap_or_agg`` (bitwise union — the
+    associative/commutative merge), then ``bitmap_count`` summed across
+    buckets. Both aggregations partial-combine map-side; nothing beyond
+    the kilobyte bitmaps ever shuffles."""
+    merged = state.groupBy(*group_cols, "__bm_bucket").agg(
+        F.bitmap_or_agg("__bm").alias("__bm")
+    )
+    return merged.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("__bm")).alias("distinct_keys")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    fine_cols: list[str],
+    coarse_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate mergeable distinct counts: DataSketches HLL state at
+    the fine grain (``hll_sketch_agg``), merged to the coarse grain with
+    ``hll_union_agg`` — the fixed-size (2^lg_k registers) cousin of
+    :func:`bitmap_distinct_state` for keys too wide/ragged for exact
+    bitmaps (strings, 64-bit hashes). Returns
+    ``(*coarse_cols, hll_estimate)``.
+
+    Estimates are engine-internal (sk1 pattern — no cross-engine hash
+    agreement exists), so registry queries emit the exact count plus an
+    in-query accuracy boolean and pin the boolean in the oracle."""
+    fine = df.groupBy(*fine_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("__hll")
+    )
+    return fine.groupBy(*coarse_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("hll_estimate")
+    )

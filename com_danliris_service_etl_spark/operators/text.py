@@ -660,3 +660,50 @@ def pmi_bigrams(
         / ((F.col("n_a") / F.col("N")) * (F.col("n_b") / F.col("N")))
     )
     return joined.select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``vocab_size`` corpus vocabulary (frequency desc, token asc —
+    a TOTAL order so the LIMIT boundary is deterministic cross-engine)
+    and per-document OOV rate against it — the tokenizer-training
+    coverage metric: "how much of each document does a V-token
+    vocabulary explain?".
+
+    Shape: the exploded token relation is built ONCE and lazily
+    checkpointed — it feeds two different exchanges (global term counts
+    and the per-doc membership probe), and without the checkpoint the
+    scan+explode runs once per reference (the dd8/txt5 fork lesson).
+    The vocabulary itself is a bounded global top-k
+    (``orderBy().limit(V)`` — dimension-sized, broadcast into the
+    probe), so the membership test is a map-side LEFT join: no shuffle
+    of the corpus beyond the one (doc, token) aggregate."""
+    tokens = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+        .filter(F.col("__tok") != "")
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tokens.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__tok").asc())
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    probed = tokens.join(F.broadcast(vocab), "__tok", "left")
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -18,6 +18,16 @@ collocations, histogram profiling, n-gram novelty, and containment dedup.
 - dd9_containment — asymmetric containment verification of dd2's LSH
   candidates (operators/dedup.py `exact_containment_verify`) — the
   subset-duplicate detector Jaccard misses.
+- sk4_bitmap_distinct_rollup — EXACT mergeable distinct counts via
+  bitmap partial state (operators/sketches.py `bitmap_distinct_state` /
+  `bitmap_rollup_counts`).
+- sk5_hll_union_rollup — DataSketches HLL union rollup with the sk1
+  in-query accuracy contract (operators/sketches.py `hll_rollup`).
+- j13_bloom_semi_join — bloom-pruned semi-join audited cross-engine
+  (operators/joins.py `bloom_build` / `bloom_might_contain`), the
+  explicit form of runtime row-level filtering.
+- txt13_vocab_coverage — per-doc OOV rate against the corpus top-V
+  vocabulary (operators/text.py `vocab_coverage`).
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -344,3 +354,220 @@ def dd9_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_containment_verify(
         docs, cands, shingle_k=3, thresh_num=9, thresh_den=10
     )
+
+
+# ---------------------------------------------------------------------------
+# SK4 — exact mergeable distinct rollup via bitmaps
+# ---------------------------------------------------------------------------
+
+_SK4_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_keys
+FROM events GROUP BY event_type
+"""
+
+
+@register("sk4_bitmap_distinct_rollup", _SK4_SQL)
+def sk4_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed ONLY through the
+    mergeable-bitmap path (operators/sketches.py): per-(event_type, day)
+    bitmap state built with `bitmap_construct_agg`, then day-grain states
+    union-merged (`bitmap_or_agg`) up to event_type and finalized with
+    `bitmap_count`. The oracle is the plain COUNT(DISTINCT) — hash-exact
+    agreement proves the partial state composes. This is the
+    incremental-dashboard shape at 100 TB: nightly increments append
+    day-grain bitmaps; any coarser distinct count is a merge of
+    kilobyte state, never a re-scan of raw events."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        bitmap_distinct_state,
+        bitmap_rollup_counts,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts_utc"))
+    fine = bitmap_distinct_state(ev, "user_id", ["event_type", "day"])
+    return bitmap_rollup_counts(fine, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# SK5 — HLL sketch union rollup with in-query accuracy contract
+# ---------------------------------------------------------------------------
+
+_SK5_SQL = """
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS exact_docs,
+       TRUE AS hll_ok
+FROM documents GROUP BY source
+"""
+
+
+@register("sk5_hll_union_rollup", _SK5_SQL)
+def sk5_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL distinct-doc counts per source, built at the
+    finer (source, lang) grain and MERGED up with `hll_union_agg`
+    (operators/sketches.py::hll_rollup) — the fixed-size mergeable
+    cousin of sk4 for keys too wide for exact bitmaps. Estimates are
+    engine-internal (sk1 pattern), so the query emits the exact count
+    plus the in-query ±5% accuracy boolean and the oracle pins the
+    boolean TRUE."""
+    from com_danliris_service_etl_spark.operators.sketches import hll_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_rollup(docs, "doc_id", ["source", "lang"], ["source"])
+    exact = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("exact_docs"))
+    return exact.join(F.broadcast(est), "source").select(
+        "source",
+        "exact_docs",
+        (
+            F.abs(F.col("hll_estimate").cast("double") - F.col("exact_docs"))
+            <= 0.05 * F.col("exact_docs")
+        ).alias("hll_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 — bloom-pruned semi-join (runtime row-level filtering, explicit)
+# ---------------------------------------------------------------------------
+
+_J13_M_BITS = 131072
+_J13_WORDS = _J13_M_BITS // 64
+
+_J13_SQL = f"""
+WITH keys AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size <= 5),
+pos AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5(i::VARCHAR || ':' || key::VARCHAR), 1, 15))::BIGINT
+      % {_J13_M_BITS} AS p
+  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+sparse AS (
+  SELECT p // 64 AS w,
+         bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << (p % 64)::INT) END) AS bits
+  FROM pos GROUP BY 1
+),
+words AS (
+  SELECT r.range AS w, coalesce(s.bits, 0::BIGINT) AS bits
+  FROM range(0, {_J13_WORDS}) r LEFT JOIN sparse s ON s.w = r.range
+),
+f AS (
+  SELECT l_returnflag, l_partkey,
+    ('0x' || substring(md5('0:' || l_partkey::VARCHAR), 1, 15))::BIGINT
+      % {_J13_M_BITS} AS p0,
+    ('0x' || substring(md5('1:' || l_partkey::VARCHAR), 1, 15))::BIGINT
+      % {_J13_M_BITS} AS p1,
+    ('0x' || substring(md5('2:' || l_partkey::VARCHAR), 1, 15))::BIGINT
+      % {_J13_M_BITS} AS p2
+  FROM lineitem
+),
+probe AS (
+  SELECT f.l_returnflag,
+    ((w0.bits >> (f.p0 % 64)::INT) & 1 = 1
+     AND (w1.bits >> (f.p1 % 64)::INT) & 1 = 1
+     AND (w2.bits >> (f.p2 % 64)::INT) & 1 = 1) AS bloom_pass,
+    (k.key IS NOT NULL) AS is_match
+  FROM f
+  JOIN words w0 ON w0.w = f.p0 // 64
+  JOIN words w1 ON w1.w = f.p1 // 64
+  JOIN words w2 ON w2.w = f.p2 // 64
+  LEFT JOIN keys k ON k.key = f.l_partkey
+)
+SELECT l_returnflag,
+  count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+  sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_match,
+  sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_pos,
+  sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END)::BIGINT
+    AS n_missed
+FROM probe GROUP BY l_returnflag
+"""
+
+
+@register("j13_bloom_semi_join", _J13_SQL)
+def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join audited end-to-end: lineitem probed
+    against the Bloom image of the small-size part keys
+    (operators/joins.py::bloom_build / bloom_might_contain — md5 k-hash,
+    dense bigint bitset words, broadcast one-row frame). Both engines
+    build the SAME deterministic filter, so pass/false-positive counts
+    hash-match exactly, and `n_missed` (true matches the bloom dropped)
+    is pinned 0 — the no-false-negative invariant checked cross-engine.
+    At 100 TB this is the explicit form of runtime row-level filtering:
+    the fact side shrinks before its semi-join exchange while the
+    broadcast stays a fixed-size bitset instead of an un-broadcastable
+    key set."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select(F.col("p_partkey"))
+        .distinct()
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    words = bloom_build(keys, "p_partkey", m_bits=_J13_M_BITS, k=3)
+    probed = (
+        li.crossJoin(F.broadcast(words))
+        .withColumn(
+            "bloom_pass",
+            bloom_might_contain(
+                F.col("l_partkey"), F.col("__bloom_words"), _J13_M_BITS, 3
+            ),
+        )
+        .drop("__bloom_words")
+    )
+    truth = probed.join(
+        F.broadcast(
+            keys.select(F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("__m"))
+        ),
+        "l_partkey",
+        "left",
+    )
+    is_match = F.col("__m").isNotNull()
+    return truth.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(is_match, 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col("bloom_pass") & ~is_match, 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum(F.when(is_match & ~F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_missed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TXT13 — vocabulary coverage / per-doc OOV rate
+# ---------------------------------------------------------------------------
+
+_TXT13_SQL = """
+WITH tw AS (
+  SELECT doc_id, t.w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE text IS NOT NULL AND t.w <> ''
+),
+cnt AS (SELECT w, count(*) AS n FROM tw GROUP BY w),
+vocab AS (SELECT w FROM cnt ORDER BY n DESC, w ASC LIMIT 1000)
+SELECT tw.doc_id,
+  count(*)::BIGINT AS n_tokens,
+  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+  round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS oov_rate
+FROM tw LEFT JOIN vocab v ON v.w = tw.w
+GROUP BY tw.doc_id
+"""
+
+
+@register("txt13_vocab_coverage", _TXT13_SQL)
+def txt13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's top-1000 vocabulary
+    (operators/text.py::vocab_coverage) — the tokenizer-coverage metric.
+    The vocabulary boundary is a TOTAL order (count desc, token asc) so
+    the LIMIT cut is deterministic cross-engine; the token relation is
+    built once and lazily checkpointed for its two consumers."""
+    from com_danliris_service_etl_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=1000)

@@ -90,6 +90,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "sk3_countmin_heavy_hitters": "global top-20 heavy hitters over the vocabulary aggregate — 20-row bounded result",
     "sim6_kmeans_fit": "k-row seed selection (lowest-id vectors) — bounded global limit",
     "llm12_centrality_keeper": "pagerank's 1-row |V| scalar (same bounded aggregate as g8)",
+    "j13_bloom_semi_join": "bloom_build's one-row densify aggregate — the m_bits/64-word bitset artifact (kilobytes by construction), broadcast back to the fact probe",
     "llm5_decontamination": "benchmark shingles collapse to ONE broadcast array (eval sets are MB-scale)",
     "llm11_contamination_spans": "same broadcast benchmark-shingle array",
     "o5_zorder_key": "per-dim min/max stat row broadcast to the scan",

@@ -226,3 +226,144 @@ def test_exact_containment_verify_subset_detection(spark):
     # disjoint pair: zero containment, not a subset dup
     r13 = got[(1, 3)]
     assert (r13.inter, r13.containment_a, r13.is_subset_dup) == (0, 0.0, False)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct: bitmap state + HLL union
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_equals_direct_distinct(spark):
+    """Fine-grain bitmap state merged to the coarse grain must equal the
+    plain COUNT(DISTINCT) — including keys repeated across fine groups
+    (the case naive sum-of-fine-distincts double-counts) and keys that
+    straddle bitmap bucket boundaries (32768-value ranges)."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        bitmap_distinct_state,
+        bitmap_rollup_counts,
+    )
+
+    rows = [
+        ("a", "d1", 1),
+        ("a", "d1", 1),        # dup inside one fine group
+        ("a", "d2", 1),        # same key, second fine group
+        ("a", "d2", 2),
+        ("a", "d1", 40000),    # second bitmap bucket
+        ("b", "d1", 40000),    # same key under another coarse group
+        ("b", "d2", 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, day string, k long")
+    state = bitmap_distinct_state(df, "k", ["g", "day"])
+    got = {
+        r.g: r.distinct_keys for r in bitmap_rollup_counts(state, ["g"]).collect()
+    }
+    assert got == {"a": 3, "b": 2}
+
+
+def test_bitmap_state_is_incremental(spark):
+    """State built from two disjoint increments and unioned must merge to
+    the same counts as state built in one pass — the mergeability
+    contract that makes the nightly-append rollup exact."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        bitmap_distinct_state,
+        bitmap_rollup_counts,
+    )
+
+    rows = [("a", "d%d" % (i % 3), i % 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, day string, k long")
+    one_pass = bitmap_distinct_state(df, "k", ["g", "day"])
+    inc = bitmap_distinct_state(df.filter(F.col("k") < 9), "k", ["g", "day"]).unionByName(
+        bitmap_distinct_state(df.filter(F.col("k") >= 9), "k", ["g", "day"])
+    )
+    a = {r.g: r.distinct_keys for r in bitmap_rollup_counts(one_pass, ["g"]).collect()}
+    b = {r.g: r.distinct_keys for r in bitmap_rollup_counts(inc, ["g"]).collect()}
+    assert a == b == {"a": 17}
+
+
+def test_hll_rollup_close_to_exact(spark):
+    from com_danliris_service_etl_spark.operators.sketches import hll_rollup
+
+    rows = [("s%d" % (i % 2), "l%d" % (i % 5), i % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, lang string, k long")
+    est = {r.source: r.hll_estimate for r in hll_rollup(df, "k", ["source", "lang"], ["source"]).collect()}
+    # source s0 sees even i -> k in {0,2,...498} = 250 distinct; s1 odd
+    for s, exact in [("s0", 250), ("s1", 250)]:
+        assert abs(est[s] - exact) <= 0.05 * exact, (s, est[s], exact)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_semi_join_exact(spark):
+    from com_danliris_service_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in range(0, 400, 3)], "key long")
+    fact = spark.createDataFrame([(i, i % 7) for i in range(500)], "fk long, g long")
+    # every true key passes its own filter (no false negatives, ever)
+    words = bloom_build(keys, "key", m_bits=1024, k=3)
+    probe = keys.crossJoin(F.broadcast(words)).select(
+        bloom_might_contain(F.col("key"), F.col("__bloom_words"), 1024, 3).alias("p")
+    )
+    assert all(r.p for r in probe.collect())
+    # the pruned semi-join is EXACTLY the plain semi-join
+    got = bloom_semi_join(fact, keys, "fk", "key", m_bits=1024, k=3)
+    want = fact.join(keys.withColumnRenamed("key", "fk"), "fk", "left_semi")
+    assert sorted((r.fk, r.g) for r in got.collect()) == sorted(
+        (r.fk, r.g) for r in want.collect()
+    )
+
+
+def test_bloom_bit63_round_trip(spark):
+    """Keys whose hash lands on bit 63 of a word (the sign bit) must
+    still round-trip — shiftleft(1L, 63) wraps to Long.MIN_VALUE and the
+    bitwiseAND test has to survive it."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    # brute-force a key set guaranteed to cover bit position 63 in word 0:
+    # with m_bits=64 every position is in word 0; include enough keys that
+    # position 63 is hit (checked via the filter becoming all-ones-free).
+    keys = spark.createDataFrame([(k,) for k in range(200)], "key long")
+    words = bloom_build(keys, "key", m_bits=64, k=2)
+    [row] = words.collect()
+    assert row["__bloom_words"][0] != 0
+    probe = keys.crossJoin(F.broadcast(words)).select(
+        bloom_might_contain(F.col("key"), F.col("__bloom_words"), 64, 2).alias("p")
+    )
+    assert all(r.p for r in probe.collect())
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),
+            (2, "a b z"),
+            (3, "z z q"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: a=4, b=3, z=3, c=1, q=1 -> V=2 vocab is {a, b} (z loses the
+    # tie with b on the token-asc tiebreak at the boundary... b=3, z=3:
+    # order by (n desc, w asc) -> a, b, z; LIMIT 2 keeps {a, b})
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate) for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert out == {
+        1: (6, 1, round(1 / 6, 6)),
+        2: (3, 1, round(1 / 3, 6)),
+        3: (3, 3, 1.0),
+    }
