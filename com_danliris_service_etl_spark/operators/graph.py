@@ -302,3 +302,50 @@ def pagerank(
                 if delta is not None and delta < tol:
                     break
     return ranks
+
+
+def cooccurrence_adamic_adar(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over a co-occurrence bipartite
+    graph: items are nodes, each group (order/basket/document) is a
+    common neighbor, and a pair of items co-occurring in a group of size
+    n gains ``1/ln(n)`` — frequent co-occurrence inside SMALL groups is
+    evidence, membership in huge groups is near-noise.
+
+    Shape (the g9 lesson applied up front): ONE groupBy of the fact into
+    per-group sorted distinct-item arrays (state bounded by group size),
+    then in-array pair generation — ``Σ C(|group|, 2)`` emitted rows,
+    never a fact×fact self-join that shuffles the relation twice. The
+    per-pair aggregation is map-side combinable. ``min_common`` bounds
+    the output to pairs with that many shared groups.
+
+    Returns (src, dst, n_common, aa_score) with src < dst and the score
+    rounded to 6dp (sums of a handful of ``1/ln`` terms — rounding makes
+    the cross-engine comparison order-insensitive)."""
+    per_group = (
+        df.groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+        .filter(F.size("__items") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    pairs = per_group.select(
+        F.explode(F.expr(pair_expr)).alias("e"),
+        (1.0 / F.log(F.size("__items").cast("double"))).alias("__w"),
+    )
+    return (
+        pairs.select("e.src", "e.dst", "__w")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum("__w"), 6).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -128,3 +128,38 @@ def l_diversity_audit(
         F.round(F.max("__n") / F.sum("__n"), 6).alias("dominant_share"),
         (F.count(F.lit(1)) >= l).alias("l_diverse"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    eps: float = 0.5,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private group counts: exact partial-aggregated
+    counts + per-group Laplace(1/eps) noise via inverse-CDF sampling.
+
+    The uniform draw is DETERMINISTIC — md5 of the group key and seed,
+    13 hex chars scaled into (0, 1) — which makes releases reproducible
+    and cross-engine testable (the repo's shared-hash scheme; a true
+    DP deployment swaps the hash draw for a CSPRNG, changing ONE
+    expression). Noise is added to the one-row-per-group aggregate, so
+    the mechanism costs nothing beyond the groupBy it protects: the
+    sensitivity-1 count query shape at any scale.
+
+    Output: (*group_cols, noisy_count) with noise rounded to 4dp."""
+    b = 1.0 / eps
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in group_cols])
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
+        / F.lit(float(16**13))
+    ) - 0.5  # (-0.5, 0.5), never exactly the endpoints
+    lap = -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            *group_cols,
+            F.round(F.col("__n") + lap, 4).alias("noisy_count"),
+        )
+    )

@@ -791,3 +791,76 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column — the sufficient-
+    statistics precursor to PCA/whitening — computed the way a 100 TB
+    corpus has to: ONE Arrow-batched ``mapInPandas`` pass emits per-batch
+    partial sufficient statistics (count, per-dim sums, upper-triangle
+    gramian X^T·X — a vectorized BLAS matmul per batch, never per-row
+    Python), a single bounded groupBy sums the partials (≤ d(d+1)/2 + d
+    + 1 keys regardless of corpus size), and the covariance finalizes
+    row-locally: cov_ij = (S_ij − S_i·S_j/n) / (n − 1).
+
+    The eigen-decomposition of the resulting d×d matrix is driver-sized
+    by construction — the classic split: cluster computes the gramian,
+    the driver (or caller) factorizes 64×64.
+
+    Returns (i, j, cov) for 1 ≤ i ≤ j ≤ dim, rounded to 6dp (partial
+    sums make the result summation-order-dependent in the last ulps;
+    embeddings are O(1)-scaled so 6dp is far above the drift)."""
+    import numpy as np
+    import pandas as pd
+
+    iu_i, iu_j = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    # (0,0) carries n; (i,0) the per-dim sums; (i,j) the gramian
+                    "i": np.concatenate(([0], np.arange(1, dim + 1), iu_i + 1)),
+                    "j": np.concatenate(([0], np.zeros(dim, dtype=int), iu_j + 1)),
+                    "s": np.concatenate(
+                        ([float(len(pdf))], x.sum(axis=0), g[iu_i, iu_j])
+                    ),
+                }
+            )
+
+    tot = (
+        embeddings.select(vec_col)
+        .mapInPandas(partials, schema="i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)  # n row + sums + gramian all read from it
+    )
+    n_row = tot.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("__n")
+    )
+    sums = tot.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("__d"), F.col("s").alias("__sum")
+    )
+    gram = tot.filter(F.col("j") > 0)
+    return (
+        gram.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(sums).withColumnRenamed("__d", "i").withColumnRenamed("__sum", "__si"), "i")
+        .join(F.broadcast(sums).withColumnRenamed("__d", "j").withColumnRenamed("__sum", "__sj"), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("s") - F.col("__si") * F.col("__sj") / F.col("__n"))
+                / (F.col("__n") - 1.0),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -28,6 +28,15 @@ collocations, histogram profiling, n-gram novelty, and containment dedup.
   explicit form of runtime row-level filtering.
 - txt13_vocab_coverage — per-doc OOV rate against the corpus top-V
   vocabulary (operators/text.py `vocab_coverage`).
+- w7_range_frame — 10-minute time-RANGE window frame over epoch-micros.
+- g11_adamic_adar — Adamic-Adar link prediction over the part
+  co-purchase bipartite (operators/graph.py
+  `cooccurrence_adamic_adar`).
+- pv4_dp_counts — reproducible seeded-Laplace DP counts
+  (operators/privacy.py `dp_noisy_counts`).
+- sim9_embedding_covariance — one-pass partial-gramian covariance of
+  the embedding corpus (operators/similarity.py
+  `embedding_covariance`).
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -571,3 +580,155 @@ def txt13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import vocab_coverage
 
     return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+# ---------------------------------------------------------------------------
+# W7 — time-RANGE window frame (last-10-minutes running aggregate)
+# ---------------------------------------------------------------------------
+
+_W7_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_10min,
+       round(sum(value) OVER w, 2) AS sum_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("w7_range_frame", _W7_SQL)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count/sum over a 10-minute TIME-RANGE frame
+    (`rangeBetween` on epoch-micros) — the value-based frame w4's
+    ROWS-frame cousin: peers at equal timestamps are IN the frame
+    together, so the result is deterministic under timestamp ties
+    where a ROWS frame would not be. One shuffle + one sort
+    (partitionBy user, orderBy ts); frame state is O(window span),
+    never the partition."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), 2).alias("sum_10min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G11 — Adamic-Adar co-occurrence link prediction
+# ---------------------------------------------------------------------------
+
+_G11_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT l_orderkey, count(*) AS sz FROM d GROUP BY 1),
+p AS (
+  SELECT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT src, dst, count(*)::BIGINT AS n_common,
+       round(sum(1.0 / ln(n.sz::DOUBLE)), 6) AS aa_score
+FROM p JOIN n USING (l_orderkey)
+GROUP BY src, dst
+HAVING count(*) >= 2
+"""
+
+
+@register("g11_adamic_adar", _G11_SQL)
+def g11_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the part co-purchase
+    bipartite (operators/graph.py::cooccurrence_adamic_adar): each order
+    is a common neighbor weighting its item pairs by 1/ln(order size).
+    One groupBy of the fact into per-order arrays + in-array pair
+    generation (the g9 shape) — never a fact×fact self-join. Scores are
+    sums of a handful of 1/ln terms, rounded 6dp for order-insensitive
+    cross-engine comparison."""
+    from com_danliris_service_etl_spark.operators.graph import (
+        cooccurrence_adamic_adar,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurrence_adamic_adar(li, "l_orderkey", "l_partkey", min_common=2)
+
+
+# ---------------------------------------------------------------------------
+# PV4 — differentially-private counts (seeded Laplace, reproducible)
+# ---------------------------------------------------------------------------
+
+_PV4_SQL = """
+WITH g AS (SELECT event_type, count(*)::DOUBLE AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+    (('0x' || substring(md5('dp' || chr(31) || event_type), 1, 13))::BIGINT
+     + 0.5) / 4503599627370496.0 - 0.5 AS uu
+  FROM g
+)
+SELECT event_type,
+       round(n + (-2.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 4) AS noisy_count
+FROM u
+"""
+
+
+@register("pv4_dp_counts", _PV4_SQL)
+def pv4_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event-type counts, eps = 0.5
+    (operators/privacy.py::dp_noisy_counts): Laplace noise via
+    inverse-CDF over a DETERMINISTIC md5 uniform draw (13 hex chars =
+    2^52 exactly double-representable), so the release is reproducible
+    and both engines derive the identical noise — a production release
+    swaps one expression for a CSPRNG. The mechanism rides the
+    aggregate: noise touches one row per group, never the fact."""
+    from com_danliris_service_etl_spark.operators.privacy import dp_noisy_counts
+
+    ev = _events(spark, sf_dir)
+    return dp_noisy_counts(ev, ["event_type"], eps=0.5, seed="dp")
+
+
+# ---------------------------------------------------------------------------
+# SIM9 — embedding covariance via one-pass partial gramians
+# ---------------------------------------------------------------------------
+
+_SIM9_SQL = """
+WITH d1 AS (SELECT unnest(range(1, 65)) AS i),
+vals AS (SELECT embedding AS v FROM embeddings),
+n AS (SELECT count(*)::DOUBLE AS n FROM vals),
+sums AS (
+  SELECT d1.i, sum(v[d1.i]::DOUBLE) AS s
+  FROM vals CROSS JOIN d1 GROUP BY 1
+),
+gram AS (
+  SELECT a.i AS i, b.i AS j, sum(v[a.i]::DOUBLE * v[b.i]::DOUBLE) AS sij
+  FROM vals CROSS JOIN d1 a CROSS JOIN d1 b
+  WHERE b.i >= a.i GROUP BY 1, 2
+)
+SELECT g.i, g.j,
+       round((g.sij - sa.s * sb.s / n.n) / (n.n - 1.0), 6) AS cov
+FROM gram g
+JOIN sums sa ON sa.i = g.i
+JOIN sums sb ON sb.i = g.j
+CROSS JOIN n
+"""
+
+
+@register("sim9_embedding_covariance", _SIM9_SQL)
+def sim9_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the 64-dim embedding corpus
+    (operators/similarity.py::embedding_covariance) — ONE Arrow-batched
+    mapInPandas pass emits per-batch (count, per-dim sums, BLAS-matmul
+    gramian) partials; a bounded groupBy (≤ 2145 keys at any corpus
+    size) sums them; covariance finalizes row-locally. The d×d result is
+    driver-factorizable by construction — the PCA/whitening split for a
+    100 TB corpus."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding", 64)

@@ -367,3 +367,83 @@ def test_vocab_coverage_hand_computed(spark):
         2: (3, 1, round(1 / 3, 6)),
         3: (3, 3, 1.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar co-occurrence scores
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.graph import (
+        cooccurrence_adamic_adar,
+    )
+
+    rows = [
+        # group 1: {a, b, c} (sz 3) -> pairs ab, ac, bc at 1/ln3
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup membership ignored
+        # group 2: {a, b} (sz 2) -> ab at 1/ln2
+        (2, "a"), (2, "b"),
+        # group 3: {a, d} -> ad (only 1 common group, filtered)
+        (3, "a"), (3, "d"),
+        # group 4: singleton -> nothing
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "gid long, item string")
+    got = {
+        (r.src, r.dst): (r.n_common, r.aa_score)
+        for r in cooccurrence_adamic_adar(df, "gid", "item", min_common=2).collect()
+    }
+    assert got == {("a", "b"): (2, round(1 / math.log(3) + 1 / math.log(2), 6))}
+    # min_common=1 keeps every co-occurring pair
+    got1 = {
+        (r.src, r.dst)
+        for r in cooccurrence_adamic_adar(df, "gid", "item", min_common=1).collect()
+    }
+    assert got1 == {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")}
+
+
+# ---------------------------------------------------------------------------
+# DP noisy counts
+# ---------------------------------------------------------------------------
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    from com_danliris_service_etl_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("x",)] * 100 + [("y",)] * 50, "g string"
+    )
+    a = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], eps=0.5).collect()}
+    b = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], eps=0.5).collect()}
+    assert a == b  # seeded draw -> reproducible release
+    # noise is centered small relative to eps=0.5 (b=2): P(|noise|>20) ~ e^-10
+    assert abs(a["x"] - 100) < 20 and abs(a["y"] - 50) < 20
+    # different seed -> different draw (overwhelmingly)
+    c = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], eps=0.5, seed="dp2").collect()}
+    assert c != a
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance via partial gramians
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 5)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)  # multiple Arrow batches -> partials really merge
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df, "embedding", 5).collect()}
+    want = np.cov(X.astype("float64"), rowvar=False, ddof=1)
+    assert len(got) == 15
+    for (i, j), v in got.items():
+        assert abs(v - want[i - 1, j - 1]) < 1e-6, (i, j, v, want[i - 1, j - 1])
