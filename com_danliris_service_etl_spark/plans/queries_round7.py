@@ -732,3 +732,41 @@ def sim9_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding", 64)
+
+
+# ---------------------------------------------------------------------------
+# ST9 — watermark dedup (exactly-once admission under replay)
+# ---------------------------------------------------------------------------
+
+_ST9_SQL = """
+WITH replay AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+),
+d AS (SELECT DISTINCT * FROM replay)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM d GROUP BY event_type
+"""
+
+
+@register("st9_watermark_dedup", _ST9_SQL)
+def st9_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming/jobs.py::run_streaming_watermark_dedup`:
+    the event stream replayed twice (exact at-least-once redelivery),
+    admitted exactly once per event_id, then profiled per type.
+    Replayed rows are bit-identical, so the admission rule is plain
+    DISTINCT in both engines; the streaming form is
+    `dropDuplicatesWithinWatermark`, whose per-id state is evicted at
+    the watermark (the bounded-state property the batch twin cannot
+    show — tests/test_streaming.py pins stream ≡ batch on a
+    duplicate-injected fixture)."""
+    ev = _events(spark, sf_dir)
+    replay = ev.unionByName(ev)
+    return (
+        replay.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

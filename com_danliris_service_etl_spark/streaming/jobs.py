@@ -642,3 +642,46 @@ def run_streaming_interval_join_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_watermark_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "wm_dedup_stream",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event admission under at-least-once delivery:
+    `dropDuplicatesWithinWatermark` on the event id keeps the FIRST
+    arrival of each id and holds per-id state only until the event-time
+    watermark passes it — the bounded-state dedup an unbounded ingest
+    needs (plain dropDuplicates would hold every id ever seen). The
+    deduped stream lands in an append sink; the per-type profile is a
+    batch aggregate over the sink (chained stateful ops avoided the
+    st5 way). Exactness contract: duplicates arriving WITHIN the delay
+    of their first occurrence are dropped; a re-arrival after the
+    watermark passes the id is re-admitted — the delay is the declared
+    redelivery bound, and state stays bounded by it. Batch twin:
+    `plans/queries_round7.py::st9_watermark_dedup` (replayed rows are
+    bit-identical, so batch DISTINCT is the same admission rule);
+    tests/test_streaming.py pins stream ≡ batch on a
+    duplicate-injected fixture with the delay spanning the replay."""
+    # streaming_events normalizes event time to ts_utc (TimestampType
+    # micros) — the raw fixture's TIMESTAMP_NTZ is not a valid
+    # watermark column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    raw = streaming_events(spark, sf_dir)
+    deduped = raw.withWatermark("ts_utc", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(query_name)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
