@@ -692,3 +692,70 @@ def bloom_semi_join(
     return probed.drop("__bloom_words").join(
         keys.select(F.col(dim_key).alias(fact_key)).distinct(), fact_key, "left_semi"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    equi_keys: Sequence[tuple[str, str]] = (),
+    bin_width: int = 1,
+) -> DataFrame:
+    """Interval×interval OVERLAP join — each left row pairs with every
+    right row whose half-open interval intersects it
+    (``l_lo < r_hi AND r_lo < l_hi``) — without the all-pairs theta
+    join Spark would otherwise plan (BroadcastNestedLoopJoin /
+    cartesian).
+
+    Same bin-bucketing family as `range_join`, but overlap needs a
+    different dedup rule: BOTH sides explode to every bin their
+    interval touches, so an overlapping pair meets in every bin the
+    two intervals SHARE. The pair is kept only in the bin containing
+    the LATER of the two starts (``floor(greatest(l_lo, r_lo) /
+    bin_width)``) — that bin is shared whenever the intervals overlap
+    (the later start lies inside both), is unique, and is computable
+    row-locally from the joined pair, so no `.distinct()` shuffle of
+    the pair set is ever needed.
+
+    Cost: each side replicates ceil(len/bin_width)+1× — pick
+    ``bin_width`` ≈ the typical interval length for ~2× replication.
+    The join is an ordinary hash equi-join on (equi_keys…, bin):
+    partial column pruning happens before the explode, AQE splits hot
+    bins, and worst-case work is bounded by Σ interval-lengths /
+    bin_width, never |left|·|right|. Ends are exclusive: touching
+    intervals ([1,3) vs [3,5)) do NOT overlap — the same boundary
+    convention as `range_join` and session windows.
+    """
+    lf = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / F.lit(bin_width)),
+                F.floor(F.col(left_hi) / F.lit(bin_width)),
+            )
+        ),
+    )
+    rf = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bin_width)),
+                F.floor(F.col(right_hi) / F.lit(bin_width)),
+            )
+        ),
+    )
+    cond = lf["__bin"] == rf["__bin"]
+    for lk, rk in equi_keys:
+        cond = cond & (lf[lk] == rf[rk])
+    overlap = (lf[left_lo] < rf[right_hi]) & (rf[right_lo] < lf[left_hi])
+    meet_once = lf["__bin"] == F.floor(
+        F.greatest(lf[left_lo], rf[right_lo]) / F.lit(bin_width)
+    )
+    return (
+        lf.join(rf, cond & overlap & meet_once, "inner")
+        .drop(lf["__bin"])
+        .drop(rf["__bin"])
+    )

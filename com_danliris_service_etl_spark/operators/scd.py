@@ -211,3 +211,65 @@ def cdc_apply(
         F.max(seq_col).alias(seq_col),
     )
     return latest.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Extract a CDC changelog by DIFFING two keyed snapshots — the
+    inverse of `cdc_apply`, and the extraction path when the source
+    system exposes no change stream (the reference re-extracts whole
+    tables nightly, e.g. `Pembelian/run.js`; diffing consecutive
+    extracts recovers the I/U/D log a downstream incremental consumer
+    needs). Emits one row per changed key: ``'I'`` (key only in new,
+    new payload), ``'D'`` (key only in old, old payload — the
+    last-known values a tombstone consumer wants), ``'U'`` (key in
+    both, any payload column differing null-safely; new payload).
+    Unchanged keys are dropped. Round-trip law (pinned in tests):
+    ``cdc_apply(old-as-inserts ∪ snapshot_diff(old, new)) == new``.
+
+    ONE full-outer shuffle join on the key columns — both snapshots
+    hash-partition by key, compare row-locally; no window, no
+    collect. Payload comparison is column-wise null-safe equality
+    (works on any comparable type, no cross-engine row-hash needed).
+    Both inputs must share the key+payload schema; payload order is
+    taken from ``new``."""
+    keys = list(keys)
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, *payload, F.lit(True).alias("__o_here"))
+    for c in (*keys, *payload):
+        o = o.withColumnRenamed(c, f"__o_{c}")
+    n = new.select(*keys, *payload, F.lit(True).alias("__n_here"))
+
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = n.join(o, cond, "full_outer")
+
+    in_old = F.col("__o_here").isNotNull()
+    in_new = F.col("__n_here").isNotNull()
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+
+    return (
+        j.filter(~in_old | ~in_new | ~same)
+        .select(
+            *[
+                F.when(in_new, F.col(k)).otherwise(F.col(f"__o_{k}")).alias(k)
+                for k in keys
+            ],
+            *[
+                F.when(in_new, F.col(c)).otherwise(F.col(f"__o_{c}")).alias(c)
+                for c in payload
+            ],
+            F.when(~in_old, F.lit("I"))
+            .when(~in_new, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias(op_col),
+        )
+    )

@@ -183,3 +183,106 @@ def hll_rollup(
     return fine.groupBy(*coarse_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("__hll")).alias("hll_estimate")
     )
+
+
+def binned_quantile_state(
+    df: DataFrame,
+    value_col: str,
+    fine_cols: list[str],
+    n_bins: int = 256,
+) -> DataFrame:
+    """MERGEABLE quantile state: a fixed-width histogram (``n_bins``
+    equal bins over the GLOBAL value range) counted per fine group —
+    the quantile analogue of :func:`bitmap_distinct_state` /
+    :func:`hll_rollup`. Spark's t-digest (``approx_percentile``) can
+    estimate at one grain but its state is not exposed for cross-grain
+    SQL merging; binned counts ARE trivially mergeable (sum), so a
+    per-(day, segment) state table rolls up to quantiles at ANY coarser
+    grain without re-scanning raw rows, with error bounded by the bin
+    width — the resolution/state-size trade a 100 TB deployment
+    pre-aggregates once and reuses everywhere.
+
+    Two map-side-combinable passes: a 1-row global min/max (broadcast
+    back — bounded scalar, allowlisted single-partition), then one
+    groupBy on ``(*fine_cols, bin)``. State per group ≤ ``n_bins`` rows
+    regardless of row count. NULL values are dropped (percentile
+    semantics). Returns ``(*fine_cols, __qbin, __qcnt, __qlo, __qw)``
+    with the global lo/width carried as constant columns so the rollup
+    needs no side-channel."""
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__qlo"), F.max(v).alias("__qhi")
+    ).select(
+        "__qlo",
+        # degenerate all-equal range still needs a nonzero width
+        F.greatest(
+            (F.col("__qhi") - F.col("__qlo")) / F.lit(float(n_bins)),
+            F.lit(1e-12),
+        ).alias("__qw"),
+    )
+    binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+    bin_ix = F.least(
+        F.floor((v - F.col("__qlo")) / F.col("__qw")),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        binned.groupBy(*fine_cols, bin_ix.alias("__qbin"))
+        .agg(
+            F.count(F.lit(1)).alias("__qcnt"),
+            # constants per run — first() keeps them through the agg
+            F.first("__qlo").alias("__qlo"),
+            F.first("__qw").alias("__qw"),
+        )
+    )
+
+
+def binned_quantile_rollup(
+    state: DataFrame,
+    coarse_cols: list[str],
+    qs: list[float],
+) -> DataFrame:
+    """Merge binned-quantile state to a coarser grain and extract
+    quantile ESTIMATES: sum counts per ``(*coarse_cols, bin)``, one
+    bounded window cumsum over ≤ n_bins rows per group, then for each
+    ``q`` the upper edge of the first bin whose cumulative count
+    reaches ``q·n``. Guarantee (the ORDER-STATISTIC bracket): the
+    k-th smallest value, k = ceil(q·n), lies in ``[est − width, est]``
+    — verified in-query by sk6 with two conditional counts. NOTE the
+    bound is NOT against interpolated quantiles (percentile_cont):
+    interpolation at a data GAP wanders across empty bins, so its
+    distance from est is bounded by the gap, not the bin width (the
+    error-bound unit test constructs exactly that bimodal case).
+    Returns ``(*coarse_cols, n, q_<q>…)``.
+
+    The window sorts ≤ n_bins rows per coarse key — bounded state, not
+    fact-scale; everything upstream partial-combines map-side."""
+    merged = state.groupBy(*coarse_cols, "__qbin").agg(
+        F.sum("__qcnt").alias("__qcnt"),
+        F.first("__qlo").alias("__qlo"),
+        F.first("__qw").alias("__qw"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*coarse_cols).orderBy("__qbin")
+    wall = Window.partitionBy(*coarse_cols)
+    cum = merged.select(
+        *coarse_cols,
+        "__qbin",
+        "__qlo",
+        "__qw",
+        F.sum("__qcnt").over(w).alias("__qcum"),
+        F.sum("__qcnt").over(wall).alias("__qn"),
+    )
+    est = F.col("__qlo") + (F.col("__qbin") + 1) * F.col("__qw")
+    aggs = [F.max("__qn").alias("n")]
+    for q in qs:
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__qcum") >= F.col("__qn").cast("double") * F.lit(q),
+                    est,
+                )
+            ).alias(name)
+        )
+    return cum.groupBy(*coarse_cols).agg(*aggs)

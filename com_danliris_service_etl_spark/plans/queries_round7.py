@@ -37,6 +37,16 @@ collocations, histogram profiling, n-gram novelty, and containment dedup.
 - sim9_embedding_covariance — one-pass partial-gramian covariance of
   the embedding corpus (operators/similarity.py
   `embedding_covariance`).
+- st9_watermark_dedup — batch twin of the watermark-bounded streaming
+  dedup (streaming/jobs.py `run_streaming_watermark_dedup`).
+- s13_snapshot_diff — I/U/D changelog extraction by keyed snapshot
+  diff (operators/scd.py `snapshot_diff`).
+- j14_interval_overlap — bin-bucketed interval×interval overlap join
+  (operators/joins.py `interval_overlap_join`).
+- sk6_quantile_rollup — mergeable binned-quantile state rollup with
+  the in-query order-statistic bracket contract
+  (operators/sketches.py `binned_quantile_state` /
+  `binned_quantile_rollup`).
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -769,4 +779,237 @@ def st9_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13 — snapshot-diff CDC extraction (inverse of s12's cdc_apply)
+# ---------------------------------------------------------------------------
+
+# Two consecutive "nightly extracts" derived deterministically from
+# orders: the old snapshot is missing keys ≡ 0 (mod 97), the new one is
+# missing keys ≡ 0 (mod 89) (deletes), and keys ≡ 0 (mod 13) changed
+# price (+1.0 — exact in IEEE, so both engines compute the identical
+# double). The diff must classify I / U / D and drop unchanged keys.
+_S13_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 89 <> 0)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey
+            ELSE n.o_custkey END AS o_custkey,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+            ELSE n.o_orderstatus END AS o_orderstatus,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+            ELSE n.o_totalprice END AS o_totalprice,
+       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
+@register("s13_snapshot_diff", _S13_SQL)
+def s13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction by keyed snapshot diff (operators/scd.py::
+    `snapshot_diff`) — the change-stream recovery path for sources that
+    only expose full nightly extracts (the reference re-extracts whole
+    tables, e.g. Pembelian/run.js; diffing consecutive extracts yields
+    the I/U/D log s12's `cdc_apply` consumes). One full-outer hash join
+    on the key; payload compared column-wise null-safely; unchanged
+    keys dropped."""
+    from com_danliris_service_etl_spark.operators.scd import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 97 != 0)
+    new = base.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# J14 — interval-overlap self-join (concurrent shipments per supplier)
+# ---------------------------------------------------------------------------
+
+# In-transit interval per lineitem: [ship_day, ship_day + 1 + pk % 14)
+# — length 1..14 days, deterministic in both engines. Pairs of the same
+# supplier's shipments whose intervals overlap, each pair counted once
+# ((orderkey, linenumber) lexicographic tiebreak). The oracle runs the
+# naive per-supplier theta join (correct at sf0.01); the Spark side must
+# produce the identical aggregate through bin bucketing — never the
+# all-pairs plan.
+_J14_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         datediff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS lo,
+         datediff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT
+           + 1 + (l_partkey % 14) AS hi
+  FROM lineitem)
+SELECT a.l_suppkey AS l_suppkey,
+       count(*)::BIGINT AS n_pairs,
+       sum(least(a.hi, b.hi) - greatest(a.lo, b.lo))::BIGINT AS overlap_days
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey
+ AND a.lo < b.hi AND b.lo < a.hi
+ AND (a.l_orderkey < b.l_orderkey
+      OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+GROUP BY a.l_suppkey
+"""
+
+
+@register("j14_interval_overlap", _J14_SQL)
+def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.py::
+    `interval_overlap_join`): per-supplier concurrent-shipment pairs.
+    Both sides bin-bucket (width 8 ≈ the 1–14-day interval lengths →
+    ~2× replication); the pair survives only in the bin of the LATER
+    start, so no distinct pass; the join is a plain hash equi-join on
+    (suppkey, bin) — O(Σ len/width), never |L|·|R|."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        day.alias("lo"),
+        (day + 1 + F.col("l_partkey") % 14).alias("hi"),
+    )
+    right = (
+        iv.withColumnRenamed("l_suppkey", "r_suppkey")
+        .withColumnRenamed("l_orderkey", "r_orderkey")
+        .withColumnRenamed("l_linenumber", "r_linenumber")
+        .withColumnRenamed("lo", "r_lo")
+        .withColumnRenamed("hi", "r_hi")
+    )
+    pairs = interval_overlap_join(
+        iv,
+        right,
+        "lo",
+        "hi",
+        "r_lo",
+        "r_hi",
+        equi_keys=[("l_suppkey", "r_suppkey")],
+        bin_width=8,
+    ).filter(
+        (F.col("l_orderkey") < F.col("r_orderkey"))
+        | (
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_linenumber") < F.col("r_linenumber"))
+        )
+    )
+    return pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("hi", "r_hi") - F.greatest("lo", "r_lo")
+        ).alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SK6 — mergeable binned-quantile rollup with verified error bound
+# ---------------------------------------------------------------------------
+
+# Histogram state at (returnflag, linestatus) grain, merged to
+# returnflag-grain quantiles. Estimates are resolution-bounded, not
+# cross-engine-comparable, so the sk1 contract applies: emit EXACT
+# continuous quantiles (hash-comparable, percentile ≡ quantile_cont)
+# plus booleans verifying the estimate's true guarantee — the k-th
+# order statistic (k = ceil(q·n)) lies in [est − width, est], checked
+# with two conditional counts — and pin the booleans TRUE in the
+# oracle. (|est − quantile_cont| is NOT width-bounded: interpolation
+# at a data gap crosses empty bins; see binned_quantile_rollup.)
+_SK6_SQL = """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sk6_quantile_rollup", _SK6_SQL)
+def sk6_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (operators/sketches.py::
+    `binned_quantile_state` / `binned_quantile_rollup`): fixed-width
+    histogram state at the fine grain — the quantile analogue of
+    sk4/sk5's bitmap/HLL partial state (t-digest state isn't SQL-
+    mergeable across grains; binned counts are) — merged to coarse-
+    grain p50/p95. Flags verify the order-statistic bracket
+    (os_k ∈ [est − w, est], k = ceil(q·n)) by joining the 3-row rolled
+    frame back to the scan (broadcast) and counting values ≤ est and
+    < est − w — map-side-combinable, no sort; the extra scan is
+    evidence-only (a deployment reads the state table, not the raw
+    rows). Exact quantiles ride percentile() ≡ quantile_cont (a7)."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        binned_quantile_rollup,
+        binned_quantile_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    n_bins = 256
+    state = binned_quantile_state(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], n_bins
+    )
+    rolled = binned_quantile_rollup(state, ["l_returnflag"], [0.5, 0.95])
+    bounds = li.agg(
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / F.lit(float(n_bins))
+        ).alias("__w")
+    )
+    est = F.broadcast(rolled.crossJoin(F.broadcast(bounds)))
+    x = F.col("l_extendedprice")
+    # FP slack on the bracket's lower edge: binning computes
+    # floor((x-lo)/w) while the check recomputes est-w; a boundary
+    # value can land on either side of the subtraction's rounding.
+    eps = F.lit(1e-9) * F.greatest(F.abs(F.col("q_0_95")), F.lit(1.0))
+    chk = (
+        li.join(est, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_e"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_e"),
+            F.count(F.when(x <= F.col("q_0_5"), 1)).alias("le50"),
+            F.count(
+                F.when(x < F.col("q_0_5") - F.col("__w") - eps, 1)
+            ).alias("lt50lo"),
+            F.count(F.when(x <= F.col("q_0_95"), 1)).alias("le95"),
+            F.count(
+                F.when(x < F.col("q_0_95") - F.col("__w") - eps, 1)
+            ).alias("lt95lo"),
+        )
+    )
+    k50 = F.ceil(F.col("n_exact") * F.lit(0.5))
+    k95 = F.ceil(F.col("n_exact") * F.lit(0.95))
+    return chk.select(
+        "l_returnflag",
+        F.col("n_exact").alias("n"),
+        F.round("p50_e", 4).alias("p50_exact"),
+        F.round("p95_e", 4).alias("p95_exact"),
+        ((F.col("le50") >= k50) & (F.col("lt50lo") < k50)).alias("p50_ok"),
+        ((F.col("le95") >= k95) & (F.col("lt95lo") < k95)).alias("p95_ok"),
     )

@@ -99,6 +99,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt5_tfidf_top_terms": "corpus-N scalar for the idf term",
     "txt8_bm25_topk": "corpus-N/avgdl scalar",
     "txt9_unigram_logprob": "vocabulary-total scalar",
+    "sk6_quantile_rollup": "two 1-row global min/max bounds aggregates (binning grid + bracket width), each partial-aggregated and broadcast back",
 }
 
 

@@ -447,3 +447,181 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(got) == 15
     for (i, j), v in got.items():
         assert abs(v - want[i - 1, j - 1]) < 1e-6, (i, j, v, want[i - 1, j - 1])
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_iud(spark):
+    from com_danliris_service_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", None), (4, "d", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: (r.s, r.v, r.op) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0, "D"),     # deleted — old payload survives
+        3: ("c2", None, "U"),    # string changed, null value unchanged
+        4: ("d", None, "U"),     # value 40.0 -> NULL is a change (null-safe)
+        5: ("e", 50.0, "I"),
+    }
+    # key 2 unchanged -> absent
+
+
+def test_snapshot_diff_cdc_roundtrip(spark):
+    """Round-trip law: applying the diff (with old as seed inserts)
+    through cdc_apply reproduces the new snapshot exactly."""
+    from com_danliris_service_etl_spark.operators.scd import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    seed = old.withColumn("op", F.lit("I")).withColumn("seq", F.lit(0))
+    log = snapshot_diff(old, new, ["k"]).withColumn("seq", F.lit(1))
+    state = cdc_apply(seed.unionByName(log), ["k"], "seq")
+    got = {(r.k, r.s, r.v) for r in state.select("k", "s", "v").collect()}
+    want = {(r.k, r.s, r.v) for r in new.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+# ---------------------------------------------------------------------------
+
+
+def _overlap_ref(left, right, keyed=True):
+    out = []
+    for a in left:
+        for b in right:
+            if keyed and a[0] != b[0]:
+                continue
+            if a[1] < b[2] and b[1] < a[2]:
+                out.append((a, b))
+    return out
+
+
+@pytest.mark.parametrize("bin_width", [1, 3, 100])
+def test_interval_overlap_join_matches_bruteforce(spark, bin_width):
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # touching intervals (1,4) vs (4,7) must NOT match; containment,
+    # identical, spanning and negative-coordinate intervals must
+    left = [(1, 0, 5), (1, 4, 7), (1, -10, 30), (2, 2, 3), (2, -4, -1)]
+    right = [(1, 4, 6), (1, 7, 9), (2, -2, 2), (2, 3, 4), (3, 0, 99)]
+    lf = spark.createDataFrame(left, "k long, lo long, hi long")
+    rf = spark.createDataFrame(
+        [(k, lo, hi) for k, lo, hi in right], "rk long, rlo long, rhi long"
+    )
+    got = sorted(
+        (r.k, r.lo, r.hi, r.rlo, r.rhi)
+        for r in interval_overlap_join(
+            lf, rf, "lo", "hi", "rlo", "rhi",
+            equi_keys=[("k", "rk")], bin_width=bin_width,
+        ).collect()
+    )
+    want = sorted(
+        (a[0], a[1], a[2], b[1], b[2]) for a, b in _overlap_ref(left, right)
+    )
+    assert got == want
+
+
+def test_interval_overlap_join_no_dedup_needed(spark):
+    """A pair sharing MANY bins must still appear exactly once."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    lf = spark.createDataFrame([(1, 0, 100)], "k long, lo long, hi long")
+    rf = spark.createDataFrame([(1, 10, 90)], "rk long, rlo long, rhi long")
+    rows = interval_overlap_join(
+        lf, rf, "lo", "hi", "rlo", "rhi",
+        equi_keys=[("k", "rk")], bin_width=5,
+    ).collect()
+    assert len(rows) == 1
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile state / rollup
+# ---------------------------------------------------------------------------
+
+
+def test_binned_quantile_rollup_error_bound(spark):
+    import numpy as np
+
+    from com_danliris_service_etl_spark.operators.sketches import (
+        binned_quantile_rollup,
+        binned_quantile_state,
+    )
+
+    # deliberately BIMODAL with a wide empty gap: the interpolated
+    # median wanders into the gap, so the honest guarantee is the
+    # order-statistic bracket, never |est - quantile_cont| <= c*width
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.exponential(100.0, 500), rng.normal(1000.0, 50.0, 500)]
+    )
+    rows = [("g" + str(i % 4), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    n_bins = 128
+    width = (vals.max() - vals.min()) / n_bins
+    state = binned_quantile_state(df, "v", ["g"], n_bins)
+    out = binned_quantile_rollup(state, [], [0.5, 0.95]).collect()[0]
+    assert out.n == len(vals)
+    srt = np.sort(vals)
+    for q, col in [(0.5, out.q_0_5), (0.95, out.q_0_95)]:
+        k = math.ceil(q * len(vals))           # ANSI discrete quantile
+        os_k = srt[k - 1]
+        assert col - width - 1e-9 <= os_k <= col + 1e-9
+
+
+def test_binned_quantile_state_merges_across_increments(spark):
+    """State built on two halves and unioned must roll up to the same
+    answer as state built on the whole — the mergeability contract."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        binned_quantile_rollup,
+        binned_quantile_state,
+    )
+
+    rows = [("a", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    whole = binned_quantile_state(df, "v", ["g"], 64)
+    # identical global bounds on both halves (production pins bounds
+    # once); slice AFTER binning to model two increments of one state
+    half1 = whole.limit(0).unionByName(whole.filter(F.col("__qbin") < 32))
+    half2 = whole.filter(F.col("__qbin") >= 32)
+    merged = half1.unionByName(half2)
+    a = binned_quantile_rollup(whole, ["g"], [0.5]).collect()[0]
+    b = binned_quantile_rollup(merged, ["g"], [0.5]).collect()[0]
+    assert a.n == b.n and a.q_0_5 == b.q_0_5
+
+
+def test_binned_quantile_constant_column(spark):
+    """Degenerate all-equal values: width floor keeps the math finite
+    and the estimate lands on the constant."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        binned_quantile_rollup,
+        binned_quantile_state,
+    )
+
+    df = spark.createDataFrame([("a", 5.0)] * 10, "g string, v double")
+    state = binned_quantile_state(df, "v", ["g"], 16)
+    out = binned_quantile_rollup(state, ["g"], [0.5]).collect()[0]
+    assert out.n == 10
+    assert abs(out.q_0_5 - 5.0) < 1e-6
