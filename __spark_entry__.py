@@ -31,12 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, two consecutive rounds cannot cover the registry; the
 # guarantee is a 3-ROUND CYCLE — r5 recorded 50 (all green), r6 recorded
 # 50 (all green), round 7 below leads with the 26 queries whose latest
-# green row is still r4 plus the 18 queries NEW this round (g9/g10/
+# green row is still r4 plus the 20 queries NEW this round (g9/g10/
 # txt12/a8/llm13/dd9/sk4/sk5/j13/txt13/w7/g11/pv4/sim9/st9/s13/j14/
-# sk6); the r5+r6+r7 union then covers every query except the twelve
-# r05-green entries the 18 new queries displaced (dd8/o5/pv3/q2/g7/q3/
-# s12/sim7/llm11/st5/st6/st7 — each pinned by its own unit tests; they
-# lead the r8 rotation from the head of _RECORD_LAST).
+# sk6/w8/a10); the r5+r6+r7 union then covers every query except the
+# fourteen r05-green entries the 20 new queries displaced (dd8/o5/pv3/
+# q2/g7/q3/s12/sim7/llm11/st5/st6/st7/llm10/pk3 — each pinned by its
+# own unit tests; they lead the r8 rotation from the head of
+# _RECORD_LAST).
 #   1. _PRIORITY — exactly the 50-row budget: (a) the 26 r04-green
 #      entries deferred two rounds (stalest evidence), (b) queries new
 #      or with changed implementation this round, (c) the stalest
@@ -90,12 +91,12 @@ _PRIORITY = [
     "s13_snapshot_diff",
     "j14_interval_overlap",
     "sk6_quantile_rollup",
+    "w8_gap_islands",
+    "a10_group_trend",
     # (c) stalest r05-green entries — refresh before they age out
     "g6_path_transitions",
     "j11_fuzzy_join",
     "llm9_textual_neardup",
-    "llm10_leakage_safe_split",
-    "pk3_balanced_shards",
     "sim8_pq_topk",
 ]
 
@@ -116,6 +117,8 @@ _RECORD_LAST = [
     "st5_dedup_stats",
     "st6_interval_join",
     "st7_gap_fill",
+    "llm10_leakage_safe_split",
+    "pk3_balanced_shards",
     # r05-green, unchanged, next-stalest — first in line if the cap ever
     # rises above 50
     "txt9_unigram_logprob",

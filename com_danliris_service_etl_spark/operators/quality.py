@@ -284,3 +284,58 @@ def histogram_profile(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col,
+    y_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope + intercept of y
+    over x) from SUFFICIENT STATISTICS — the drift detector's
+    quantitative companion (`snapshot_drift` flags a shifted mean;
+    the trend says how fast a metric is moving per unit x).
+
+    One map-side-combinable aggregation computes (n, Σx, Σx², Σy, Σxy)
+    per group; slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) and intercept
+    follow row-locally — no second pass, no window. ``x_col`` is cast
+    to BIGINT so Σx and Σx² are EXACT integer sums (use a compact
+    ordinal — day index, batch number — not epoch micros: exactness
+    plus small magnitudes keep the cancellation in the numerator
+    cross-engine-stable; results round to ``round_dp``). Degenerate
+    groups (all x equal → zero variance) yield NULL slope/intercept
+    via try_divide instead of aborting under ANSI mode."""
+    groups = list(group_cols)
+    x = F.col(x_col).cast("long") if isinstance(x_col, str) else x_col.cast("long")
+    y = F.col(y_col).cast("double") if isinstance(y_col, str) else y_col.cast("double")
+    stats = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("__sx"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x.cast("double") * y).alias("__sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    slope = F.try_divide(
+        nd * F.col("__sxy") - sx * F.col("__sy"),
+        nd * sxx - sx * sx,
+    )
+    sel = stats.withColumn("__slope", slope)
+    intercept = F.try_divide(F.col("__sy") - F.col("__slope") * sx, nd)
+    return (
+        sel.withColumn("__icept", intercept)
+        .select(
+            *groups,
+            "n",
+            F.round("__slope", round_dp).alias("slope"),
+            F.round("__icept", round_dp).alias("intercept"),
+        )
+    )

@@ -146,3 +146,57 @@ def topk_per_group(
         df.withColumn(out_col, F.row_number().over(w))
         .filter(F.col(out_col) <= k)
     )
+
+
+def gap_islands(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    tick_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each group's integer tick set into its
+    maximal runs of CONSECUTIVE ticks (activity streaks, sensor uptime
+    segments, contiguous version ranges). The classic trick — after
+    dedup, ``tick − row_number()`` is constant exactly within a
+    consecutive run — turns run detection into a groupBy on that
+    difference: no self-join, no iterative chaining.
+
+    Returns one row per island: ``(*group_cols, island_start,
+    island_end, island_len)``.
+
+    ONE hash partition by the GROUP columns feeds everything: an
+    explicit repartition(*groups) ahead of the dedup means
+    HashPartitioning(groups) — a subset of every later requirement —
+    satisfies the (groups, tick) dedup agg, the per-group window sort,
+    and the island groupBy, so Catalyst inserts no further exchange
+    (letting dropDuplicates pick its own partitioning would hash on
+    (groups, tick) and force a SECOND exchange for the window).
+    Duplicate ticks are collapsed first so row_number is dense over
+    DISTINCT ticks — required for the difference trick and what makes
+    the window input bounded by the tick domain, not the raw row count
+    (a customer with 1M same-day events contributes one tick). Hot
+    groups are bounded by their distinct-tick span; a group spanning
+    the whole domain is still one sorted partition — at that grain use
+    a coarser tick."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    ticks = df.select(*groups, F.col(tick_col).cast("long").alias("__tick")).filter(
+        F.col("__tick").isNotNull()
+    )
+    if groups:
+        ticks = ticks.repartition(*groups).dropDuplicates([*groups, "__tick"])
+    else:
+        ticks = ticks.distinct()
+    w = Window.partitionBy(*groups).orderBy("__tick")
+    runs = ticks.withColumn(
+        "__grp", F.col("__tick") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(*groups, "__grp")
+        .agg(
+            F.min("__tick").alias("island_start"),
+            F.max("__tick").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("__grp")
+    )

@@ -1013,3 +1013,100 @@ def sk6_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("le50") >= k50) & (F.col("lt50lo") < k50)).alias("p50_ok"),
         ((F.col("le95") >= k95) & (F.col("lt95lo") < k95)).alias("p95_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — gaps-and-islands (customer ordering streaks)
+# ---------------------------------------------------------------------------
+
+_W8_SQL = """
+WITH days AS (
+  SELECT DISTINCT o_custkey,
+         datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS d
+  FROM orders),
+runs AS (
+  SELECT o_custkey, d,
+         d - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS g
+  FROM days),
+isl AS (
+  SELECT o_custkey, g, count(*)::BIGINT AS len
+  FROM runs GROUP BY o_custkey, g)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_islands,
+       max(len)::BIGINT AS longest_island,
+       sum(len)::BIGINT AS active_days
+FROM isl GROUP BY o_custkey
+"""
+
+
+@register("w8_gap_islands", _W8_SQL)
+def w8_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/windows.py::`gap_islands`):
+    per-customer maximal runs of consecutive order DAYS, summarized to
+    streak stats. tick − row_number() is constant within a run, so run
+    detection is a groupBy, not a self-join or iteration; dedup,
+    window, island groupBy and this summary all ride ONE hash
+    partitioning by customer."""
+    from com_danliris_service_etl_spark.operators.windows import gap_islands
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    islands = gap_islands(
+        orders.select("o_custkey", day.alias("d")), ["o_custkey"], "d"
+    )
+    return islands.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").alias("longest_island"),
+        F.sum("island_len").alias("active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — per-group OLS trend from sufficient statistics
+# ---------------------------------------------------------------------------
+
+# x = day index (BIGINT — Σx and Σx² are exact integer sums in both
+# engines; the float parts Σy and Σxy are plain one-pass sums whose
+# cross-engine ulp differences vanish at 6dp after the small-magnitude
+# cancellation). All casts written explicitly so both engines run the
+# identical IEEE expression.
+_A10_SQL = """
+WITH pts AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) AS d, value
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(d)::BIGINT AS sx,
+         sum(d * d)::BIGINT AS sxx,
+         sum(value)::DOUBLE AS sy,
+         sum(d::DOUBLE * value)::DOUBLE AS sxy
+  FROM pts GROUP BY event_type)
+SELECT event_type, n,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+         AS slope,
+       round((sy - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                   * sx::DOUBLE) / n::DOUBLE, 6) AS intercept
+FROM s
+"""
+
+
+@register("a10_group_trend", _A10_SQL)
+def a10_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS drift rate (operators/quality.py::
+    `group_trend`): slope/intercept of value over day index from one
+    map-side-combinable sufficient-statistics aggregation — no window,
+    no second pass; `snapshot_drift`'s quantitative companion."""
+    from com_danliris_service_etl_spark.operators.quality import group_trend
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("d"),
+        "value",
+    )
+    return group_trend(pts, ["event_type"], "d", "value")

@@ -625,3 +625,81 @@ def test_binned_quantile_constant_column(spark):
     out = binned_quantile_rollup(state, ["g"], [0.5]).collect()[0]
     assert out.n == 10
     assert abs(out.q_0_5 - 5.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands
+# ---------------------------------------------------------------------------
+
+
+def test_gap_islands_hand_computed(spark):
+    from com_danliris_service_etl_spark.operators.windows import gap_islands
+
+    rows = [
+        # group a: {1,2,3, 7, 9,10} -> islands (1,3,3) (7,7,1) (9,10,2)
+        ("a", 1), ("a", 2), ("a", 3), ("a", 7), ("a", 9), ("a", 10),
+        # duplicates must collapse; singleton group
+        ("a", 2), ("b", 5), ("b", 5),
+        # NULL ticks dropped
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int")
+    got = sorted(
+        (r.g, r.island_start, r.island_end, r.island_len)
+        for r in gap_islands(df, ["g"], "t").collect()
+    )
+    assert got == [
+        ("a", 1, 3, 3),
+        ("a", 7, 7, 1),
+        ("a", 9, 10, 2),
+        ("b", 5, 5, 1),
+    ]
+
+
+def test_gap_islands_negative_ticks(spark):
+    from com_danliris_service_etl_spark.operators.windows import gap_islands
+
+    df = spark.createDataFrame(
+        [("g", -3), ("g", -2), ("g", 0)], "g string, t long"
+    )
+    got = sorted(
+        (r.island_start, r.island_end, r.island_len)
+        for r in gap_islands(df, ["g"], "t").collect()
+    )
+    assert got == [(-3, -2, 2), (0, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend
+# ---------------------------------------------------------------------------
+
+
+def test_group_trend_matches_numpy(spark):
+    import numpy as np
+
+    from com_danliris_service_etl_spark.operators.quality import group_trend
+
+    rng = np.random.RandomState(11)
+    xs = np.arange(50)
+    rows = []
+    for g, (m, c) in [("up", (2.5, 10.0)), ("down", (-0.75, 3.0))]:
+        ys = m * xs + c + rng.normal(0, 0.5, len(xs))
+        rows += [(g, int(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r.g: (r.n, r.slope, r.intercept) for r in group_trend(df, ["g"], "x", "y").collect()}
+    for g in ("up", "down"):
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        m, c = np.polyfit(xs, ys, 1)
+        n, slope, icept = got[g]
+        assert n == len(xs)
+        assert abs(slope - m) < 1e-6 and abs(icept - c) < 1e-6
+
+
+def test_group_trend_degenerate_x_yields_null(spark):
+    from com_danliris_service_etl_spark.operators.quality import group_trend
+
+    df = spark.createDataFrame(
+        [("g", 4, 1.0), ("g", 4, 2.0)], "g string, x long, y double"
+    )
+    row = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert row.n == 2 and row.slope is None and row.intercept is None
