@@ -47,6 +47,12 @@ collocations, histogram profiling, n-gram novelty, and containment dedup.
   the in-query order-statistic bracket contract
   (operators/sketches.py `binned_quantile_state` /
   `binned_quantile_rollup`).
+- w8_gap_islands — gaps-and-islands consecutive-day streaks
+  (operators/windows.py `gap_islands`, single-exchange plan).
+- a10_group_trend — per-group OLS slope/intercept from sufficient
+  statistics (operators/quality.py `group_trend`).
+- txt14_sparse_cosine — sparse TF-IDF cosine similarity join over
+  word shingles (operators/text.py `sparse_cosine_pairs`).
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -1110,3 +1116,53 @@ def a10_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return group_trend(pts, ["event_type"], "d", "value")
+
+
+# ---------------------------------------------------------------------------
+# TXT14 — sparse TF-IDF cosine similarity join (document graph)
+# ---------------------------------------------------------------------------
+
+# Weighted companion of dd4's set-Jaccard: inverted-index self-join on
+# word 3-shingles. Weights round to 6dp BEFORE normalization (ln ulp
+# drift across engines), the cosine to 4dp; df-pruning (2 ≤ df ≤ 100)
+# is mirrored exactly. DuckDB's list_transform builds the identical
+# shingle stream (1-based: i in 1..len-2).
+_TXT14_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM toks),
+tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, s),
+dfreq AS (
+  SELECT s, count(*)::BIGINT AS df FROM tf GROUP BY s
+  HAVING count(*) BETWEEN 2 AND 100),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.s, round(tf.tf * ln(n.n / dfreq.df), 6) AS wt
+  FROM tf JOIN dfreq USING (s), n),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nw FROM w GROUP BY doc_id),
+u AS (SELECT w.doc_id, w.s, w.wt / nrm.nw AS uw FROM w JOIN nrm USING (doc_id)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(sum(a.uw * b.uw), 4) AS cos_sim
+  FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, cos_sim FROM p WHERE cos_sim >= 0.1
+"""
+
+
+@register("txt14_sparse_cosine", _TXT14_SQL)
+def txt14_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (operators/text.py::
+    `sparse_cosine_pairs`): document-similarity graph via the
+    inverted-index self-join — work bounded by Σ C(df, 2) with the
+    df-cap as skew guard, never |D|²."""
+    from com_danliris_service_etl_spark.operators.text import (
+        sparse_cosine_pairs,
+    )
+
+    return sparse_cosine_pairs(_t(spark, sf_dir, "documents"))

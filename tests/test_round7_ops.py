@@ -703,3 +703,81 @@ def test_group_trend_degenerate_x_yields_null(spark):
     )
     row = group_trend(df, ["g"], "x", "y").collect()[0]
     assert row.n == 2 and row.slope is None and row.intercept is None
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def _sparse_cosine_ref(docs, threshold, k=3, min_df=2, max_df=100):
+    """Pure-Python mirror of sparse_cosine_pairs (same rounding)."""
+    tf = {}
+    for did, text in docs:
+        ts = text.split(" ")
+        if len(ts) < k:
+            continue
+        for i in range(len(ts) - k + 1):
+            s = " ".join(ts[i : i + k])
+            tf[(did, s)] = tf.get((did, s), 0) + 1
+    df = {}
+    for (_, s), _c in tf.items():
+        df[s] = df.get(s, 0) + 1
+    kept = {s for s, d in df.items() if min_df <= d <= max_df}
+    n = float(len(docs))
+    w = {
+        (did, s): round(c * math.log(n / df[s]), 6)
+        for (did, s), c in tf.items()
+        if s in kept
+    }
+    norms = {}
+    for (did, s), wt in w.items():
+        norms[did] = norms.get(did, 0.0) + wt * wt
+    norms = {d: math.sqrt(v) for d, v in norms.items()}
+    pairs = {}
+    for (da, s), wa in w.items():
+        for (db, s2), wb in w.items():
+            if s == s2 and da < db:
+                pairs[(da, db)] = pairs.get((da, db), 0.0) + (
+                    wa / norms[da]
+                ) * (wb / norms[db])
+    return {
+        p: round(c, 4) for p, c in pairs.items() if round(c, 4) >= threshold
+    }
+
+
+def test_sparse_cosine_pairs_matches_reference(spark):
+    from com_danliris_service_etl_spark.operators.text import (
+        sparse_cosine_pairs,
+    )
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y"),          # shares prefix shingles with 1
+        (3, "a b c d e f"),          # identical to 1 -> cos 1.0
+        (4, "p q r s t u"),          # disjoint
+        (5, "p q r s a b"),          # shares with 4 only via kept shingles
+        (6, "z z"),                  # < k tokens, drops out
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in sparse_cosine_pairs(df, threshold=0.05).collect()
+    }
+    want = _sparse_cosine_ref(docs, 0.05)
+    assert got == want
+    assert got[(1, 3)] == pytest.approx(1.0)
+    assert (1, 4) not in got
+
+
+def test_sparse_cosine_df_cap_prunes_hot_shingles(spark):
+    """A shingle present in EVERY doc is dropped by max_df, so docs
+    sharing only that shingle produce no pair."""
+    from com_danliris_service_etl_spark.operators.text import (
+        sparse_cosine_pairs,
+    )
+
+    docs = [(i, f"common one two u{i} v{i} w{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, threshold=0.01, max_df=3).collect()
+    assert out == []
