@@ -31,13 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, two consecutive rounds cannot cover the registry; the
 # guarantee is a 3-ROUND CYCLE — r5 recorded 50 (all green), r6 recorded
 # 50 (all green), round 7 below leads with the 26 queries whose latest
-# green row is still r4 plus the 21 queries NEW this round (g9/g10/
+# green row is still r4 plus the 22 queries NEW this round (g9/g10/
 # txt12/a8/llm13/dd9/sk4/sk5/j13/txt13/w7/g11/pv4/sim9/st9/s13/j14/
-# sk6/w8/a10/txt14); the r5+r6+r7 union then covers every query except
-# the fifteen r05-green entries the 21 new queries displaced (dd8/o5/
-# pv3/q2/g7/q3/s12/sim7/llm11/st5/st6/st7/llm10/pk3/g6 — each pinned
-# by its own unit tests; they lead the r8 rotation from the head of
-# _RECORD_LAST).
+# sk6/w8/a10/txt14/j15); the r5+r6+r7 union then covers every query
+# except the sixteen r05-green entries the 22 new queries displaced
+# (dd8/o5/pv3/q2/g7/q3/s12/sim7/llm11/st5/st6/st7/llm10/pk3/g6/llm9 —
+# each pinned by its own unit tests; they lead the r8 rotation from
+# the head of _RECORD_LAST).
 #   1. _PRIORITY — exactly the 50-row budget: (a) the 26 r04-green
 #      entries deferred two rounds (stalest evidence), (b) queries new
 #      or with changed implementation this round, (c) the stalest
@@ -94,9 +94,9 @@ _PRIORITY = [
     "w8_gap_islands",
     "a10_group_trend",
     "txt14_sparse_cosine",
+    "j15_anti_join",
     # (c) stalest r05-green entries — refresh before they age out
     "j11_fuzzy_join",
-    "llm9_textual_neardup",
     "sim8_pq_topk",
 ]
 
@@ -120,6 +120,7 @@ _RECORD_LAST = [
     "llm10_leakage_safe_split",
     "pk3_balanced_shards",
     "g6_path_transitions",
+    "llm9_textual_neardup",
     # r05-green, unchanged, next-stalest — first in line if the cap ever
     # rises above 50
     "txt9_unigram_logprob",

@@ -1166,3 +1166,35 @@ def txt14_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sparse_cosine_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# J15 — anti-join (NOT EXISTS): customers who never ordered
+# ---------------------------------------------------------------------------
+
+_J15_SQL = """
+SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= DATE '2000-01-01')
+"""
+
+
+@register("j15_anti_join", _J15_SQL)
+def j15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) as an explicit query form — the negative
+    counterpart of p6's left_semi, completing the join-form family:
+    churned customers (no order since 2000-01-01). The date predicate
+    pushes to the orders SCAN (PushedFilters) before the anti-join, so
+    the build side is the filtered key set — at 100 TB the orders side
+    reduces to distinct recent customer keys, never a full
+    materialization; the probe side streams."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_nationkey", "c_mktsegment")
