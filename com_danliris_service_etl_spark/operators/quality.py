@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def _metric_row(df: DataFrame, name: str, metric: F.Column, passed: F.Column) -> DataFrame:
@@ -338,4 +338,89 @@ def group_trend(
             F.round("__slope", round_dp).alias("slope"),
             F.round("__icept", round_dp).alias("intercept"),
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_median",
+) -> DataFrame:
+    """Per-group WEIGHTED median: the smallest value v such that the
+    total weight of rows with value ≤ v reaches half the group's weight
+    (the lower weighted median — a real order statistic, no
+    interpolation).
+
+    Tie-proof, engine-stable formulation: weights are first summed per
+    DISTINCT (group, value) — a map-side-combinable shuffle that also
+    collapses duplicate fact rows, so no downstream step depends on an
+    ordering among identical values — then one running-sum window over
+    the collapsed relation (|distinct values| rows, not fact rows) finds
+    the crossing point. Weights are cast to BIGINT: the cumulative sum
+    is an EXACT integer, so the `2·cum ≥ total` crossing test never
+    depends on float summation order (a double cumsum computed by
+    running accumulation here vs a segment tree elsewhere can disagree
+    in the last ulp exactly at the crossing). For a skew-prone group
+    whose distinct-value domain itself is huge, the mergeable binned
+    sketch (`operators/sketches.py::binned_quantile_state`) is the
+    scale path; this operator pins the exact semantics it estimates."""
+    groups = list(group_cols)
+    per_value = df.groupBy(*groups, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*groups)
+    crossed = per_value.select(
+        *groups,
+        value_col,
+        F.sum("__w").over(w_cum).alias("__cw"),
+        F.sum("__w").over(w_tot).alias("__tw"),
+    ).filter(F.lit(2) * F.col("__cw") >= F.col("__tw"))
+    return crossed.groupBy(*groups).agg(F.min(value_col).alias(out_col))
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group winsorized profile: values are clamped into the group's
+    [lo_q, hi_q] exact quantile band before averaging — the robust mean
+    a quality gate compares across loads without a single fat-finger
+    outlier moving it (`snapshot_drift`'s median/MAD limits are the
+    alerting side; this is the reporting side).
+
+    Two passes by necessity (the clamp bounds ARE group aggregates): a
+    per-group quantile aggregate — a handful of rows — broadcast back
+    onto the fact scan, then one clamped aggregation. `percentile`
+    shares DuckDB's quantile_cont interpolation (a7), so the bounds are
+    engine-exact. At 100 TB swap the exact percentile for
+    approx_percentile (t-digest) and the plan shape is unchanged."""
+    groups = list(group_cols)
+    bounds = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, {lo_q!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_q!r})").alias("__hi"),
+    )
+    clamped = df.join(F.broadcast(bounds), groups).withColumn(
+        "__clamped",
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    )
+    return clamped.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__clamped"), round_dp).alias("wins_mean"),
+        F.sum(
+            (
+                (F.col(value_col) < F.col("__lo"))
+                | (F.col(value_col) > F.col("__hi"))
+            ).cast("long")
+        ).alias("n_clipped"),
     )

@@ -148,6 +148,77 @@ def topk_per_group(
     )
 
 
+def grouped_mode(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "modal_value",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic tiebreak:
+    highest count first, then smallest value. One row per group:
+    ``(*group_cols, out_col, cnt_col)``.
+
+    Built as count-aggregate → per-group argmax rather than Spark's
+    `F.mode` because (a) `mode()` ties are implementation-defined (its
+    deterministic=true variant exists only in 4.x SQL) while the
+    count/value tiebreak here is a TOTAL order, and (b) the two-stage
+    shape scales: the first groupBy on (group, value) is a full-
+    cardinality shuffle with map-side partial counts (no hot-key
+    buffering — contrast count() OVER, which would buffer a hot group's
+    whole multiset in one WindowExec task), and the argmax window then
+    runs over one row per DISTINCT (group, value), bounded by the value
+    domain rather than the fact row count. The second (window) exchange
+    re-keys on the group alone — left to Catalyst on purpose: pre-
+    repartitioning by a low-cardinality group key (w8's single-exchange
+    trick) would collapse a 100 TB scan to |groups| tasks."""
+    groups = list(group_cols)
+    counts = df.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias(cnt_col))
+    w = Window.partitionBy(*groups).orderBy(
+        F.col(cnt_col).desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed(value_col, out_col)
+        .select(*groups, out_col, cnt_col)
+    )
+
+
+def running_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    entity_col: str,
+    tick_col: str,
+) -> DataFrame:
+    """Cumulative DISTINCT entity count per group over an ordered tick
+    axis ("distinct users ever seen, by day") without the O(n²) trap of
+    `count(distinct) OVER (ORDER BY ... RANGE UNBOUNDED PRECEDING)`
+    (unsupported in Spark, quadratic where supported).
+
+    The distributed form: an entity contributes to the cumulative count
+    exactly once — at its FIRST tick — so (1) groupBy(group, entity) →
+    min(tick) finds each entity's debut (full-cardinality shuffle,
+    map-side combinable), (2) groupBy(group, tick) counts debuts, and
+    (3) a running sum over the per-(group, tick) relation — bounded by
+    |groups| × |tick domain|, not the fact row count — turns debut
+    counts into the cumulative distinct series. Returns one row per
+    (group, tick) that has at least one debut: ``(*group_cols, tick_col,
+    new_entities, cum_distinct)``."""
+    groups = list(group_cols)
+    debuts = df.groupBy(*groups, entity_col).agg(F.min(tick_col).alias(tick_col))
+    per_tick = debuts.groupBy(*groups, tick_col).agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(tick_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_tick.withColumn("cum_distinct", F.sum("new_entities").over(w))
+
+
 def gap_islands(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -93,6 +93,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_round4,
         queries_round6,
         queries_round7,
+        queries_round7b,
         queries_scalars,
         queries_streaming,
     )
