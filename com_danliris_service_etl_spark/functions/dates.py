@@ -143,10 +143,16 @@ def business_days_between(start: ColumnOrName, end: ColumnOrName) -> Column:
     integer div/mod semantics agree across engines; both operands may
     be DATE or TIMESTAMP (truncated to their calendar date)."""
 
-    def _prefix(d: Column) -> Column:
-        days = F.datediff(d, F.lit("1970-01-05").cast("date"))
-        rem = F.pmod(days, F.lit(7))
-        full_weeks = (days - rem) / F.lit(7)  # exact: numerator ≡ 0 (mod 7)
-        return (F.lit(5) * full_weeks + F.least(rem, F.lit(5))).cast("long")
+    return business_day_prefix(end) - business_day_prefix(start)
 
-    return _prefix(_c(end)) - _prefix(_c(start))
+
+def business_day_prefix(d: ColumnOrName) -> Column:
+    """Weekdays strictly before ``d`` since the 1970-01-05 Monday anchor —
+    the prefix half of :func:`business_days_between`, exposed so a join
+    can evaluate each side's prefix BEFORE the join (smaller build-side
+    payload — one long instead of a timestamp — and the per-row
+    arithmetic runs once per source row, not once per joined row)."""
+    days = F.datediff(_c(d), F.lit("1970-01-05").cast("date"))
+    rem = F.pmod(days, F.lit(7))
+    full_weeks = (days - rem) / F.lit(7)  # exact: numerator ≡ 0 (mod 7)
+    return (F.lit(5) * full_weeks + F.least(rem, F.lit(5))).cast("long")

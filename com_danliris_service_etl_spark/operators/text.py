@@ -785,3 +785,36 @@ def sparse_cosine_pairs(
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def vocab_growth_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary profile: token count, type (distinct-word)
+    count, hapax-legomena count, type/token ratio and hapax ratio — the
+    Heaps'-law numbers a corpus curator watches while scaling a crawl
+    (a flattening type curve means new data is repeating the old).
+
+    Two map-side-combinable aggregations: explode → per-(group, word)
+    frequencies (the word relation, bounded by the vocabulary, not the
+    token count), then one per-group reduce. All counts are exact
+    integers; the ratios are single divisions of exact integers, so the
+    engines agree bit-for-bit. Same whitespace tokenization as
+    `token_stats` (oracle: string_split(text, ' '))."""
+    words = docs.select(
+        group_col, F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    wf = words.groupBy(group_col, "__w").agg(F.count(F.lit(1)).alias("__f"))
+    return wf.groupBy(group_col).agg(
+        F.sum("__f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__f") == 1).cast("long")).alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("__f"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.sum((F.col("__f") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

@@ -100,6 +100,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt8_bm25_topk": "corpus-N/avgdl scalar",
     "txt9_unigram_logprob": "vocabulary-total scalar",
     "sk6_quantile_rollup": "two 1-row global min/max bounds aggregates (binning grid + bracket width), each partial-aggregated and broadcast back",
+    "q4_benford_digits": "global-share window over the 9-row digit aggregate — bounded by the digit alphabet, partial-aggregated before the exchange",
 }
 
 
