@@ -349,3 +349,64 @@ def cooccurrence_adamic_adar(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def cooccurrence_jaccard(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Jaccard neighborhood similarity over the same co-occurrence
+    bipartite as :func:`cooccurrence_adamic_adar`: two items' similarity
+    is |shared groups| / |union of their groups| — the set-overlap
+    companion to Adamic-Adar's rarity weighting (AA ranks by how
+    *selective* the shared groups are; Jaccard by how much of each
+    item's life is shared).
+
+    Same scale shape: per-group sorted distinct-item arrays → in-array
+    pair generation (never a fact×fact self-join), pair counts map-side
+    combinable. Per-item group-degrees come from the SAME per-group
+    arrays (explode of the already-deduped relation — no second fact
+    scan) and attach to pairs by two joins on the item key; the union
+    size is then inclusion-exclusion dx + dy − n_common, all exact
+    integers, one division rounded 6dp."""
+    per_group = (
+        df.groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+        .localCheckpoint(eager=False)  # feeds pair-gen AND degrees: two
+        # different exchanges would re-run the fact groupBy per reference
+    )
+    deg = (
+        per_group.select(F.explode("__items").alias("__item"))
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    pair_expr = (
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    pairs = (
+        per_group.filter(F.size("__items") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("e"))
+        .groupBy("e.src", "e.dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    dsrc = deg.select(F.col("__item").alias("src"), F.col("__d").alias("__dsrc"))
+    ddst = deg.select(F.col("__item").alias("dst"), F.col("__d").alias("__ddst"))
+    return (
+        pairs.join(F.broadcast(dsrc), "src")
+        .join(F.broadcast(ddst), "dst")
+        .select(
+            "src",
+            "dst",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__dsrc") + F.col("__ddst") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

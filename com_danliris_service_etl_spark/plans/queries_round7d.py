@@ -1,0 +1,194 @@
+"""Round-7d registry queries: Jaccard neighbor similarity, ISO-week
+calendar rollup, systematic sampling, and a multi-relationship orphan
+profile.
+
+- g13_jaccard_neighbors — set-overlap link prediction over the part
+  co-purchase bipartite (operators/graph.py `cooccurrence_jaccard`),
+  the companion to g11's Adamic-Adar rarity weighting.
+- d10_iso_week — ISO-8601 week/week-year revenue rollup (the calendar
+  where Jan 1 can belong to last year's week 52/53).
+- o7_systematic_sample — every-Nth-row sampling in a declared total
+  order, the auditors' deterministic sample (vs llm2's hash split).
+- q5_orphan_profile — dangling-foreign-key counts across four
+  relationships in one report, the referential side of q1's gate.
+
+Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
+driver's parquet tables (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators.graph import cooccurrence_jaccard
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# G13 — Jaccard neighborhood similarity (part co-purchase)
+# ---------------------------------------------------------------------------
+
+_G13_SQL = """
+WITH pg AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+), deg AS (
+  SELECT item, count(*)::BIGINT AS d FROM pg GROUP BY 1
+), pairs AS (
+  SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS n_common
+  FROM pg a JOIN pg b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT src, dst, n_common,
+       round(n_common / CAST(da.d + db.d - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN deg da ON src = da.item
+JOIN deg db ON dst = db.item
+"""
+
+
+@register("g13_jaccard_neighbors", _G13_SQL)
+def g13_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard set-overlap similarity between co-purchased parts
+    (operators/graph.py `cooccurrence_jaccard`): |shared orders| over
+    |union of orders|, exact integers via inclusion-exclusion. Same
+    in-array pair generation as g11 (one fact groupBy, never a
+    fact×fact self-join); the oracle states the relation as the naive
+    equi-self-join, which is what the operator avoids at scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
+
+
+# ---------------------------------------------------------------------------
+# D10 — ISO-8601 week rollup
+# ---------------------------------------------------------------------------
+
+_D10_SQL = """
+SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+       CAST(week(o_orderdate) AS INT) AS iso_week,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("d10_iso_week", _D10_SQL)
+def d10_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by ISO-8601 week — the fiscal-reporting calendar where
+    the week-year differs from the calendar year at boundaries (Jan 1
+    can land in week 52/53 OF THE PRIOR week-year; grouping by
+    (year(d), weekofyear(d)) instead silently merges those weeks across
+    years). Spark's weekofyear/YEAROFWEEK and DuckDB's week/isoyear
+    both implement ISO-8601, making this an exact-parity calendar
+    query; one map-side-combinable aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 — systematic (every-Nth) sampling in a declared total order
+# ---------------------------------------------------------------------------
+
+_O7_STRIDE = 200
+
+_O7_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_type, rn, event_id, value
+FROM r WHERE (rn - 1) % {_O7_STRIDE} = 0
+"""
+
+
+@register("o7_systematic_sample", _O7_SQL)
+def o7_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling: every 200th event per type in (ts, event_id)
+    order — the auditor's deterministic, evenly-spaced sample (contrast
+    llm2's hash split: uniform but order-blind). The tiebreak column
+    makes the order TOTAL, so the sample is reproducible across
+    engines. Scale note: a per-type ordinal serializes each type
+    through one sort partition — systematic sampling inherently needs
+    the group's total order; beyond dimension-scale groups use
+    surrogate_key_distributed's two-pass range form (equivalence-
+    tested) or switch to the hash sample."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % _O7_STRIDE == 0)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — multi-relationship orphan (dangling-FK) profile
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+SELECT 'lineitem->orders' AS fk, count(*)::BIGINT AS n_orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', count(*)::BIGINT
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'orders->customer', count(*)::BIGINT
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'canary(all-dangling)', count(*)::BIGINT
+FROM events WHERE user_id IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM customer WHERE c_custkey = user_id + 2000000000
+  )
+"""
+
+
+@register("q5_orphan_profile", _Q5_SQL)
+def q5_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-foreign-key counts across the star schema's four FK
+    relationships in one report — the referential-health profile a
+    loader publishes alongside q1's pass/fail gate. Each relationship
+    is a broadcast LEFT ANTI join (parent key sets are dimension-scale
+    after distinct) reduced to one scalar row (allowlisted
+    SinglePartition exchanges — one partial state per partition reaches
+    the final task). The star schema is clean by construction, so the
+    fourth row is a CANARY: keys shifted out of the customer range are
+    ALL dangling by construction, pinning the detector's count equal to
+    the child row count in-query — an all-zeros report can never hide a
+    broken anti-join (the sk1 accuracy-contract pattern)."""
+
+    def orphans(label: str, child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFrame:
+        dangling = child.filter(F.col(fk).isNotNull()).join(
+            F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+            fk,
+            "left_anti",
+        )
+        return dangling.agg(
+            F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    canary = _events(spark, sf_dir).select(
+        (F.col("user_id") + F.lit(2000000000)).alias("user_id")
+    )
+    checks = [
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
+        orphans("canary(all-dangling)", canary, "user_id", c, "c_custkey"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -95,6 +95,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_round7,
         queries_round7b,
         queries_round7c,
+        queries_round7d,
         queries_scalars,
         queries_streaming,
     )

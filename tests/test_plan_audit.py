@@ -101,6 +101,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt9_unigram_logprob": "vocabulary-total scalar",
     "sk6_quantile_rollup": "two 1-row global min/max bounds aggregates (binning grid + bracket width), each partial-aggregated and broadcast back",
     "q4_benford_digits": "global-share window over the 9-row digit aggregate — bounded by the digit alphabet, partial-aggregated before the exchange",
+    "q5_orphan_profile": "four scalar orphan-count aggregates unioned (the q1 shape) — each anti-join reduces to one partial count per partition before the exchange",
 }
 
 
