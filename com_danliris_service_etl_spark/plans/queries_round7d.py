@@ -11,6 +11,9 @@ profile.
   order, the auditors' deterministic sample (vs llm2's hash split).
 - q5_orphan_profile — dangling-foreign-key counts across four
   relationships in one report, the referential side of q1's gate.
+- st10_running_distinct — incremental first-seen (debut) merge, the
+  batch twin of `streaming/jobs.py::run_streaming_running_distinct`:
+  pins merge ≡ one-shot for the keep-min fold.
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -192,3 +195,56 @@ def q5_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ST10 — incremental first-seen merge (streaming running-distinct twin)
+# ---------------------------------------------------------------------------
+
+_ST10_SQL = """
+WITH fs AS (
+  SELECT event_type, user_id,
+         min(epoch_us(ts) // 86400000000) AS d
+  FROM events GROUP BY 1, 2
+), nd AS (
+  SELECT event_type, d, count(*)::BIGINT AS new_entities FROM fs GROUP BY 1, 2
+)
+SELECT event_type, d, new_entities,
+       CAST(sum(new_entities) OVER (
+         PARTITION BY event_type ORDER BY d
+       ) AS BIGINT) AS cum_distinct
+FROM nd
+"""
+
+
+@register("st10_running_distinct", _ST10_SQL)
+def st10_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming/jobs.py::run_streaming_running_distinct`:
+    the event history split into two "nightly" increments, each reduced
+    to its debut candidates, keep-min merged — the exact fold the
+    streaming job runs per micro-batch (`fold_first_seen`) — then
+    summarized with `running_distinct`. The oracle is the ONE-SHOT
+    computation (w9's SQL): the query pins merge ≡ one-shot, the
+    incremental-correctness law that lets the stream never reprocess
+    history. MIN-merge is idempotent and commutative, so increment
+    order and redelivery cannot change the state."""
+    from com_danliris_service_etl_spark.operators.windows import running_distinct
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("d"),
+    )
+
+    def debuts(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "user_id").agg(F.min("d").alias("d"))
+
+    inc1 = debuts(ev.filter(F.col("event_id") % 2 == 0))
+    inc2 = debuts(ev.filter(F.col("event_id") % 2 == 1))
+    state = (
+        inc1.unionByName(inc2)
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    return running_distinct(state, ["event_type"], "user_id", "d")

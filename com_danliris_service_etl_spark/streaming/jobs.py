@@ -685,3 +685,78 @@ def run_streaming_watermark_dedup(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming running-distinct (w9's streaming twin): first-seen state
+# ---------------------------------------------------------------------------
+
+
+def fold_first_seen(
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """One micro-batch of the first-seen (debut) state: reduce the batch
+    to per-(event_type, user_id) minimum day, keep-min merge into the
+    stored state, atomic swap (the `fold_rollup` protocol). Unlike the
+    rollup's count/sum combine, MIN-merge is IDEMPOTENT — a redelivered
+    batch re-merges to the identical state — so no ``_applied_<id>``
+    marker is needed; crash recovery (interrupted-swap restore,
+    committed-parquet first-batch probe) still applies because the swap
+    itself can be interrupted. State size is bounded by |distinct
+    (group, entity)| — the dimension a distinct-count must hold anyway;
+    at 100 TB the same fold runs per-partition-parallel (groupBy merge),
+    never a driver funnel."""
+    sess = batch_df.sparkSession
+    fsutil.recover_interrupted_swap(sess, state_path)
+    delta = batch_df.groupBy("event_type", "user_id").agg(F.min("d").alias("d"))
+    if _has_committed_parquet(sess, state_path):
+        state = sess.read.parquet(state_path)
+        merged = (
+            state.unionByName(delta)
+            .groupBy("event_type", "user_id")
+            .agg(F.min("d").alias("d"))
+        )
+    else:
+        merged = delta
+    tmp = state_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    fsutil.swap_with_backup(sess, tmp, state_path)
+
+
+def run_streaming_running_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Users-ever-seen growth curve maintained BY the stream: each
+    micro-batch folds its debut candidates (per-(type, user) min day)
+    into a keyed first-seen state via foreachBatch — an entity's debut
+    can only move EARLIER under late data, and the keep-min merge
+    absorbs that without reprocessing history. The read-side summary
+    (per-day new users + cumulative distinct) is
+    `operators/windows.py::running_distinct` over the state — identical
+    output to the one-shot batch form (`w9_running_distinct`) once the
+    stream has drained, which tests/test_streaming.py pins."""
+    from com_danliris_service_etl_spark.operators.windows import running_distinct
+
+    ev = streaming_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("d"),
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_first_seen(batch_df, state_path, batch_id=batch_id)
+
+    q = (
+        ev.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(state_path)
+    return running_distinct(state, ["event_type"], "user_id", "d")

@@ -451,3 +451,56 @@ def test_streaming_watermark_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_running_distinct_matches_batch(spark, tmp_path):
+    """The foreachBatch keep-min fold, drained over the fixture, must
+    produce the identical growth curve to the one-shot batch form."""
+    from com_danliris_service_etl_spark.plans.registry import load_all
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_running_distinct,
+    )
+
+    src = "/root/testdata/sf0.001"
+    got = {
+        (r.event_type, r.d): (r.new_entities, r.cum_distinct)
+        for r in run_streaming_running_distinct(
+            spark, src, str(tmp_path / "fs_state"), str(tmp_path / "fs_ckpt")
+        ).collect()
+    }
+    fn, _ = load_all()["w9_running_distinct"]
+    want = {
+        (r.event_type, r.d): (r.new_entities, r.cum_distinct)
+        for r in fn(spark, src).collect()
+    }
+    assert got == want and got
+
+
+def test_fold_first_seen_redelivery_is_noop(spark, tmp_path):
+    """MIN-merge idempotence: folding the SAME batch twice (at-least-once
+    redelivery) leaves the state identical — no marker file needed,
+    unlike the rollup's count/sum combine."""
+    from com_danliris_service_etl_spark.streaming.jobs import fold_first_seen
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [("click", 1, 5), ("click", 1, 3), ("view", 2, 7)],
+        "event_type string, user_id long, d long",
+    )
+    fold_first_seen(batch, state, batch_id=0)
+    first = {(r.event_type, r.user_id): r.d for r in spark.read.parquet(state).collect()}
+    fold_first_seen(batch, state, batch_id=0)  # redelivered
+    second = {(r.event_type, r.user_id): r.d for r in spark.read.parquet(state).collect()}
+    assert first == second == {("click", 1): 3, ("view", 2): 7}
+
+
+def test_fold_first_seen_late_data_moves_debut_earlier(spark, tmp_path):
+    from com_danliris_service_etl_spark.streaming.jobs import fold_first_seen
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("click", 1, 9)], "event_type string, user_id long, d long")
+    b2 = spark.createDataFrame([("click", 1, 4)], "event_type string, user_id long, d long")
+    fold_first_seen(b1, state, batch_id=0)
+    fold_first_seen(b2, state, batch_id=1)  # late arrival, earlier day
+    got = spark.read.parquet(state).collect()
+    assert [(r.event_type, r.user_id, r.d) for r in got] == [("click", 1, 4)]
