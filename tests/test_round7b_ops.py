@@ -261,3 +261,47 @@ def test_grouping_sets_subtotals_are_consistent(spark):
     for r in rows:
         assert (r.c_nationkey is None) == (r.g_nation == 1)
         assert (r.order_year is None) == (r.g_year == 1)
+
+
+def test_weighted_median_twophase_equals_simple(spark):
+    """The fact-scale two-phase selection must produce the identical
+    weighted median to the single-window form — including groups with
+    duplicate values, skewed weights, and the degenerate all-equal
+    group (single-bin branch)."""
+    from com_danliris_service_etl_spark.operators.quality import (
+        weighted_median,
+        weighted_median_twophase,
+    )
+
+    cases = {
+        "a": [(1.0, 1), (2.0, 1), (10.0, 6)],
+        "b": [(1.0, 2), (5.0, 2)],
+        "c": [(3.0, 1), (3.0, 1), (9.0, 1)],
+        "d": [(42.0, 7)],
+        "e": [(7.0, 3), (7.0, 4)],           # all values equal → lo == hi
+        "f": [(float(v), v % 5 + 1) for v in range(200)],  # many bins
+    }
+    rows = [(g, v, w) for g, pairs in cases.items() for v, w in pairs]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    simple = {r.g: r.weighted_median for r in weighted_median(df, ["g"], "v", "w").collect()}
+    two = {r.g: r.weighted_median for r in weighted_median_twophase(df, ["g"], "v", "w").collect()}
+    assert two == simple
+
+
+def test_weighted_median_twophase_on_lineitem(spark):
+    from com_danliris_service_etl_spark.operators.quality import (
+        weighted_median,
+        weighted_median_twophase,
+    )
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    simple = {
+        r.l_returnflag: r.weighted_median
+        for r in weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity").collect()
+    }
+    two = {
+        r.l_returnflag: r.weighted_median
+        for r in weighted_median_twophase(li, ["l_returnflag"], "l_extendedprice", "l_quantity").collect()
+    }
+    assert two == simple and len(two) == 3
