@@ -461,3 +461,121 @@ def test_asof_nearest_matches_bruteforce_model(spark, left, right):
     out = asof_nearest(ldf, rdf, "lt", "rt", by=[("k", "k")], tiebreak="val")
     got = {r["id"]: r["val"] for r in out.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-3 operators: property invariants
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=1, max_size=25
+    )
+)
+def test_grouped_mode_matches_counter(spark, rows):
+    """grouped_mode == Counter argmax with (count desc, value asc) tiebreak
+    for arbitrary (group, value) multisets."""
+    from collections import Counter
+
+    from com_danliris_service_etl_spark.operators.windows import grouped_mode
+
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = {r.g: (r.modal_value, r.cnt) for r in grouped_mode(df, ["g"], "v").collect()}
+    want = {}
+    by_g: dict[int, Counter] = {}
+    for g, v in rows:
+        by_g.setdefault(g, Counter())[v] += 1
+    for g, c in by_g.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[g] = best
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_crossing_invariant(spark, rows):
+    """For arbitrary integer-weighted multisets: the reported median m
+    satisfies 2*W(<= m) >= total AND 2*W(< m) < total — the defining
+    bracket of the lower weighted median."""
+    from com_danliris_service_etl_spark.operators.quality import weighted_median
+
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in rows], "g long, v double, w long"
+    )
+    got = {r.g: r.weighted_median for r in weighted_median(df, ["g"], "v", "w").collect()}
+    groups: dict[int, list[tuple[float, int]]] = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((float(v), w))
+    assert set(got) == set(groups)
+    for g, pairs in groups.items():
+        total = sum(w for _, w in pairs)
+        m = got[g]
+        le = sum(w for v, w in pairs if v <= m)
+        lt = sum(w for v, w in pairs if v < m)
+        assert 2 * le >= total and 2 * lt < total
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_running_distinct_final_equals_distinct_count(spark, rows):
+    """The last cumulative value per group equals the group's true
+    distinct-entity count, and new_entities sums to it."""
+    from com_danliris_service_etl_spark.operators.windows import running_distinct
+
+    df = spark.createDataFrame(rows, "g long, u long, d long")
+    out = running_distinct(df, ["g"], "u", "d").collect()
+    by_g: dict[int, list] = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    truth: dict[int, set] = {}
+    for g, u, _ in rows:
+        truth.setdefault(g, set()).add(u)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: r.d)
+        assert rs[-1].cum_distinct == len(truth[g])
+        assert sum(r.new_entities for r in rs) == len(truth[g])
+        cum = 0
+        for r in rs:
+            cum += r.new_entities
+            assert r.cum_distinct == cum
+
+
+@SETTINGS
+@given(
+    start=st.dates(dt.date(1975, 1, 6), dt.date(2030, 12, 31)),
+    span=st.integers(0, 400),
+)
+def test_business_days_bounds_and_shift_invariance(spark, start, span):
+    """0 <= bd <= span; a whole-week shift of both endpoints never
+    changes the count (the closed form has no calendar-position bias)."""
+    from com_danliris_service_etl_spark.functions.dates import business_days_between
+
+    end = start + dt.timedelta(days=span)
+    s2, e2 = start + dt.timedelta(days=7), end + dt.timedelta(days=7)
+    df = spark.createDataFrame(
+        [(start.isoformat(), end.isoformat(), s2.isoformat(), e2.isoformat())],
+        "s string, e string, s2 string, e2 string",
+    ).select(
+        business_days_between(F.col("s").cast("date"), F.col("e").cast("date")).alias("bd"),
+        business_days_between(F.col("s2").cast("date"), F.col("e2").cast("date")).alias("bd7"),
+    )
+    r = df.collect()[0]
+    assert 0 <= r.bd <= span
+    assert r.bd == r.bd7
+    # 5-out-of-7 density over whole weeks
+    if span % 7 == 0:
+        assert r.bd == span // 7 * 5
