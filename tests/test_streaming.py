@@ -504,3 +504,31 @@ def test_fold_first_seen_late_data_moves_debut_earlier(spark, tmp_path):
     fold_first_seen(b2, state, batch_id=1)  # late arrival, earlier day
     got = spark.read.parquet(state).collect()
     assert [(r.event_type, r.user_id, r.d) for r in got] == [("click", 1, 4)]
+
+
+def test_fold_first_seen_survives_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the state missing and
+    the .old backup holding the only copy; the next fold must restore it
+    before merging — otherwise history silently rebuilds from one
+    batch's debuts."""
+    import os
+    import shutil
+
+    from com_danliris_service_etl_spark.streaming.jobs import fold_first_seen
+
+    state = str(tmp_path / "fs_state")
+    b0 = spark.createDataFrame(
+        [("click", 1, 3), ("view", 2, 5)], "event_type string, user_id long, d long"
+    )
+    fold_first_seen(b0, state, batch_id=0)
+    os.replace(state, state + ".old")  # simulate the torn swap
+    b1 = spark.createDataFrame(
+        [("click", 9, 8)], "event_type string, user_id long, d long"
+    )
+    fold_first_seen(b1, state, batch_id=1)
+    got = {
+        (r.event_type, r.user_id): r.d for r in spark.read.parquet(state).collect()
+    }
+    assert got == {("click", 1): 3, ("view", 2): 5, ("click", 9): 8}
+    assert not os.path.exists(state + ".old")
+    shutil.rmtree(state)
