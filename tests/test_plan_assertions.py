@@ -339,3 +339,91 @@ def test_fuzzy_join_is_equi_join_on_block(spark):
     plan = _plan(REGISTRY["j11_fuzzy_join"][0](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_a14_shipping_priority_plan_shape(spark):
+    """TPC-H Q3: both date predicates reach their parquet scans, every
+    join is broadcast (no sort-merge), and the top-10 is
+    TakeOrderedAndProject — never a global sort of the aggregate."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["a14_shipping_priority"][0](spark, SF))
+    pushed = [
+        seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed), plan
+    assert any("l_shipdate" in p for p in pushed), plan
+    import re
+
+    # tree lines end in "(n)"; detail headers repeat the node name, so a
+    # bare substring count doubles
+    tree_bhj = re.findall(r"BroadcastHashJoin [^\n]*\(\d+\)$", plan, re.M)
+    assert len(tree_bhj) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_a15_region_revenue_plan_shape(spark):
+    """TPC-H Q5 shape: the dim chain is all broadcast joins, the date
+    band reaches the orders scan, and the only shuffle is the 5-row
+    final aggregate."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["a15_region_revenue"][0](spark, SF))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed), plan
+    assert any("r_name" in p for p in pushed), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1, plan
+
+
+def test_o6_keyset_cursor_pushed_and_topk(spark):
+    """Keyset pagination: the cursor's first disjunct reaches the scan
+    (OFFSET cannot do this) and the page is TakeOrderedAndProject."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["o6_keyset_pagination"][0](spark, SF))
+    assert "PushedFilters:" in plan, plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "o_orderdate" in pushed, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange (") == plan.count("BroadcastExchange ("), plan
+
+
+def test_j15_anti_join_pushed_filter_and_broadcast(spark):
+    """NOT EXISTS: the date predicate reaches the orders scan BEFORE the
+    anti-join, and the join itself is a broadcast hash anti-join."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["j15_anti_join"][0](spark, SF))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed), plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_j17_null_safe_join_stays_hash_join(spark):
+    """eqNullSafe must remain an equi hash-join key (BroadcastHashJoin),
+    never degrade to BroadcastNestedLoopJoin — the trap of an
+    isNull-AND-isNull OR-rewrite."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["j17_null_safe_join"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_e6_posexplode_shuffle_free(spark):
+    """Positional explode is a pure generator over the scan — zero
+    exchanges of any kind."""
+    from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    plan = _plan(REGISTRY["e6_posexplode"][0](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
