@@ -305,3 +305,29 @@ def test_weighted_median_twophase_on_lineitem(spark):
         for r in weighted_median_twophase(li, ["l_returnflag"], "l_extendedprice", "l_quantity").collect()
     }
     assert two == simple and len(two) == 3
+
+
+def test_weighted_median_direct_equals_preagg(spark):
+    """pre_aggregate is cost-based only: both forms must agree on every
+    group, including duplicate-value runs whose intra-run cumsum order
+    is engine-arbitrary (the crossing depends only on run-END sums)."""
+    from com_danliris_service_etl_spark.operators.quality import weighted_median
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    args = (["l_returnflag"], "l_extendedprice", "l_quantity")
+    pre = {r.l_returnflag: r.weighted_median for r in weighted_median(li, *args).collect()}
+    direct = {
+        r.l_returnflag: r.weighted_median
+        for r in weighted_median(li, *args, pre_aggregate=False).collect()
+    }
+    assert direct == pre
+    dup = spark.createDataFrame(
+        [("g", 3.0, 1), ("g", 3.0, 1), ("g", 3.0, 2), ("g", 9.0, 3)],
+        "g string, v double, w long",
+    )
+    assert (
+        weighted_median(dup, ["g"], "v", "w", pre_aggregate=False).collect()[0].weighted_median
+        == weighted_median(dup, ["g"], "v", "w").collect()[0].weighted_median
+        == 3.0
+    )
