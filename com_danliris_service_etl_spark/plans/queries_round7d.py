@@ -14,6 +14,9 @@ profile.
 - st10_running_distinct — incremental first-seen (debut) merge, the
   batch twin of `streaming/jobs.py::run_streaming_running_distinct`:
   pins merge ≡ one-shot for the keep-min fold.
+- st11_outer_interval_join — LEFT OUTER watermarked stream-stream
+  interval join (unconverted views kept), batch twin of
+  `run_streaming_interval_join_outer`.
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -248,3 +251,63 @@ def st10_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").alias("d"))
     )
     return running_distinct(state, ["event_type"], "user_id", "d")
+
+
+# ---------------------------------------------------------------------------
+# ST11 — LEFT OUTER interval join (unconverted views kept)
+# ---------------------------------------------------------------------------
+
+_ST11_SQL = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.view_id, p.purchase_id, v.user_id,
+       CAST(p.pts - v.vts AS BIGINT) AS lag_us
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id
+ AND p.pts > v.vts
+ AND p.pts <= v.vts + 3600000000
+"""
+
+
+@register("st11_outer_interval_join", _ST11_SQL)
+def st11_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER view→purchase attribution: st6's inner interval join
+    plus the rows conversion analysis actually needs — views that did
+    NOT convert within the hour (NULL purchase). Batch twin of
+    `streaming/jobs.py::run_streaming_interval_join_outer`, whose
+    streaming form can only emit an unmatched view after the watermark
+    passes its eviction point (the emission-semantics contract
+    tests/test_streaming.py pins on the emittable region). Same single
+    equi-shuffle on user_id with the time band as residual; the outer
+    side adds no shuffle."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts_us").alias("__v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("__p_user"),
+        F.col("ts_us").alias("__p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("__p_user"))
+            & (F.col("__p_ts") > F.col("__v_ts"))
+            & (F.col("__p_ts") <= F.col("__v_ts") + 3_600_000_000),
+            "left",
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.col("__p_ts") - F.col("__v_ts")).cast("long").alias("lag_us"),
+        )
+    )

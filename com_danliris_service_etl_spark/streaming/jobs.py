@@ -760,3 +760,66 @@ def run_streaming_running_distinct(
     q.awaitTermination()
     state = spark.read.parquet(state_path)
     return running_distinct(state, ["event_type"], "user_id", "d")
+
+
+def run_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str, query_name: str = "interval_join_outer_stream"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: views that convert within
+    the hour emit with their purchase; views that DON'T convert emit
+    with NULLs — but only once the watermark has passed their eviction
+    point, because "no purchase arrived" is unknowable before then.
+    That emission rule is the semantic difference from the inner join
+    (st6): under `availableNow` over a finite fixture, unmatched views
+    whose eviction time lies beyond the final committed watermark are
+    legitimately NOT emitted — they are still open. The stream≡batch
+    test therefore compares the EMITTABLE region (v_ts ≤ max event time
+    − watermark − interval) and checks the matched subset equals the
+    inner join everywhere; the batch twin
+    (`plans/queries_round7d.py::st11_outer_interval_join`) computes the
+    full left outer, which is what a drained production stream
+    converges to."""
+    v = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts_utc", "2 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts_utc").alias("v_ts"),
+            F.col("ts_us").alias("v_ts_us"),
+        )
+    )
+    p = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts_utc", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_utc").alias("p_ts"),
+            F.col("ts_us").alias("p_ts_us"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts_us") - F.col("v_ts_us")).cast("long").alias("lag_us"),
+        "v_ts_us",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -532,3 +532,47 @@ def test_fold_first_seen_survives_interrupted_swap(spark, tmp_path):
     assert got == {("click", 1): 3, ("view", 2): 5, ("click", 9): 8}
     assert not os.path.exists(state + ".old")
     shutil.rmtree(state)
+
+
+def test_streaming_outer_interval_join_emission_semantics(spark):
+    """LEFT OUTER stream-stream join: (1) matched rows equal the batch
+    inner join exactly; (2) within the EMITTABLE region (views whose
+    outer-emission eviction time the final watermark has passed) the
+    stream's output equals the batch LEFT OUTER; (3) the stream never
+    invents rows outside the batch result."""
+    from com_danliris_service_etl_spark.plans.registry import load_all
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_interval_join_outer,
+    )
+
+    src = "/root/testdata/sf0.001"
+    out = run_streaming_interval_join_outer(spark, src, query_name="oij_t1")
+    stream_rows = out.collect()
+    fn, _ = load_all()["st11_outer_interval_join"]
+    batch = {
+        (r.view_id, r.purchase_id): r.lag_us for r in fn(spark, src).collect()
+    }
+    stream = {(r.view_id, r.purchase_id): r.lag_us for r in stream_rows}
+    # (3) no invented rows
+    assert set(stream) <= set(batch), set(stream) - set(batch)
+    # (1) matched rows: stream inner subset == batch inner subset
+    assert {k: v for k, v in stream.items() if k[1] is not None} == {
+        k: v for k, v in batch.items() if k[1] is not None
+    }
+    # (2) emittable region: v_ts + interval < final watermark
+    # (max event time − delay); margin one microsecond
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    max_us = ev.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).collect()[0][0]
+    horizon = max_us - 2 * 3_600_000_000 - 3_600_000_000  # wm delay + interval
+    views = {
+        r.event_id: r.ts_us
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .collect()
+    }
+    region_batch = {k: v for k, v in batch.items() if views[k[0]] < horizon}
+    region_stream = {k: v for k, v in stream.items() if views[k[0]] < horizon}
+    assert region_stream == region_batch
+    assert any(k[1] is None for k in region_batch), "fixture has no unconverted views in region"
