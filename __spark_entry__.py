@@ -90,16 +90,29 @@ _PRIORITY = [
     "a15_region_revenue",
     "e6_posexplode",
     "st11_outer_interval_join",
-    # (b) latest green row is round 4 — stalest recorded evidence
+    # (b) new in round 8 — the five with the subtlest cross-engine
+    # surface (float-scalar thresholds, decorrelated double-EXISTS,
+    # window cumsum crossing); the three count-exact ones (j18/a17/g14)
+    # lead _RECORD_LAST for r9
+    "a18_revenue_share_filter",
+    "a16_small_quantity_loss",
+    "j19_sole_late_supplier",
+    "a19_dormant_balances",
+    "llm15_token_budget_cap",
+]
+
+_RECORD_LAST = [
+    # round-8 additions that did not fit the cap (count-exact, least
+    # fragile cross-engine) — never recorded, lead the r9 rotation
+    "j18_exists_lateness",
+    "a17_large_orders",
+    "g14_order_count_distribution",
+    # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",
     "mm2_decode_features",
     "mm3_frame_sample",
     "o1_o2_ordered_extract",
-]
-
-_RECORD_LAST = [
-    # r4-green remainder — stalest recorded evidence, lead the r9 rotation
     "p2_incremental_watermark",
     "p5_not_null",
     "p8_falsy_zero",

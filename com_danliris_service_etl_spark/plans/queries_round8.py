@@ -1,0 +1,509 @@
+"""Round-8 registry queries: the decision-support subquery shapes the
+analytic family was still missing — correlated EXISTS with an inequality
+residual, aggregate-threshold semi-join chains, HAVING against a global
+scalar, sole-qualifier anti-join on self, scalar-subquery + anti-join —
+plus a per-stratum token-budget curation operator for the LLM pipeline.
+
+Reference provenance: the reference's dashboards express these shapes as
+SQL-Server subqueries over the fact tables (e.g. the overdue-order and
+top-customer panels fed by `Pembelian/run.js` / `GarmentPurchasing`
+facts); here each is the canonical set-at-a-time Spark plan. Modeled on
+the public TPC-H Q4/Q11/Q13/Q17/Q18/Q21/Q22 query shapes (adapted to the
+driver's fixture schema: lateness = shipdate vs orderdate + slack, since
+the fixture carries no commit/receipt dates).
+
+Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
+driver's parquet tables (TESTDATA.md).
+
+Determinism notes (cross-engine hash gate):
+- `l_quantity` is integral (probed: 0 non-integral rows), so sums/avgs of
+  it are EXACT doubles in any summation order — threshold comparisons on
+  them can never flip between engines.
+- Money sums are rounded 2dp on both sides before any ranking/compare
+  (repo convention).
+- Scalar thresholds derived from float totals (a18/a19) are compared
+  against values on a 2dp grid; a flip would need the float total's ulp
+  noise to straddle a grid boundary (~1e-7 likelihood per group) — and
+  the gate runs on FIXED fixtures, so green-at-sf0.01/0.1 is
+  deterministic, not probabilistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# J18 — EXISTS with inequality residual (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+_J18_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("j18_exists_lateness", _J18_SQL)
+def j18_exists_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix of one quarter's orders that had a lineitem shipped
+    more than 90 days after ordering — correlated EXISTS whose predicate
+    is an INEQUALITY between the two relations (Q4 shape), compiled to a
+    LEFT SEMI join with the lateness as the residual condition.
+
+    Scale shape: the quarter band is pushed to the orders scan, and the
+    EXISTS side gets a hand-derived pushdown the optimizer cannot infer:
+    o_orderdate >= band-start implies l_shipdate > band-start + 90d, so
+    that bound is applied AT THE LINEITEM SCAN — at 100 TB the semi
+    join's probe side drops every early-shipped row before the shuffle
+    instead of carrying the whole fact into the residual. One shuffle
+    pair (semi join on orderkey), then a 5-row aggregate."""
+    band_lo = F.lit("1995-07-01 00:00:00").cast("timestamp")
+    band_hi = F.lit("1995-10-01 00:00:00").cast("timestamp")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= band_lo) & (F.col("o_orderdate") < band_hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    # Derived bound: min o_orderdate in the band is 1995-07-01, so any
+    # qualifying lineitem ships strictly after 1995-07-01 + 90d.
+    derived = F.lit("1995-09-29 00:00:00").cast("timestamp")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > derived)
+        .select("l_orderkey", "l_shipdate")
+    )
+    semi = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# A16 — correlated per-group average threshold (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_A16_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS yearly_loss,
+       count(*)::BIGINT AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("a16_small_quantity_loss", _A16_SQL)
+def a16_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue forgone on small-quantity orders of one brand (Q17 shape):
+    the correlated per-part AVG subquery decorrelated into aggregate-
+    then-join-back — the set-at-a-time form of the reference's N+1
+    per-row lookups (SURVEY §2.3 J5 precedent).
+
+    Scale shape: the brand filter broadcasts onto the lineitem scan
+    FIRST, so the per-part average is computed over the ~0.05% of the
+    fact that can matter; that per-part aggregate (bounded by the
+    brand's part count, dimension-sized) broadcasts back onto the same
+    slice. The slice is lazily checkpointed at the fork — it feeds both
+    the aggregate and the probe, and without the checkpoint the
+    scan+broadcast-join subtree runs once per reference. avg(l_quantity)
+    is exact (integral values), so the 0.5*avg threshold cannot flip
+    between engines. Single-row output: the final 1-row aggregate's
+    Exchange SinglePartition is the bounded scalar-collapse class
+    (PLAN_AUDIT allowlist)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .localCheckpoint(eager=False)
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = li.join(
+        F.broadcast(avg_q),
+        (F.col("l_partkey") == F.col("ap_partkey"))
+        & (F.col("l_quantity") < 0.5 * F.col("avg_qty")),
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("yearly_loss"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — aggregate-threshold semi-join chain (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_A17_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total_price,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("a17_large_orders", _A17_SQL)
+def a17_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders and their customers (Q18 shape). The naive
+    plan joins three tables THEN groups; the scale plan inverts it:
+    aggregate lineitem by orderkey first (map-side combinable, the only
+    fact-sized shuffle), filter to the >300-qty survivors (a few dozen
+    rows per million orders), and broadcast the survivors down the
+    orders→customer chain — the dimension joins never see the fact.
+    Top-20 via TakeOrderedAndProject (per-partition top-k, no global
+    sort). sum(l_quantity) is exact (integral), so the HAVING boundary
+    and the BIGINT cast are engine-deterministic; o_totalprice is
+    rounded 2dp on both sides before ranking, with o_orderkey completing
+    the total order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_d"))
+        .filter(F.col("qty_d") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = c.join(
+        F.broadcast(
+            o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("qty_d").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# G14 — outer-join count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+_G14_SQL = """
+WITH oc AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT coalesce(n_orders, 0)::BIGINT AS n_orders,
+       count(*)::BIGINT AS n_customers
+FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+GROUP BY coalesce(n_orders, 0)
+"""
+
+
+@register("g14_order_count_distribution", _G14_SQL)
+def g14_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of non-urgent orders per customer INCLUDING the
+    zero-order customers (Q13 shape) — the histogram a plain inner-join
+    rollup silently truncates at 1. Aggregate orders per custkey first
+    (one map-side-combinable fact shuffle), LEFT join customers onto the
+    counts (coalesce absent → 0), then the second, distribution-sized
+    aggregate. At 100 TB both sides of the outer join are hash-
+    partitioned on custkey — no broadcast assumption on the per-customer
+    counts (they are |customers|-sized, not dimension-sized); AQE
+    upgrades to broadcast when the filtered aggregate happens to be
+    small."""
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders_raw"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        F.coalesce(F.col("n_orders_raw"), F.lit(0)).alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — HAVING against a global scalar (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+_A18_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(part_revenue) AS t, count(*)::BIGINT AS n FROM pr)
+SELECT l_partkey, part_revenue
+FROM pr, tot
+WHERE part_revenue > 1.5 * t / n
+"""
+
+
+@register("a18_revenue_share_filter", _A18_SQL)
+def a18_revenue_share_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.5× the mean part revenue (Q11
+    HAVING-vs-global-scalar shape). The threshold is RELATIVE (mean-
+    multiple, not a fixed fraction), so the query is scale-invariant:
+    at 10× the parts the absolute threshold self-adjusts and the output
+    stays ~the same percentile slice.
+
+    Scale shape: one fact-sized shuffle builds the per-part rollup; the
+    rollup is lazily checkpointed at the fork (it feeds both the 1-row
+    total and the filter probe — without the checkpoint the fact
+    aggregation runs twice); the 1-row total then broadcasts back via
+    crossJoin. The scalar collapse is the PLAN_AUDIT-allowlisted
+    Exchange SinglePartition class — it moves |parts| pre-aggregated
+    rows, never fact rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = pr.agg(
+        F.sum("part_revenue").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_revenue") > 1.5 * F.col("t") / F.col("n"))
+        .select("l_partkey", "part_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J19 — sole-qualifier semi/anti on self (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+_J19_SQL = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("j19_sole_late_supplier", _J19_SQL)
+def j19_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that were the ONLY late shipper on multi-supplier
+    orders (Q21 shape: EXISTS + NOT EXISTS correlated on the same
+    relation). The two correlated subqueries decorrelate into ONE
+    per-order aggregate — distinct suppliers and distinct LATE suppliers
+    — then the late rows re-join it: qualify when n_supp ≥ 2 (the
+    EXISTS) and n_late_supp = 1 (the NOT EXISTS: this row is late, so
+    the single late supplier is necessarily this one). One pass instead
+    of two correlated probes.
+
+    Scale shape: lineitem⋈orders is the one fact-fact join (equi on
+    orderkey; SMJ at scale); the joined slice is lazily checkpointed at
+    the fork (per-order stats + the late-row probe read it). The
+    supplier dim broadcasts onto the 10-row-bound final rollup's input.
+    Top-10 via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = (
+        lo.groupBy(F.col("l_orderkey").alias("st_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    qual = lo.filter(F.col("is_late")).join(
+        stats, F.col("l_orderkey") == F.col("st_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A19 — scalar-subquery filter + anti-join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_A19_SQL = """
+WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("a19_dormant_balances", _A19_SQL)
+def a19_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent urgent order
+    (Q22 shape): a scalar aggregate gates the probe side, then an
+    anti-join removes the active ones, then a segment rollup. The
+    scalar avg broadcasts via crossJoin (1 row); the anti-join's build
+    side is pre-filtered AT THE ORDERS SCAN (priority + date pushed
+    down) before its custkey projection shuffles. The avg subtree scans
+    only the c_acctbal column (column pruning) — cheaper than a
+    checkpoint of the 2-column probe at any scale."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent_urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (
+                F.col("o_orderdate")
+                >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent_urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM15 — per-stratum token-budget curation
+# ---------------------------------------------------------------------------
+
+_LLM15_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS r
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_chars, r,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY r DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT doc_id, lang, n_chars,
+       round(r, 6) AS rank_ratio,
+       cum::BIGINT AS cum_chars
+FROM c WHERE cum <= 10000
+"""
+
+
+@register("llm15_token_budget_cap", _LLM15_SQL)
+def llm15_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget curation: rank each stratum's documents
+    by a quality proxy (distinct-token ratio — the repetition penalty,
+    computed as an exact integer ratio so both engines order
+    identically), keep documents while the stratum's RUNNING character
+    total stays within budget. This is the data-recipe primitive that
+    fills a per-language budget with the best documents first, rather
+    than sampling at a fixed rate (llm3) or weight (llm6).
+
+    Scale shape: one shuffle partitions by lang; the running sum is a
+    single ordered-window pass. The stratum count bounds parallelism —
+    fine for O(100) languages where each stratum still spans many
+    executors' worth of work ONLY if the window is the two-phase form;
+    with a handful of giant strata the single-window form serializes
+    each stratum into one task, so the fact-scale path is the
+    surrogate_key_distributed pattern (per-range partials + broadcast
+    prefix offsets, ops/windows.py:66) applied to the cumulative sum;
+    the registry keeps the single-window form, which is the honest
+    choice at the fixture's 5-stratum/500-row scale. Budget quantities
+    (n_chars) are BIGINT — the crossing comparison is exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    r = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    scored = d.select("doc_id", "lang", "n_chars", r.alias("r"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("r").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum", F.sum("n_chars").over(w))
+        .filter(F.col("cum") <= 10000)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("r", 6).alias("rank_ratio"),
+            F.col("cum").cast("bigint").alias("cum_chars"),
+        )
+    )

@@ -97,6 +97,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_round7c,
         queries_round7d,
         queries_round7e,
+        queries_round8,
         queries_scalars,
         queries_streaming,
     )

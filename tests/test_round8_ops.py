@@ -1,0 +1,185 @@
+"""Round-8 queries: decision-support subquery shapes (Q4/Q11/Q13/Q17/
+Q18/Q21/Q22 adaptations) and the token-budget curation operator —
+semantic properties beyond the oracle parity test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.plans.registry import load_all
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    return load_all()[name][0]
+
+
+def test_exists_lateness_orders_really_have_a_late_lineitem(spark):
+    rows = _q("j18_exists_lateness")(spark, SF_DIR).collect()
+    assert rows
+    # recompute the qualifying order set the slow way and compare totals
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    expect = joined.select("o_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == expect
+
+
+def test_small_quantity_loss_matches_manual_recompute(spark):
+    row = _q("a16_small_quantity_loss")(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    sl = li.join(p, li["l_partkey"] == p["p_partkey"])
+    avg_q = sl.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.avg("l_quantity").alias("a")
+    )
+    small = sl.join(avg_q, F.col("l_partkey") == F.col("k")).filter(
+        F.col("l_quantity") < 0.5 * F.col("a")
+    )
+    assert row.n_rows == small.count()
+
+
+def test_large_orders_threshold_and_order(spark):
+    rows = _q("a17_large_orders")(spark, SF_DIR).collect()
+    assert len(rows) <= 20
+    # every reported order really exceeds the quantity threshold
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {r.o_orderkey: r.total_qty for r in rows}
+    if got:
+        check = (
+            li.filter(F.col("l_orderkey").isin(list(got)))
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .collect()
+        )
+        for r in check:
+            assert r.q > 300 and int(r.q) == got[r.l_orderkey]
+    # ranked by price descending
+    prices = [r.total_price for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_order_count_distribution_covers_every_customer_once(spark):
+    rows = _q("g14_order_count_distribution")(spark, SF_DIR).collect()
+    n_customers = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r.n_customers for r in rows) == n_customers
+    # the orders it distributes are exactly the non-urgent ones
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    # only orders of existing customers are countable through the join
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_custkey")
+    matched = o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi").count()
+    assert sum(r.n_orders * r.n_customers for r in rows) == matched
+
+
+def test_revenue_share_filter_rows_beat_the_mean_multiple(spark):
+    df = _q("a18_revenue_share_filter")(spark, SF_DIR)
+    rows = df.collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pr = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "v"
+        )
+    )
+    stat = pr.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    thresh = 1.5 * stat.t / stat.n
+    assert all(r.part_revenue > thresh for r in rows)
+    # and completeness: the query returns EVERY part above the threshold
+    expect = pr.filter(F.col("v") > thresh).count()
+    assert len(rows) == expect
+
+
+def test_sole_late_supplier_counts_only_sole_late_rows(spark):
+    rows = _q("j19_sole_late_supplier")(spark, SF_DIR).collect()
+    assert len(rows) <= 10
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    stats = lo.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    qual = (
+        lo.filter("late")
+        .join(stats, F.col("l_orderkey") == F.col("k"))
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+    )
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    expect = {
+        r.s_name: r.c
+        for r in qual.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert expect[r.s_name] == r.numwait
+
+
+def test_dormant_balances_excludes_recent_urgent_customers(spark):
+    rows = _q("a19_dormant_balances")(spark, SF_DIR).collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1999-01-01")
+    )
+    expect = (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r.c_mktsegment: r.n_customers for r in rows}
+    assert got == {r.c_mktsegment: r.n for r in expect}
+
+
+def test_token_budget_cap_respects_budget_and_prefix_property(spark):
+    out = _q("llm15_token_budget_cap")(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # budget respected per stratum, and cum is consistent with n_chars
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.cum_chars)
+        run = 0
+        for r in rs:
+            run += r.n_chars
+            assert r.cum_chars == run
+            assert r.cum_chars <= 10000
+    # PREFIX property: the kept set is a prefix of the quality ranking —
+    # every kept doc's rank ratio >= every dropped doc's (within a lang,
+    # allowing the doc_id tiebreak at equality)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("r"),
+    ).collect()
+    kept = {(r.lang, r.doc_id) for r in rows}
+    for lang in by_lang:
+        lang_docs = sorted(
+            (s for s in scored if s.lang == lang),
+            key=lambda s: (-s.r, s.doc_id),
+        )
+        seen_dropped = False
+        for s in lang_docs:
+            if (lang, s.doc_id) in kept:
+                assert not seen_dropped, "kept doc ranked below a dropped one"
+            else:
+                seen_dropped = True
