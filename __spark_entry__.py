@@ -103,10 +103,12 @@ _PRIORITY = [
 
 _RECORD_LAST = [
     # round-8 additions that did not fit the cap (count-exact, least
-    # fragile cross-engine) — never recorded, lead the r9 rotation
+    # fragile cross-engine; st12 additionally pinned by its stream≡batch
+    # test) — never recorded, lead the r9 rotation
     "j18_exists_lateness",
     "a17_large_orders",
     "g14_order_count_distribution",
+    "st12_stream_static_enrich",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from com_danliris_service_etl_spark.plans.registry import _events, register
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
 
 
 @register(
@@ -158,5 +158,43 @@ def st4_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
             F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "st12_stream_static_enrich",
+    """
+    SELECT c_mktsegment, event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def st12_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the deployment shape where an
+    unbounded event stream joins a slowly-changing dimension snapshot
+    (here: events → customer segment) before aggregating. This batch
+    twin IS the per-microbatch plan Structured Streaming executes for a
+    stream-static inner join (stateless — no watermark, no join state;
+    the static side is re-resolvable per microbatch, which is how dim
+    updates become visible mid-stream). streaming/jobs.py
+    `run_streaming_static_enrich` runs the same plan as a real
+    readStream; tests assert stream ≡ batch ≡ oracle.
+
+    Scale shape: the dimension broadcasts under every microbatch (one
+    build, reused across the batch's tasks); the aggregate is bounded by
+    |segments| × |event types|. Events' raw `ts` is never touched — the
+    join key and payload are timestamp-free, so the query is immune to
+    the fixture's ts physical-type drift."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )

@@ -823,3 +823,46 @@ def run_streaming_interval_join_outer(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension enrichment (st12 twin)
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich_out"
+) -> DataFrame:
+    """Drive the stream-static enrichment (events stream ⋈ customer dim →
+    segment/type rollup) as a REAL readStream and drain it through the
+    in-memory sink; returns the result as a batch DataFrame.
+
+    The stream-static inner join is STATELESS: each microbatch probes
+    the broadcast dim build and emits immediately — no watermark, no
+    join state store, nothing to evict. The static side is resolved per
+    microbatch, which on a live deployment is exactly how dimension
+    updates become visible mid-stream without a restart. Complete-mode
+    drain for the bounded-replay fixture (the aggregation state is
+    bounded by |segments| x |event types|, so complete mode holds a
+    dimension-sized result, never the stream)."""
+    ev = streaming_events(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -576,3 +576,19 @@ def test_streaming_outer_interval_join_emission_semantics(spark):
     region_stream = {k: v for k, v in stream.items() if views[k[0]] < horizon}
     assert region_stream == region_batch
     assert any(k[1] is None for k in region_batch), "fixture has no unconverted views in region"
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join twin: the readStream-driven dim enrichment
+    rollup ≡ the batch st12 plan (same join, same aggregate)."""
+    from com_danliris_service_etl_spark.plans.queries_streaming import (
+        st12_stream_static_enrich,
+    )
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_static_enrich,
+    )
+
+    stream_out = run_streaming_static_enrich(spark, SF_DIR, "st_enrich_test").toPandas()
+    batch_out = st12_stream_static_enrich(spark, SF_DIR).toPandas()
+    assert len(batch_out) > 0
+    assert_frames_match(stream_out, batch_out, "stream_static_enrich_vs_batch")
