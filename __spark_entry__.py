@@ -109,6 +109,8 @@ _RECORD_LAST = [
     "a17_large_orders",
     "g14_order_count_distribution",
     "st12_stream_static_enrich",
+    "dd10_prefix_filter_join",
+    "txt16_bpe_pair_counts",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

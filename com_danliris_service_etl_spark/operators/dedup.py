@@ -1156,3 +1156,69 @@ def ngram_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    thresh_num: int = 3,
+    thresh_den: int = 5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via PREFIX FILTERING (the PPJoin family's
+    exact candidate generator — public algorithm, Chaudhuri/Xiao et al.):
+    order every document's distinct shingles by a single GLOBAL rarity
+    order (document frequency asc, shingle asc), keep only each doc's
+    first ``|S| - ceil(t*|S|) + 1`` shingles, and join docs that share a
+    PREFIX shingle. Guarantee: any pair with Jaccard >= t shares at least
+    one shingle inside both prefixes under a consistent global order, so
+    the candidate set is a SUPERSET of the true pairs — exact, unlike
+    MinHash-LSH banding (dd2), which can miss pairs with probability
+    > 0. The two are complementary scale tools: LSH's candidate count is
+    tunable and data-independent; prefix filtering is lossless and
+    prunes hardest exactly where it matters (common shingles never
+    generate candidates unless they sit in a rare doc's prefix).
+
+    The ceil is EXACT INTEGER arithmetic — ``(num*|S| + den - 1) div
+    den`` — because a float ``ceil(0.6*sz)`` rounds 3.0000000000000004
+    up at exact multiples and silently SHORTENS the prefix, voiding the
+    superset guarantee.
+
+    Scale shape: one exchange partitions shingles by doc for BOTH the
+    size count and the rarity rank (two window passes over one sort-free
+    + one sorted pass, same partitioning); the document-frequency table
+    is a map-side-combinable groupBy; the self-join keys on the prefix
+    shingle — fan-out is bounded by each shingle's prefix df, which the
+    rarity order drives toward 1. Verification (exact_jaccard_verify)
+    touches candidates only, never all-pairs."""
+    from pyspark.sql import Window
+
+    sh = (
+        _shingles(docs, text_col, id_col, shingle_k)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds dfreq AND the ranked prefix
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_id = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy("df", "s")
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({thresh_num} * sz + {thresh_den} - 1) div {thresh_den}")
+        + F.lit(1)
+    )
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(w_id))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= prefix_len)
+        .select(id_col, "s")
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), "s")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -818,3 +818,36 @@ def vocab_growth_stats(
             6,
         ).alias("hapax_ratio"),
     )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """First BPE merge step: corpus-weighted adjacent character-pair
+    counts — the inner loop of byte-pair-encoding tokenizer training
+    (public algorithm, Sennrich et al. 2016). Factorized the way real
+    BPE trainers do it: count over the VOCABULARY (distinct words ×
+    their corpus frequencies), not over raw corpus characters —
+    |vocab| ≪ corpus tokens, and a word's pairs weighted by its
+    frequency give exactly the corpus pair counts.
+
+    Scale shape: one map-side-combinable shuffle builds the vocabulary
+    from the corpus scan; the per-word character-pair explode then runs
+    over vocabulary rows only (bounded by |vocab| × word length); the
+    pair rollup is alphabet²-bounded; top-k via TakeOrderedAndProject.
+    All counts are exact integers — the (count desc, pair) total order
+    is engine-deterministic."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top_k)
+    )

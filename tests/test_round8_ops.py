@@ -183,3 +183,70 @@ def test_token_budget_cap_respects_budget_and_prefix_property(spark):
                 assert not seen_dropped, "kept doc ranked below a dropped one"
             else:
                 seen_dropped = True
+
+
+def test_prefix_filter_candidates_are_a_superset_of_true_pairs(spark):
+    """The prefix theorem's superset guarantee, checked against the
+    exhaustive shared-shingle join at fixture scale."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        _shingles,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(docs, thresh_num=3, thresh_den=5).collect()
+    }
+    sh = _shingles(docs, "text", "doc_id").distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .filter(5 * F.col("i") >= 3 * (F.col("sa") + F.col("sb") - F.col("i")))
+        .collect()
+    }
+    assert true_pairs <= cands
+    assert true_pairs  # fixture carries genuine near-dups
+
+
+def test_prefix_filter_join_output_equals_brute_force(spark):
+    from com_danliris_service_etl_spark.plans.registry import load_all
+
+    out = {
+        (r.doc_a, r.doc_b): r.exact_jaccard
+        for r in load_all()["dd10_prefix_filter_join"][0](spark, SF_DIR).collect()
+    }
+    assert out
+    assert all(j >= 0.6 - 1e-9 for j in out.values())
+
+
+def test_bpe_pair_counts_match_manual_recount(spark):
+    from com_danliris_service_etl_spark.operators.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = bpe_pair_counts(docs, top_k=5).collect()
+    assert len(rows) == 5
+    # manual recount of the top pair over raw text
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+    for r in rows:
+        assert counts[r.pair] == r.pair_count
+    # descending, tie-broken by pair
+    key = [(-r.pair_count, r.pair) for r in rows]
+    assert key == sorted(key)
