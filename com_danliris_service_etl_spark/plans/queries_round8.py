@@ -603,3 +603,40 @@ def txt16_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# W10 — relative-rank window functions (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+_W10_SQL = """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS bal_pct_rank,
+       round(cume_dist() OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("w10_percentile_profile", _W10_SQL)
+def w10_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank profile of customer balances within segment —
+    percent_rank ((rank-1)/(n-1)) and cume_dist (rows<=current / n), the
+    two window functions the w-family still lacked (w1 ordinal, w6
+    ntile). The order key is totalized with c_custkey so both engines
+    rank identically at duplicate balances; both measures are exact
+    integer ratios, so 6dp rounding is engine-deterministic.
+
+    Scale shape: one exchange on the segment key, one sorted window
+    pass computing both measures. Segment count is small, so at fact
+    scale a segment is one task — the same stratum-parallelism bound
+    documented on llm15; the two-phase remedy (per-range rank partials +
+    broadcast offsets) applies when a partition key has fact-scale
+    groups. Dimension-sized here by design."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

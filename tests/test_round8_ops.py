@@ -250,3 +250,19 @@ def test_bpe_pair_counts_match_manual_recount(spark):
     # descending, tie-broken by pair
     key = [(-r.pair_count, r.pair) for r in rows]
     assert key == sorted(key)
+
+
+def test_percentile_profile_definitions(spark):
+    rows = _q("w10_percentile_profile")(spark, SF_DIR).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, rs in by_seg.items():
+        n = len(rs)
+        # cume_dist of the max-balance row is exactly 1; percent_rank of
+        # the min-balance row is exactly 0
+        assert any(abs(r.bal_cume_dist - 1.0) < 1e-12 for r in rs)
+        assert any(r.bal_pct_rank == 0.0 for r in rs)
+        # all values within [0, 1] and n distinct pct ranks == n (total order)
+        assert all(0.0 <= r.bal_pct_rank <= 1.0 for r in rs)
+        assert len({r.bal_pct_rank for r in rs}) == n
