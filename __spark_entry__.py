@@ -112,6 +112,7 @@ _RECORD_LAST = [
     "dd10_prefix_filter_join",
     "txt16_bpe_pair_counts",
     "w10_percentile_profile",
+    "st13_stateful_topk",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

@@ -546,28 +546,22 @@ WHERE 5 * i >= 3 * (sa.sz + sb.sz - i)
 @register("dd10_prefix_filter_join", _DD10_SQL)
 def dd10_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.6 set-similarity self-join over 3-token
-    shingle sets, candidates via PREFIX FILTERING (see
-    operators/dedup.py::prefix_filter_pairs) — the LOSSLESS counterpart
-    to dd2's probabilistic MinHash-LSH banding: the prefix theorem
-    guarantees no true pair is missed, so this is the candidate
-    generator for delete-grade dedup decisions. Verification rides the
-    shared exact_jaccard_verify funnel (candidates only, never
-    all-pairs) with the threshold in exact integer arithmetic
-    (5·inter >= 3·union). The oracle recomputes the same relation the
-    exhaustive way: shared-shingle equi-join over ALL pairs — at fixture
-    scale that is affordable and pins that prefix filtering dropped
-    nothing."""
-    from com_danliris_service_etl_spark.operators.dedup import (
-        exact_jaccard_verify,
-        prefix_filter_pairs,
-    )
+    shingle sets, candidates via PREFIX FILTERING with PPJoin's length
+    and positional filters (see operators/dedup.py::prefix_filter_join)
+    — the LOSSLESS counterpart to dd2's probabilistic MinHash-LSH
+    banding: the prefix theorem (and both filters, proven
+    superset-preserving in the op docstring) guarantees no true pair is
+    missed, so this is the candidate generator for delete-grade dedup
+    decisions. Verification reuses the SAME checkpointed shingle
+    relation (candidates only, never all-pairs) with the threshold in
+    exact integer arithmetic (5·inter >= 3·union). The oracle recomputes
+    the same relation the exhaustive way: shared-shingle equi-join over
+    ALL pairs — at fixture scale that is affordable and pins that the
+    filters dropped nothing."""
+    from com_danliris_service_etl_spark.operators.dedup import prefix_filter_join
 
-    docs = _t(spark, sf_dir, "documents")
-    cands = prefix_filter_pairs(docs, thresh_num=3, thresh_den=5)
-    return (
-        exact_jaccard_verify(docs, cands, thresh_num=3, thresh_den=5)
-        .filter(F.col("verified"))
-        .select("doc_a", "doc_b", "exact_jaccard")
+    return prefix_filter_join(
+        _t(spark, sf_dir, "documents"), thresh_num=3, thresh_den=5
     )
 
 

@@ -198,3 +198,41 @@ def st12_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "st13_stateful_topk",
+    """
+    SELECT event_type, CAST(rank AS INT) AS rank, user_id, n_events
+    FROM (
+      SELECT event_type, user_id, count(*)::BIGINT AS n_events,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rank
+      FROM events GROUP BY event_type, user_id)
+    WHERE rank <= 3
+    """,
+)
+def st13_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the exact running top-3 heavy users per event type
+    (streaming/jobs.py::run_streaming_topk, the second custom
+    applyInPandasWithState operator): one map-side-combinable
+    (type, user) count shuffle, then a bounded per-type window. The
+    streaming form keeps the full (type, user) count map as keyed state
+    — exact top-k is not mergeable, so the exact operator pays state
+    proportional to the distinct-pair set, while st8's count-min sketch
+    is the bounded-memory approximate dual. Total-order tiebreak
+    (count desc, user_id) keeps both engines and both forms aligned."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    from pyspark.sql import Window as W
+
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "user_id", "n_events")
+    )

@@ -866,3 +866,93 @@ def run_streaming_static_enrich(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: exact running top-k (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+TOPK_OUT_SCHEMA = (
+    "event_type string, rank int, user_id bigint, n_events bigint,"
+    " type_total bigint"
+)
+TOPK_STATE_SCHEMA = "users array<bigint>, counts array<bigint>, total bigint"
+TOPK_K = 3
+
+
+def _topk_fn(key, pdf_iter, state):
+    """Exact running top-K heavy users per event type. State carries the
+    FULL per-user count map for the type (as parallel arrays — Arrow-
+    friendly, no MapType conversion edge cases): exact top-k is not
+    mergeable from partial heaps, so whoever wants the exact answer
+    must keep the counts; the state is bounded by the DISTINCT
+    (type, user) set, never by event volume. The bounded-memory
+    alternative when the key universe is huge is the count-min
+    heavy-hitter sketch (run_streaming_countmin / st8) — this operator
+    is its exact dual, and the pair documents the tradeoff.
+
+    Emits the current top-K (total-order tiebreak: count desc, user_id
+    asc) plus the type's running event total — monotone, so a bounded
+    multi-batch replay keeps each type's LATEST emission by max total
+    (the st3 retention pattern for update-mode memory sinks)."""
+    import pandas as pd
+
+    if state.exists:
+        users, counts, total = state.get
+        tally = dict(zip(users, counts))
+    else:
+        tally, total = {}, 0
+
+    for pdf in pdf_iter:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            tally[uid] = tally.get(uid, 0) + 1
+            total += 1
+
+    state.update((list(tally.keys()), list(tally.values()), total))
+    top = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[:TOPK_K]
+    yield pd.DataFrame(
+        [
+            (key[0], i + 1, uid, n, total)
+            for i, (uid, n) in enumerate(top)
+        ],
+        columns=["event_type", "rank", "user_id", "n_events", "type_total"],
+    )
+
+
+def run_streaming_topk(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_topk"
+) -> DataFrame:
+    """Drive the exact running top-K as a real stream and drain it;
+    returns (event_type, rank, user_id, n_events) for the final state of
+    each type (latest emission by the monotone type_total)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir).select("event_type", "user_id")
+    top = ev.groupBy("event_type").applyInPandasWithState(
+        _topk_fn,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        top.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(query_name)
+    latest = t.groupBy(F.col("event_type").alias("__et")).agg(
+        F.max("type_total").alias("__mx")
+    )
+    return (
+        t.join(
+            latest,
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("type_total") == F.col("__mx")),
+        )
+        .select("event_type", "rank", "user_id", "n_events")
+    )

@@ -592,3 +592,51 @@ def test_stream_static_enrich_matches_batch(spark):
     batch_out = st12_stream_static_enrich(spark, SF_DIR).toPandas()
     assert len(batch_out) > 0
     assert_frames_match(stream_out, batch_out, "stream_static_enrich_vs_batch")
+
+
+def test_stateful_topk_matches_batch(spark):
+    """applyInPandasWithState exact running top-k ≡ the batch
+    count+window top-k (bounded replay drains the fixture)."""
+    from com_danliris_service_etl_spark.plans.queries_streaming import (
+        st13_stateful_topk,
+    )
+    from com_danliris_service_etl_spark.streaming.jobs import run_streaming_topk
+
+    stream_out = run_streaming_topk(spark, SF_DIR, "st_topk_test").toPandas()
+    batch_out = st13_stateful_topk(spark, SF_DIR).toPandas()
+    assert len(batch_out) > 0
+    assert_frames_match(stream_out, batch_out, "stateful_topk_vs_batch")
+
+
+def test_topk_fn_accumulates_state_across_batches():
+    """Drive the stateful fn directly with two sequential micro-batches:
+    counts must accumulate, the emitted top-k must reflect BOTH batches,
+    and the running total must be monotone."""
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.streaming.jobs import _topk_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame({"user_id": [1, 1, 2, 3]})
+    out1 = next(_topk_fn(("click",), iter([b1]), st))
+    assert list(out1["type_total"]) == [4, 4, 4]
+    assert list(out1["user_id"]) == [1, 2, 3]  # 2 and 3 tie at 1 -> id asc
+    b2 = pd.DataFrame({"user_id": [3, 3, 3, 2]})
+    out2 = next(_topk_fn(("click",), iter([b2]), st))
+    # cumulative: 3 -> 4 events, 1 -> 2, 2 -> 2; total 8
+    assert list(out2["user_id"]) == [3, 1, 2]
+    assert list(out2["n_events"]) == [4, 2, 2]
+    assert list(out2["type_total"]) == [8, 8, 8]
