@@ -113,6 +113,7 @@ _RECORD_LAST = [
     "txt16_bpe_pair_counts",
     "w10_percentile_profile",
     "st13_stateful_topk",
+    "llm16_split_repair",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

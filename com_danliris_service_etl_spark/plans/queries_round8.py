@@ -634,3 +634,79 @@ def w10_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM16 — contamination-aware split repair
+# ---------------------------------------------------------------------------
+
+_LLM16_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 3),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, count(*)::BIGINT AS n_hit
+        FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id),
+scored AS (
+  SELECT t.doc_id,
+         coalesce(h.n_hit, 0)::DOUBLE / t.n_shingles::DOUBLE >= 0.1
+           AS contaminated,
+         ('0x' || substring(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM tot t LEFT JOIN hit h USING (doc_id))
+SELECT doc_id, contaminated,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS orig_split,
+       CASE WHEN contaminated
+                 AND NOT (bucket < 90) THEN 'train'
+            WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS final_split,
+       (contaminated AND NOT (bucket < 90)) AS reassigned
+FROM scored
+"""
+
+
+@register("llm16_split_repair", _LLM16_SQL)
+def llm16_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware split repair — the hygiene step AFTER llm5's
+    detection and llm2's assignment: a benchmark-contaminated document
+    assigned to val/test cannot serve as clean eval, so it is REASSIGNED
+    to train (it is burned for evaluation either way; dropping it would
+    waste training signal). Emits the full audit relation (original
+    split, contamination flag, final split, reassigned marker) a dataset
+    card needs.
+
+    Scale shape: contamination scoring is the llm5 zero-shuffle
+    broadcast-shingle-array projection, and the hash split derives from
+    doc_id ALREADY IN that output — so the whole repair is one more
+    per-row CASE over the scored frame: no join between the detector and
+    the splitter, no extra exchange. The contamination flag compares an
+    exact int/int division against the same 0.1 double literal in both
+    engines."""
+    from com_danliris_service_etl_spark.operators.dedup import contamination_scores
+    from com_danliris_service_etl_spark.operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    scored = contamination_scores(corpus, bench).select(
+        "doc_id",
+        (F.col("contamination") >= 0.1).alias("contaminated"),
+        _hash_bucket("doc_id", 100),
+    )
+    orig = (
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+    )
+    reassigned = F.col("contaminated") & (F.col("bucket") >= 90)
+    return scored.select(
+        "doc_id",
+        "contaminated",
+        orig.alias("orig_split"),
+        F.when(reassigned, "train").otherwise(orig).alias("final_split"),
+        reassigned.alias("reassigned"),
+    )

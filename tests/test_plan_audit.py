@@ -93,6 +93,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "j13_bloom_semi_join": "bloom_build's one-row densify aggregate — the m_bits/64-word bitset artifact (kilobytes by construction), broadcast back to the fact probe",
     "llm5_decontamination": "benchmark shingles collapse to ONE broadcast array (eval sets are MB-scale)",
     "llm11_contamination_spans": "same broadcast benchmark-shingle array",
+    "llm16_split_repair": "rides llm5's contamination scorer — the same one-row broadcast benchmark-shingle array collapse",
     "o5_zorder_key": "per-dim min/max stat row broadcast to the scan",
     "q1_data_quality": "four scalar metric aggregates unioned",
     "st7_gap_fill": "grid bounds (min/max bucket) scalar",

@@ -266,3 +266,22 @@ def test_percentile_profile_definitions(spark):
         # all values within [0, 1] and n distinct pct ranks == n (total order)
         assert all(0.0 <= r.bal_pct_rank <= 1.0 for r in rs)
         assert len({r.bal_pct_rank for r in rs}) == n
+
+
+def test_split_repair_reassignment_rule(spark):
+    rows = _q("llm16_split_repair")(spark, SF_DIR).collect()
+    corpus_n = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") >= 20)
+        .count()
+    )
+    assert len(rows) == corpus_n
+    for r in rows:
+        if r.reassigned:
+            assert r.contaminated and r.orig_split in ("val", "test")
+            assert r.final_split == "train"
+        else:
+            assert r.final_split == r.orig_split
+        # no contaminated doc ever remains in val/test
+        if r.contaminated:
+            assert r.final_split == "train"
