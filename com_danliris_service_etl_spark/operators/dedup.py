@@ -1166,23 +1166,40 @@ def _prefix_relation(
     text_col: str,
     id_col: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared plumbing: (distinct shingle relation [lazily checkpointed],
-    rarity-ranked prefix rows (id, s, rk, sz)). One exchange partitions
-    shingles by doc for BOTH the size count and the rarity rank (two
-    window passes, same partitioning); the document-frequency table is a
-    map-side-combinable groupBy. The prefix-length ceil is EXACT INTEGER
-    arithmetic — ``(num*|S| + den - 1) div den`` — because a float
-    ``ceil(0.6*sz)`` rounds 3.0000000000000004 up at exact multiples and
-    silently SHORTENS the prefix, voiding the superset guarantee."""
+    """Shared plumbing: (per-doc DISTINCT shingle-set relation ``(id,
+    arr)`` [lazily checkpointed], rarity-ranked prefix rows (id, s, rk,
+    sz)). The per-doc distinct is a ROW-LOCAL ``array_distinct`` inside
+    the scan projection — a global ``.distinct()`` on the exploded
+    relation would pay two exchanges to deduplicate what never needed to
+    leave its row. The exploded view exists only to count document
+    frequencies (one map-side-combinable groupBy) and to rank prefix
+    members; sz = size(arr) comes free. One exchange partitions the
+    exploded rows by doc for the rarity rank. The prefix-length ceil is
+    EXACT INTEGER arithmetic — ``(num*|S| + den - 1) div den`` — because
+    a float ``ceil(0.6*sz)`` rounds 3.0000000000000004 up at exact
+    multiples and silently SHORTENS the prefix, voiding the superset
+    guarantee."""
     from pyspark.sql import Window
 
-    sh = (
-        _shingles(docs, text_col, id_col, shingle_k)
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds dfreq, the prefix, AND verify
+    k = shingle_k
+    idx_terms = ", ".join(f"t[i+{j}]" for j in range(k))
+    arrs = (
+        _spread(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t)-{k}),"
+                    f" i -> concat_ws(' ', {idx_terms}))"
+                )
+            ).alias("arr"),
+        )
+        .localCheckpoint(eager=False)  # feeds the exploded view AND verify
     )
+    sh = arrs.select(id_col, F.size("arr").alias("sz"), F.explode("arr").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w_id = Window.partitionBy(id_col)
     w_rank = Window.partitionBy(id_col).orderBy("df", "s")
     prefix_len = (
         F.col("sz")
@@ -1191,12 +1208,11 @@ def _prefix_relation(
     )
     prefix = (
         sh.join(dfreq, "s")
-        .withColumn("sz", F.count(F.lit(1)).over(w_id))
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= prefix_len)
         .select(id_col, "s", "rk", "sz")
     )
-    return sh, prefix
+    return arrs, prefix
 
 
 def _prefix_candidates(
@@ -1215,9 +1231,9 @@ def _prefix_candidates(
       ceil(num*(|a|+|b|) / (num+den)) (from J = i/(|a|+|b|-i) >= t), so
       rows that cannot reach it are dropped before they ever become a
       pair. On overlap-dense corpora this is the filter that does the
-      real work — measured 299,519 -> ~8k candidate pairs at sf0.1 on
-      the fixture (the bare prefix join's superset is exact but loose
-      when every document shares vocabulary)."""
+      real work — measured 299,519 -> 68,725 candidate pairs at sf0.1
+      on the fixture (the bare prefix join's superset is exact but
+      loose when every document shares vocabulary)."""
     a = prefix.select(
         F.col(id_col).alias("doc_a"),
         "s",
@@ -1294,42 +1310,36 @@ def prefix_filter_join(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Complete exact set-similarity self-join: prefix-filtered candidate
-    generation + exact-Jaccard verification REUSING the same
-    (checkpointed) shingle relation — the standalone verify funnel
-    (exact_jaccard_verify) would re-derive shingles from the raw corpus,
-    doubling the explode+distinct work. Verification fans each candidate
-    pair across doc_a's shingles and probes doc_b's on (id, shingle) —
-    candidates only, never all-pairs; the keep decision is exact integer
+    generation + exact-Jaccard verification against the SAME
+    (checkpointed) per-doc shingle-array relation — the standalone
+    verify funnel (exact_jaccard_verify) would re-derive shingles from
+    the raw corpus, doubling the explode work. Verification joins each
+    candidate pair to the two docs' arrays and computes
+    ``size(array_intersect(...))`` ROW-LOCALLY: no (pair × shingle)
+    fan-out ever crosses a shuffle (the fanned form moves
+    |candidates| × |shingles/doc| rows through two exchanges; this form
+    moves |candidates| rows through the same two joins). Per-row memory
+    is two shingle arrays — the same doc-length bound the MinHash
+    signature projection carries. The keep decision is exact integer
     arithmetic (den*inter >= num*union). Emits (doc_a, doc_b,
     exact_jaccard [6dp, reporting only])."""
-    sh, prefix = _prefix_relation(
+    arrs, prefix = _prefix_relation(
         docs, thresh_num, thresh_den, shingle_k, text_col, id_col
     )
-    cands = _prefix_candidates(prefix, thresh_num, thresh_den, id_col).localCheckpoint(
-        eager=False
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("__sa"))
-    sh_b = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("__sb"))
-    inter = (
-        cands.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("__idb")) & (F.col("__sa") == F.col("__sb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("na"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("nb"))
-    un = F.col("na") + F.col("nb") - F.col("inter")
+    cands = _prefix_candidates(prefix, thresh_num, thresh_den, id_col)
+    arr_a = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("__aa"))
+    arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("__ab"))
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    un = F.size("__aa") + F.size("__ab") - inter
     return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .filter(F.col("inter") * thresh_den >= un * thresh_num)
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", un)
+        .filter(F.col("__i") * thresh_den >= F.col("__u") * thresh_num)
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("inter") / un, 6).alias("exact_jaccard"),
+            F.round(F.col("__i") / F.col("__u"), 6).alias("exact_jaccard"),
         )
     )
