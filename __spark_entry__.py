@@ -114,6 +114,8 @@ _RECORD_LAST = [
     "w10_percentile_profile",
     "st13_stateful_topk",
     "llm16_split_repair",
+    "j20_nation_volume",
+    "p9_disjunctive_bands",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

@@ -710,3 +710,157 @@ def llm16_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(reassigned, "train").otherwise(orig).alias("final_split"),
         reassigned.alias("reassigned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J20 — disjunctive nation-pair volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+_J20_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(vol), 2) AS revenue, count(*)::BIGINT AS n_rows
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate)::BIGINT AS l_year,
+         l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("j20_nation_volume", _J20_SQL)
+def j20_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume between two nations by year (TPC-H Q7
+    shape) — the DISJUNCTIVE join predicate family: the qualifying
+    (supplier-nation, customer-nation) combinations are an OR of
+    conjunctions that no single equi-key expresses.
+
+    Scale shape: the disjunction never becomes a join residual at all —
+    each side's nation filter is the UNION of the pair's two members,
+    applied to the dimension BEFORE it broadcasts (2-row dims), and the
+    OR collapses to a post-join pair check on two broadcast-joined
+    nation names. The date band is pushed to the lineitem scan. The only
+    fact-fact work is lineitem⋈orders on orderkey (SMJ at scale, AQE
+    broadcast here); customer/supplier/nation all broadcast. One final
+    bounded aggregate (2 pair-directions × years)."""
+    names = ("NATION_3", "NATION_7")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*names))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1]))
+            | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("vol"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — disjunctive multi-band predicate (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_P9_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("p9_disjunctive_bands", _P9_SQL)
+def p9_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three (brand, size, quantity) conjunction
+    bands (TPC-H Q19 shape) — the predicate-pushdown stress case: the
+    disjunction spans BOTH relations, so no complete filter can push to
+    either scan as written. The scale discipline is to push the
+    single-relation WEAKENINGS by hand: the part scan gets
+    `brand IN (...) AND size BETWEEN 1 AND 15` (the union of the part
+    halves), the lineitem scan gets `quantity BETWEEN 1 AND 30` (the
+    union of the quantity halves) — each a superset of its side of every
+    band, so results are identical while both scans skip the bulk of the
+    fact before the broadcast join; the exact 3-band OR evaluates as the
+    join's residual. Single-row output: the bounded scalar-collapse
+    class (PLAN_AUDIT allowlist)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -106,6 +106,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "a16_small_quantity_loss": "final 1-row loss aggregate (Q17 scalar output) — one partial state per partition of the brand slice",
     "a18_revenue_share_filter": "1-row global total/count over the per-part rollup (Q11 scalar threshold), partial-aggregated and broadcast back",
     "a19_dormant_balances": "1-row avg(c_acctbal) scalar (Q22 threshold), partial-aggregated and broadcast back via crossJoin",
+    "p9_disjunctive_bands": "final 1-row revenue aggregate (Q19 scalar output) — one partial state per partition of the double-pruned join",
 }
 
 

@@ -285,3 +285,29 @@ def test_split_repair_reassignment_rule(spark):
         # no contaminated doc ever remains in val/test
         if r.contaminated:
             assert r.final_split == "train"
+
+
+def test_nation_volume_pair_directions_only(spark):
+    rows = _q("j20_nation_volume")(spark, SF_DIR).collect()
+    assert rows
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")}
+    assert all(1995 <= r.l_year <= 1996 for r in rows)
+
+
+def test_disjunctive_bands_equal_unpruned_form(spark):
+    """The hand-pushed single-relation weakenings must not change the
+    result: compare against the form with NO scan-level pruning."""
+    row = _q("p9_disjunctive_bands")(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    assert row.n_rows == j.filter(band).count()
