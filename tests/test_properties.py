@@ -579,3 +579,45 @@ def test_business_days_bounds_and_shift_invariance(spark, start, span):
     # 5-out-of-7 density over whole weeks
     if span % 7 == 0:
         assert r.bd == span // 7 * 5
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter join: lossless-candidate property on random corpora
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_word, min_size=3, max_size=12).map(lambda ws: " ".join(ws))
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=8))
+@SETTINGS
+def test_prefix_filter_join_equals_brute_force(spark, texts):
+    """On arbitrary small-vocabulary corpora (worst case for prefix
+    filtering: everything collides), prefix_filter_join must return
+    EXACTLY the brute-force Jaccard>=0.6 pair set — the length and
+    positional filters may prune candidates, never true pairs."""
+    from com_danliris_service_etl_spark.operators.dedup import prefix_filter_join
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.exact_jaccard
+        for r in prefix_filter_join(docs, thresh_num=3, thresh_den=5).collect()
+    }
+    # brute force in python
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts) if len(t.split(" ")) >= 3}
+    expect = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 5 >= union * 3:
+                expect[(a, b)] = round(inter / union, 6)
+    assert got == expect
