@@ -1,8 +1,16 @@
-"""Round-8 registry queries: the decision-support subquery shapes the
-analytic family was still missing — correlated EXISTS with an inequality
-residual, aggregate-threshold semi-join chains, HAVING against a global
-scalar, sole-qualifier anti-join on self, scalar-subquery + anti-join —
-plus a per-stratum token-budget curation operator for the LLM pipeline.
+"""Round-8 registry queries.
+
+Decision-support subquery shapes the analytic family was still missing —
+correlated EXISTS with an inequality residual (j18), aggregate-threshold
+semi-join chains (a17), HAVING against a global scalar (a18),
+outer-join count distributions (g14), correlated per-group averages
+(a16), sole-qualifier EXISTS+NOT-EXISTS on self (j19), scalar-subquery
+gate + anti-join (a19), disjunctive join predicates (j20) and
+OR-of-conjunction band predicates (p9) — plus LLM-pipeline operators:
+per-stratum token-budget curation (llm15), contamination-aware split
+repair (llm16), PPJoin prefix-filtered exact similarity join (dd10), BPE
+first-merge pair counts (txt16) — and the window family's last gap,
+percent_rank/cume_dist (w10).
 
 Reference provenance: the reference's dashboards express these shapes as
 SQL-Server subqueries over the fact tables (e.g. the overdue-order and
