@@ -116,6 +116,8 @@ _RECORD_LAST = [
     "llm16_split_repair",
     "j20_nation_volume",
     "p9_disjunctive_bands",
+    "j21_dominant_supplier",
+    "a20_market_share",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

@@ -16,9 +16,11 @@ Reference provenance: the reference's dashboards express these shapes as
 SQL-Server subqueries over the fact tables (e.g. the overdue-order and
 top-customer panels fed by `Pembelian/run.js` / `GarmentPurchasing`
 facts); here each is the canonical set-at-a-time Spark plan. Modeled on
-the public TPC-H Q4/Q11/Q13/Q17/Q18/Q21/Q22 query shapes (adapted to the
-driver's fixture schema: lateness = shipdate vs orderdate + slack, since
-the fixture carries no commit/receipt dates).
+the public TPC-H Q4/Q7/Q8/Q11/Q13/Q17/Q18/Q19/Q20/Q21/Q22 query shapes
+(adapted to the driver's fixture schema: lateness = shipdate vs
+orderdate + slack since the fixture carries no commit/receipt dates;
+Q20's availqty threshold becomes a year-slice share of all-time part
+volume since there is no partsupp).
 
 Each query pairs an idiomatic Spark plan with a DuckDB oracle over the
 driver's parquet tables (TESTDATA.md).
@@ -871,4 +873,153 @@ def p9_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J21 — nested semi-join gated by a correlated aggregate (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+_J21_SQL = """
+WITH sp96 AS (
+  SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey),
+ptot AS (
+  SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qtot
+  FROM lineitem GROUP BY l_partkey),
+dominant AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_dominant_parts
+  FROM sp96 JOIN ptot USING (l_partkey)
+  WHERE 10 * q96 > qtot
+  GROUP BY l_suppkey)
+SELECT s_name, n_dominant_parts
+FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+ORDER BY n_dominant_parts DESC, s_name
+"""
+
+
+@register("j21_dominant_supplier", _J21_SQL)
+def j21_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped more than a tenth of a part's ALL-TIME
+    volume inside one year (TPC-H Q20 shape: a semi-join chain gated by
+    a correlated aggregate threshold — 'availqty > 0.5·sum(qty)'
+    adapted to the fixture's lineitem-only schema). The correlated
+    subquery decorrelates into TWO aggregates at different grains —
+    (supplier, part, year-slice) and (part, all-time) — joined on the
+    part key with the threshold as exact integer arithmetic
+    (``10*q96 > qtot``: quantities are integral, so both sums are exact
+    and the comparison can never flip between engines).
+
+    Scale shape: both aggregates are map-side-combinable fact rollups;
+    the year-slice's date band pushes to its scan; the (part) rollup is
+    |parts|-sized and the grain join keys on part — at 100 TB both
+    sides hash-partition on l_partkey and AQE picks broadcast when the
+    year slice is selective. The supplier dim broadcasts onto the
+    dominance rollup, which is bounded by |suppliers|."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("q96"))
+    )
+    ptot = li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("l_quantity").cast("bigint").alias("qtot")
+    )
+    dominant = (
+        sp96.join(ptot, F.col("l_partkey") == F.col("pt_partkey"))
+        .filter(10 * F.col("q96") > F.col("qtot"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_dominant_parts")
+        .orderBy(F.col("n_dominant_parts").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20 — conditional-share market share by year (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_A20_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA')
+SELECT o_year, count(*)::BIGINT AS n_rows,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+               / sum(vol), 6) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+@register("a20_market_share", _A20_SQL)
+def a20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of the revenue ASIA-region customers spend,
+    per year (TPC-H Q8 shape) — the CONDITIONAL-SHARE aggregate: the
+    numerator is a CASE inside the sum over the SAME rows as the
+    denominator, so the share needs one aggregate, not two queries or a
+    self-join. Region→nation→customer collapses to one broadcast key
+    set before the facts join (the a15 star discipline); the supplier
+    nation broadcasts separately for the CASE tag. One fact-fact join
+    (lineitem⋈orders on orderkey), one bounded 7-row aggregate."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_dims = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_dims = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(supp_dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0.0)
+    ) / F.sum("vol")
+    return j.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(share, 6).alias("mkt_share"),
     )

@@ -311,3 +311,57 @@ def test_disjunctive_bands_equal_unpruned_form(spark):
            & F.col("l_quantity").between(20, 30))
     )
     assert row.n_rows == j.filter(band).count()
+
+
+def test_dominant_supplier_threshold_is_exact(spark):
+    rows = _q("j21_dominant_supplier")(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sp96 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    ptot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("t")
+    )
+    expect = (
+        sp96.join(ptot, F.col("l_partkey") == F.col("pk"))
+        .filter(10 * F.col("q") > F.col("t"))
+        .groupBy("l_suppkey")
+        .count()
+        .collect()
+    )
+    got = {r.s_name: r.n_dominant_parts for r in rows}
+    s = {
+        r.s_suppkey: r.s_name
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    assert got == {s[r.l_suppkey]: r["count"] for r in expect}
+
+
+def test_market_share_bounds_and_denominator(spark):
+    rows = _q("a20_market_share")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+    # denominator covers exactly ASIA-region customers' lineitems
+    import pyspark.sql.functions as SF
+
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    reg = spark.read.parquet(f"{SF_DIR}/region.parquet").filter(
+        SF.col("r_name") == "ASIA"
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    asia_cust = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(reg, n["n_regionkey"] == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").join(
+        asia_cust, SF.col("o_custkey") == SF.col("c_custkey")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    total = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    assert sum(r.n_rows for r in rows) == total
