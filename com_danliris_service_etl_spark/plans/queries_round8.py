@@ -1023,3 +1023,63 @@ def a20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(share, 6).alias("mkt_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21 — scalar-max equality join (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_A21_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+@register("a21_top_supplier", _A21_SQL)
+def a21_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with the maximum quarterly revenue (TPC-H Q15
+    shape) — the scalar-MAX EQUALITY join: unlike a top-1 LIMIT, ties
+    are all returned, so the scalar subquery is the correct formulation
+    and ``orderBy().limit(1)`` would be WRONG under ties. Revenue is
+    rounded 2dp on both sides BEFORE both the max and the equality, so
+    the tie set itself is engine-deterministic (raw float sums would
+    make 'equality with the max' a ulp lottery).
+
+    Scale shape: one map-side-combinable fact rollup (date band pushed
+    to the scan), lazily checkpointed at the fork (it feeds the 1-row
+    max and the equality probe); the max broadcasts back via crossJoin
+    (the allowlisted scalar-collapse class); the supplier dim broadcasts
+    onto the |ties|-sized result."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )

@@ -107,6 +107,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "a18_revenue_share_filter": "1-row global total/count over the per-part rollup (Q11 scalar threshold), partial-aggregated and broadcast back",
     "a19_dormant_balances": "1-row avg(c_acctbal) scalar (Q22 threshold), partial-aggregated and broadcast back via crossJoin",
     "p9_disjunctive_bands": "final 1-row revenue aggregate (Q19 scalar output) — one partial state per partition of the double-pruned join",
+    "a21_top_supplier": "1-row max(total_rev) scalar over the supplier rollup (Q15 tie threshold), partial-aggregated and broadcast back via crossJoin",
 }
 
 

@@ -365,3 +365,20 @@ def test_market_share_bounds_and_denominator(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     total = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
     assert sum(r.n_rows for r in rows) == total
+
+
+def test_top_supplier_is_the_argmax_with_tie_semantics(spark):
+    rows = _q("a21_top_supplier")(spark, SF_DIR).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "r"
+        )
+    )
+    mx = rev.agg(F.max("r")).collect()[0][0]
+    winners = {x.l_suppkey for x in rev.filter(F.col("r") == mx).collect()}
+    assert {r.s_suppkey for r in rows} == winners
+    assert all(r.total_rev == mx for r in rows)
