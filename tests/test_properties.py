@@ -621,3 +621,64 @@ def test_prefix_filter_join_equals_brute_force(spark, texts):
             if union and inter * 5 >= union * 3:
                 expect[(a, b)] = round(inter / union, 6)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Q21 window form: sole-late-supplier semantics on random order books
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 5),   # orderkey
+            st.integers(1, 4),   # suppkey
+            st.booleans(),       # late?
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_sole_late_supplier_window_form_matches_model(spark, rows):
+    """The (order, supplier)-grain + same-partitioning-window plan must
+    reproduce the direct Q21 model: count late ROWS of suppliers that
+    are late on a multi-supplier order where no OTHER supplier is late."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(o, s, l) for o, s, l in rows], "ok long, sk long, late boolean"
+    )
+    per_slot = (
+        df.select("ok", "sk", F.col("late").cast("int").alias("l"))
+        .groupBy("ok", "sk")
+        .agg(F.max("l").alias("sup_late"), F.sum("l").alias("n_late_rows"))
+    )
+    w = Window.partitionBy("ok")
+    got = {
+        (r.ok, r.sk): r.n_late_rows
+        for r in per_slot.withColumn("ns", F.count(F.lit(1)).over(w))
+        .withColumn("nl", F.sum("sup_late").over(w))
+        .filter((F.col("sup_late") == 1) & (F.col("ns") >= 2) & (F.col("nl") == 1))
+        .collect()
+    }
+    # python model: per order, the set of suppliers and late suppliers
+    from collections import defaultdict
+
+    supps, late_supps, late_rows = (
+        defaultdict(set),
+        defaultdict(set),
+        defaultdict(int),
+    )
+    for o, s, l in rows:
+        supps[o].add(s)
+        if l:
+            late_supps[o].add(s)
+            late_rows[(o, s)] += 1
+    expect = {
+        (o, s): late_rows[(o, s)]
+        for o in supps
+        for s in late_supps[o]
+        if len(supps[o]) >= 2 and len(late_supps[o]) == 1
+    }
+    assert got == expect
