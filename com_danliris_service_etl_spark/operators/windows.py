@@ -271,3 +271,82 @@ def gap_islands(
         )
         .drop("__grp")
     )
+
+
+def grouped_running_sum_distributed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Column | Sequence[Column],
+    value_col: str,
+    out_col: str = "run_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fact-scale GROUPED running sum: identical output to
+    ``sum(value) OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` without serializing each group through one task — the
+    missing half of the stratum-parallelism story: the plain window is
+    already parallel when there are MANY groups (hash partitioning
+    spreads them), but a handful of giant strata (llm15's per-language
+    budget, a global ordered ledger) funnel each stratum into a single
+    WindowExec task. This is :func:`surrogate_key_distributed`'s
+    two-pass range recipe generalized to grouped prefix SUMS.
+
+    Pass 1: ``repartitionByRange(group..., order...)`` gives every
+    partition a contiguous, ordered slice (a group spans consecutive
+    partitions); the ranged shuffle is pinned with ``localCheckpoint``
+    (RangePartitioner boundaries are re-sampled per action — unpinned
+    passes can disagree on row placement; the surrogate-key lesson).
+    Per-(partition, group) value totals come to the driver — bounded
+    metadata: contiguity caps the row count at n_partitions + n_groups —
+    and cumulate into per-(group, partition) start offsets.
+    Pass 2: a per-(partition, group) running sum (parallel — every
+    window group is within one partition id) plus the broadcast offset.
+
+    EXACT for integral value columns (driver offsets are Python-int
+    sums of exact longs). For floating values the summation ORDER
+    differs from the single-window form — both are valid float
+    prefix-sums, but don't equivalence-test them bit-for-bit."""
+    order = [order_by] if isinstance(order_by, Column) else list(order_by)
+    groups = list(group_cols)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(g) for g in groups], *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = (
+        ranged.groupBy("__pid", *groups)
+        .agg(F.sum(value_col).alias("__t"))
+        .collect()
+    )
+    if not totals:
+        return ranged.drop("__pid").withColumn(
+            out_col, F.lit(None).cast(df.schema[value_col].dataType)
+        )
+    by_group: dict[tuple, list] = {}
+    for r in totals:
+        by_group.setdefault(tuple(r[g] for g in groups), []).append(
+            (r["__pid"], r["__t"])
+        )
+    rows = []
+    for gkey, pids in by_group.items():
+        acc = 0
+        for pid, tot in sorted(pids):
+            rows.append((*gkey, pid, acc))
+            acc += tot
+    spark = df.sparkSession
+    off_schema = ranged.select(*groups, "__pid").schema
+    offsets_df = spark.createDataFrame(
+        rows, off_schema.add("__off", ranged.schema[value_col].dataType)
+    )
+    w = (
+        Window.partitionBy("__pid", *groups)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("__local", F.sum(value_col).over(w))
+        .join(F.broadcast(offsets_df), on=[*groups, "__pid"], how="left")
+        .withColumn(out_col, F.col("__local") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__local", "__off")
+    )

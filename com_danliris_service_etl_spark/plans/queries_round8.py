@@ -496,15 +496,15 @@ def llm15_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle partitions by lang; the running sum is a
     single ordered-window pass. The stratum count bounds parallelism —
-    fine for O(100) languages where each stratum still spans many
-    executors' worth of work ONLY if the window is the two-phase form;
     with a handful of giant strata the single-window form serializes
-    each stratum into one task, so the fact-scale path is the
-    surrogate_key_distributed pattern (per-range partials + broadcast
-    prefix offsets, ops/windows.py:66) applied to the cumulative sum;
-    the registry keeps the single-window form, which is the honest
-    choice at the fixture's 5-stratum/500-row scale. Budget quantities
-    (n_chars) are BIGINT — the crossing comparison is exact."""
+    each stratum into one task, so the fact-scale path is
+    ops/windows.py::grouped_running_sum_distributed (two-pass range
+    recipe: per-(partition, group) partials + broadcast prefix offsets;
+    equivalence-tested against this window form, exact for the integral
+    budget column). The registry keeps the single-window form, which is
+    the honest choice at the fixture's 5-stratum/500-row scale. Budget
+    quantities (n_chars) are BIGINT — the crossing comparison is
+    exact."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     r = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)

@@ -989,3 +989,54 @@ def test_is_scan_rooted_self_check_fails_loudly_on_drift(spark, monkeypatch):
     docs = spark.range(3).toDF("doc_id")
     with pytest.raises(RuntimeError, match="self-check failed"):
         dedup._is_scan_rooted(docs)
+
+
+def test_grouped_running_sum_distributed_equals_window(spark):
+    """The two-pass range form must reproduce the single-window grouped
+    running sum exactly (integral values), including groups that span
+    partition boundaries."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    rng = random.Random(7)
+    data = [
+        (g, i, rng.randint(1, 100))
+        for g in ["a", "b", "c"]
+        for i in range(rng.randint(5, 40))
+    ]
+    df = spark.createDataFrame(data, "g string, i long, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        (r.g, r.i): r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    # force few rows per partition so groups straddle boundaries
+    got = {
+        (r.g, r.i): r.run_sum
+        for r in grouped_running_sum_distributed(
+            df, ["g"], F.col("i"), "v", num_partitions=8
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_grouped_running_sum_distributed_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    df = spark.createDataFrame([], "g string, i long, v long")
+    out = grouped_running_sum_distributed(df, ["g"], F.col("i"), "v")
+    assert out.count() == 0 and "run_sum" in out.columns
