@@ -119,6 +119,7 @@ _RECORD_LAST = [
     "j21_dominant_supplier",
     "a20_market_share",
     "a21_top_supplier",
+    "a22_contribution_analysis",
     # r4-green remainder — stalest recorded evidence, next in r9
     "m4_m8_buckets_status",
     "m6_m7_categories",

@@ -1083,3 +1083,75 @@ def a21_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+# ---------------------------------------------------------------------------
+# A22 — contribution analysis (period-over-period change decomposition)
+# ---------------------------------------------------------------------------
+
+_A22_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN o_totalprice ELSE 0 END), 2) AS cur_revenue,
+         round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        THEN o_totalprice ELSE 0 END), 2) AS prev_revenue
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment, cur_revenue, prev_revenue,
+       round(cur_revenue - prev_revenue, 2) AS delta,
+       round((cur_revenue - prev_revenue)
+               / sum(cur_revenue - prev_revenue) OVER (), 6)
+         AS contribution_share
+FROM seg
+"""
+
+
+@register("a22_contribution_analysis", _A22_SQL)
+def a22_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which segments drove the year-over-year revenue change —
+    CONTRIBUTION ANALYSIS, the decomposition behind every 'why did the
+    metric move' dashboard: both periods aggregate in ONE pass
+    (CASE-in-sum per period — never two queries diffed in the client),
+    and each segment's share of the total delta is a window over the
+    |segments|-row aggregate.
+
+    Scale shape: the union of the two period bands is pushed to the
+    orders scan (rows outside either period never leave it); the
+    customer dim broadcasts; one fact shuffle for the segment rollup;
+    the share window runs over a dimension-sized relation. Period sums
+    are rounded 2dp before the delta and the share is rounded 6dp, so
+    the cross-engine comparison is deterministic."""
+    band_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    band_mid = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    band_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= band_lo) & (F.col("o_orderdate") < band_hi))
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cur = F.when(F.col("o_orderdate") >= band_mid, F.col("o_totalprice")).otherwise(0.0)
+    prev = F.when(F.col("o_orderdate") < band_mid, F.col("o_totalprice")).otherwise(0.0)
+    seg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(cur), 2).alias("cur_revenue"),
+            F.round(F.sum(prev), 2).alias("prev_revenue"),
+        )
+    )
+    delta = F.col("cur_revenue") - F.col("prev_revenue")
+    return seg.select(
+        "c_mktsegment",
+        "cur_revenue",
+        "prev_revenue",
+        F.round(delta, 2).alias("delta"),
+        F.round(delta / F.sum(delta).over(Window.partitionBy()), 6).alias(
+            "contribution_share"
+        ),
+    )

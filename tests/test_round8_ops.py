@@ -382,3 +382,15 @@ def test_top_supplier_is_the_argmax_with_tie_semantics(spark):
     winners = {x.l_suppkey for x in rev.filter(F.col("r") == mx).collect()}
     assert {r.s_suppkey for r in rows} == winners
     assert all(r.total_rev == mx for r in rows)
+
+
+def test_contribution_shares_sum_to_one(spark):
+    rows = _q("a22_contribution_analysis")(spark, SF_DIR).collect()
+    assert rows
+    total_delta = sum(r.delta for r in rows)
+    for r in rows:
+        assert abs(r.delta - round(r.cur_revenue - r.prev_revenue, 2)) < 1e-9
+    assert abs(sum(r.contribution_share for r in rows) - 1.0) < 1e-4
+    # each share is delta / total within rounding
+    for r in rows:
+        assert abs(r.contribution_share - r.delta / total_delta) < 1e-4
