@@ -323,6 +323,14 @@ def grouped_running_sum_distributed(
         return ranged.drop("__pid").withColumn(
             out_col, F.lit(None).cast(df.schema[value_col].dataType)
         )
+    # createDataFrame is type-strict: a DoubleType offset field rejects a
+    # python int, so the accumulator starts in the value column's own
+    # python type (sums of longs stay exact python ints).
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fractional = isinstance(
+        df.schema[value_col].dataType, (DoubleType, FloatType)
+    )
     by_group: dict[tuple, list] = {}
     for r in totals:
         by_group.setdefault(tuple(r[g] for g in groups), []).append(
@@ -330,7 +338,7 @@ def grouped_running_sum_distributed(
         )
     rows = []
     for gkey, pids in by_group.items():
-        acc = 0
+        acc = 0.0 if fractional else 0
         for pid, tot in sorted(pids):
             rows.append((*gkey, pid, acc))
             acc += tot

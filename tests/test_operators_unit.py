@@ -1040,3 +1040,33 @@ def test_grouped_running_sum_distributed_empty_input(spark):
     df = spark.createDataFrame([], "g string, i long, v long")
     out = grouped_running_sum_distributed(df, ["g"], F.col("i"), "v")
     assert out.count() == 0 and "run_sum" in out.columns
+
+
+def test_grouped_running_sum_distributed_double_values(spark):
+    """Double value columns must not trip createDataFrame's strict offset
+    typing; within-group prefix ordering still holds (values are all
+    positive, so the running sum must be strictly increasing)."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i) + 0.25) for i in range(20)]
+        + [("b", i, 1.5) for i in range(20)],
+        "g string, i long, v double",
+    )
+    out = grouped_running_sum_distributed(
+        df, ["g"], F.col("i"), "v", num_partitions=6
+    ).collect()
+    assert len(out) == 40
+    by_g = {}
+    for r in sorted(out, key=lambda r: (r.g, r.i)):
+        prev = by_g.get(r.g, 0.0)
+        assert r.run_sum > prev
+        by_g[r.g] = r.run_sum
+    # group b: constant weights -> run_sum = 1.5 * (i + 1) exactly
+    assert all(
+        abs(r.run_sum - 1.5 * (r.i + 1)) < 1e-9 for r in out if r.g == "b"
+    )
