@@ -37,12 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # e6/st11). Each is locally oracle-green + unit-tested
 # (tests/test_round7*_ops.py, tests/test_oracle_parity.py).
 #   1. _PRIORITY — exactly the 50-row budget: (a) all 45 never-recorded
-#      round-7 queries, (b) 5 of the 26 entries whose latest green row
-#      is r4 (stalest recorded evidence). Queries added in round 8 are
-#      appended here, displacing the (b) tail, until the cap is hit.
-#   2. _RECORD_LAST — recorded-green entries deferred by the cap
-#      (stalest first, freshest last): the remaining 21 r4-green
-#      entries, then r5-green, then r6-green.
+#      round-7 queries, (b) the 5 round-8 additions with the subtlest
+#      cross-engine surface (a18/a16/j19/a19/llm15).
+#   2. _RECORD_LAST — head: the 15 other round-8 additions (never
+#      recorded; count-exact or stream≡batch-pinned) — they plus the 26
+#      r4-green stalest lead the r9 rotation; then r5-green, then
+#      r6-green (freshest last). Registry at round-8 close: 191.
 _PRIORITY = [
     # (a) never driver-recorded — round-7 additions, first evidence
     "g9_triangle_count",
