@@ -394,3 +394,44 @@ def test_contribution_shares_sum_to_one(spark):
     # each share is delta / total within rounding
     for r in rows:
         assert abs(r.contribution_share - r.delta / total_delta) < 1e-4
+
+
+def test_llm15_cum_matches_distributed_prefix_sum(spark):
+    """The shipped single-window budget cum equals the fact-scale
+    two-pass form (ops/windows.py::grouped_running_sum_distributed) on
+    the real scored relation — the documented dispatch is semantics-
+    preserving, not just asserted."""
+    from pyspark.sql import Window
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("r"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("r").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    window_form = {
+        (x.lang, x.doc_id): x.cum
+        for x in scored.withColumn("cum", F.sum("n_chars").over(w)).collect()
+    }
+    dist_form = {
+        (x.lang, x.doc_id): x.run_sum
+        for x in grouped_running_sum_distributed(
+            scored,
+            ["lang"],
+            [F.col("r").desc(), F.col("doc_id")],
+            "n_chars",
+            num_partitions=8,
+        ).collect()
+    }
+    assert dist_form == window_form
