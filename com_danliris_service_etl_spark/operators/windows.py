@@ -319,18 +319,28 @@ def grouped_running_sum_distributed(
         .agg(F.sum(value_col).alias("__t"))
         .collect()
     )
+    # The offset column carries SUMS of the value column, so it must be
+    # typed as F.sum's RESULT type, not the input type: int32 inputs sum
+    # to LongType partials whose cumulative offsets can exceed int32
+    # range, and __local from F.sum is already the widened type.
+    sum_dt = ranged.select(F.sum(value_col).alias("__s")).schema["__s"].dataType
     if not totals:
         return ranged.drop("__pid").withColumn(
-            out_col, F.lit(None).cast(df.schema[value_col].dataType)
+            out_col, F.lit(None).cast(sum_dt)
         )
     # createDataFrame is type-strict: a DoubleType offset field rejects a
-    # python int, so the accumulator starts in the value column's own
-    # python type (sums of longs stay exact python ints).
-    from pyspark.sql.types import DoubleType, FloatType
+    # python int, so the accumulator starts in the sum type's own python
+    # type (sums of longs stay exact python ints).
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
-    fractional = isinstance(
-        df.schema[value_col].dataType, (DoubleType, FloatType)
-    )
+    if isinstance(sum_dt, (DoubleType, FloatType)):
+        zero = 0.0
+    elif isinstance(sum_dt, DecimalType):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
     by_group: dict[tuple, list] = {}
     for r in totals:
         by_group.setdefault(tuple(r[g] for g in groups), []).append(
@@ -338,15 +348,15 @@ def grouped_running_sum_distributed(
         )
     rows = []
     for gkey, pids in by_group.items():
-        acc = 0.0 if fractional else 0
+        acc = zero
         for pid, tot in sorted(pids):
             rows.append((*gkey, pid, acc))
-            acc += tot
+            # F.sum skips NULLs; an all-NULL (partition, group) slice
+            # yields __t = None — contribute 0, matching the window form.
+            acc += tot if tot is not None else zero
     spark = df.sparkSession
     off_schema = ranged.select(*groups, "__pid").schema
-    offsets_df = spark.createDataFrame(
-        rows, off_schema.add("__off", ranged.schema[value_col].dataType)
-    )
+    offsets_df = spark.createDataFrame(rows, off_schema.add("__off", sum_dt))
     w = (
         Window.partitionBy("__pid", *groups)
         .orderBy(*order)

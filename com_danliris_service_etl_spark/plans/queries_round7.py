@@ -712,25 +712,41 @@ def pv4_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SIM9 — embedding covariance via one-pass partial gramians
 # ---------------------------------------------------------------------------
 
+# Exact fixed-point twin of operators/similarity.py::embedding_covariance:
+# quantize q = floor(v*1e6 + 0.5) (single IEEE ops, engine-identical),
+# HUGEINT sufficient statistics, half-away-from-zero integer rounding.
+# The // numerator is non-negative by construction, so DuckDB's
+# truncate-toward-zero // equals Spark's div here.
 _SIM9_SQL = """
 WITH d1 AS (SELECT unnest(range(1, 65)) AS i),
 vals AS (SELECT embedding AS v FROM embeddings),
-n AS (SELECT count(*)::DOUBLE AS n FROM vals),
+n AS (SELECT count(*)::HUGEINT AS n FROM vals),
 sums AS (
-  SELECT d1.i, sum(v[d1.i]::DOUBLE) AS s
+  SELECT d1.i,
+         sum(CAST(floor(v[d1.i]::DOUBLE * 1000000.0 + 0.5) AS HUGEINT)) AS s
   FROM vals CROSS JOIN d1 GROUP BY 1
 ),
 gram AS (
-  SELECT a.i AS i, b.i AS j, sum(v[a.i]::DOUBLE * v[b.i]::DOUBLE) AS sij
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(floor(v[a.i]::DOUBLE * 1000000.0 + 0.5) AS HUGEINT)
+             * CAST(floor(v[b.i]::DOUBLE * 1000000.0 + 0.5) AS HUGEINT)) AS sij
   FROM vals CROSS JOIN d1 a CROSS JOIN d1 b
   WHERE b.i >= a.i GROUP BY 1, 2
+),
+fin AS (
+  SELECT g.i, g.j,
+         g.sij * n.n - sa.s * sb.s AS num,
+         n.n * (n.n - 1) * 1000000000000::HUGEINT AS den
+  FROM gram g
+  JOIN sums sa ON sa.i = g.i
+  JOIN sums sb ON sb.i = g.j
+  CROSS JOIN n
 )
-SELECT g.i, g.j,
-       round((g.sij - sa.s * sb.s / n.n) / (n.n - 1.0), 6) AS cov
-FROM gram g
-JOIN sums sa ON sa.i = g.i
-JOIN sums sb ON sb.i = g.j
-CROSS JOIN n
+SELECT i, j,
+       (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+         * ((2 * abs(num) * 1000000 + den) // (2 * den))::DOUBLE
+         / 1000000.0 AS cov
+FROM fin
 """
 
 

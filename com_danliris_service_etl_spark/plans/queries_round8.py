@@ -75,16 +75,25 @@ def j18_exists_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's probe side drops every early-shipped row before the shuffle
     instead of carrying the whole fact into the residual. One shuffle
     pair (semi join on orderkey), then a 5-row aggregate."""
-    band_lo = F.lit("1995-07-01 00:00:00").cast("timestamp")
+    import datetime as _dt
+
+    _BAND_LO = "1995-07-01 00:00:00"
+    band_lo = F.lit(_BAND_LO).cast("timestamp")
     band_hi = F.lit("1995-10-01 00:00:00").cast("timestamp")
     o = (
         _t(spark, sf_dir, "orders")
         .filter((F.col("o_orderdate") >= band_lo) & (F.col("o_orderdate") < band_hi))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    # Derived bound: min o_orderdate in the band is 1995-07-01, so any
-    # qualifying lineitem ships strictly after 1995-07-01 + 90d.
-    derived = F.lit("1995-09-29 00:00:00").cast("timestamp")
+    # Derived bound: min o_orderdate in the band is band_lo, so any
+    # qualifying lineitem ships strictly after band_lo + 90d. Computed
+    # from the band literal so the two can never desynchronize.
+    derived = F.lit(
+        (
+            _dt.datetime.strptime(_BAND_LO, "%Y-%m-%d %H:%M:%S")
+            + _dt.timedelta(days=90)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+    ).cast("timestamp")
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > derived)
@@ -1002,11 +1011,14 @@ def a20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    # The orders⋈ASIA-customers relation is fact-sized (~20% of orders):
+    # no explicit broadcast hint here — a hint would override
+    # autoBroadcastJoinThreshold/AQE and OOM at fact scale. AQE keeps the
+    # fixture-scale plan cheap while lineitem⋈orders stays the one
+    # shuffle join at 100 TB (the j20_nation_volume discipline).
     j = (
         li.join(
-            F.broadcast(
-                o.join(F.broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey"))
-            ),
+            o.join(F.broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey")),
             li["l_orderkey"] == o["o_orderkey"],
         )
         .join(F.broadcast(supp_dims), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -1070,3 +1070,70 @@ def test_grouped_running_sum_distributed_double_values(spark):
     assert all(
         abs(r.run_sum - 1.5 * (r.i + 1)) < 1e-9 for r in out if r.g == "b"
     )
+
+
+def test_grouped_running_sum_distributed_all_null_slice(spark):
+    """An all-NULL (partition, group) slice yields a None per-slice total
+    (F.sum skips NULLs); the driver-side offset accumulation must treat
+    it as 0, matching the single-window form's null-skipping semantics
+    (ADVICE r8: windows.py acc += None crashed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    # group "n" is entirely NULL-valued and long enough to span several
+    # range partitions; group "a" is normal.
+    df = spark.createDataFrame(
+        [("n", i, None) for i in range(30)] + [("a", i, i + 1) for i in range(10)],
+        "g string, i long, v long",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        (r.g, r.i): r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {
+        (r.g, r.i): r.run_sum
+        for r in grouped_running_sum_distributed(
+            df, ["g"], F.col("i"), "v", num_partitions=8
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_grouped_running_sum_distributed_int32_widens_to_long(spark):
+    """Int32 value columns sum past int32 range; the offset column must be
+    typed as F.sum's RESULT type (LongType), not the input type (ADVICE
+    r8: an IntegerType __off overflowed / failed createDataFrame)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from com_danliris_service_etl_spark.operators.windows import (
+        grouped_running_sum_distributed,
+    )
+
+    big = 2_000_000_000  # close to int32 max; 40 of them >> int32 range
+    df = spark.createDataFrame(
+        [("a", i, big) for i in range(40)], "g string, i long, v int"
+    )
+    out = grouped_running_sum_distributed(
+        df, ["g"], F.col("i"), "v", num_partitions=8
+    )
+    assert isinstance(out.schema["run_sum"].dataType, LongType)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = {
+        (r.g, r.i): r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {(r.g, r.i): r.run_sum for r in out.collect()}
+    assert got == expect
