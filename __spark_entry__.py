@@ -7,6 +7,10 @@ LLM-pipeline extensions) for the driver's DuckDB correctness gate at sf0.01.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +20,7 @@ from com_danliris_service_etl_spark.plans.registry import load_all
 REGISTRY = load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,244 +30,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness records the FIRST 50 queries() entries
-# (observed rounds 1-6: with >50 registered, exactly the first 50 in
+# (observed rounds 1-8: with >50 registered, exactly the first 50 in
 # iteration order got CORRECTNESS rows). Iteration order is therefore an
-# explicit ROTATING priority. ROUND-8 STATE: CORRECTNESS_r07.json never
-# materialized (the round-7 driver correctness run did not land an
-# artifact), so ALL 45 queries added in round 7 are still never
-# driver-recorded — the 24 that led round-7's _PRIORITY (g9/g10/txt12/
-# a8/llm13/dd9/sk4/sk5/j13/txt13/w7/g11/pv4/sim9/st9/s13/j14/sk6/w8/
-# a10/txt14/j15/a12/g12) plus the 21 that did not fit the cap (a11/w9/
-# o6/j16/pv5/d9/txt15/llm14/a13/u4/j17/q4/g13/d10/o7/q5/st10/a14/a15/
-# e6/st11). Each is locally oracle-green + unit-tested
-# (tests/test_round7*_ops.py, tests/test_oracle_parity.py).
-#   1. _PRIORITY — exactly the 50-row budget: (a) all 45 never-recorded
-#      round-7 queries, (b) the 5 round-8 additions with the subtlest
-#      cross-engine surface (a18/a16/j19/a19/llm15).
-#   2. _RECORD_LAST — head: the 15 other round-8 additions (never
-#      recorded; count-exact or stream≡batch-pinned) — they plus the 26
-#      r4-green stalest lead the r9 rotation; then r5-green, then
-#      r6-green (freshest last). Registry at round-8 close: 191.
-_PRIORITY = [
-    # (a) never driver-recorded — round-7 additions, first evidence
-    "g9_triangle_count",
-    "g10_bfs_hops",
-    "txt12_pmi_bigrams",
-    "a8_histogram",
-    "llm13_ngram_novelty",
-    "dd9_containment",
-    "sk4_bitmap_distinct_rollup",
-    "sk5_hll_union_rollup",
-    "j13_bloom_semi_join",
-    "txt13_vocab_coverage",
-    "w7_range_frame",
-    "g11_adamic_adar",
-    "pv4_dp_counts",
-    "sim9_embedding_covariance",
-    "st9_watermark_dedup",
-    "s13_snapshot_diff",
-    "j14_interval_overlap",
-    "sk6_quantile_rollup",
-    "w8_gap_islands",
-    "a10_group_trend",
-    "txt14_sparse_cosine",
-    "j15_anti_join",
-    "a12_weighted_median",
-    "g12_grouping_sets",
-    "a11_grouped_mode",
-    "w9_running_distinct",
-    "o6_keyset_pagination",
-    "j16_salted_skew_join",
-    "pv5_winsorized_stats",
-    "d9_business_days",
-    "txt15_heaps_hapax",
-    "llm14_corpus_report",
-    "a13_ratio_to_report",
-    "u4_unpivot",
-    "j17_null_safe_join",
-    "q4_benford_digits",
-    "g13_jaccard_neighbors",
-    "d10_iso_week",
-    "o7_systematic_sample",
-    "q5_orphan_profile",
-    "st10_running_distinct",
-    "a14_shipping_priority",
-    "a15_region_revenue",
-    "e6_posexplode",
-    "st11_outer_interval_join",
-    # (b) new in round 8 — the five with the subtlest cross-engine
-    # surface (float-scalar thresholds, decorrelated double-EXISTS,
-    # window cumsum crossing); the three count-exact ones (j18/a17/g14)
-    # lead _RECORD_LAST for r9
-    "a18_revenue_share_filter",
-    "a16_small_quantity_loss",
-    "j19_sole_late_supplier",
-    "a19_dormant_balances",
-    "llm15_token_budget_cap",
-]
+# explicit ROTATING priority. It was a hand-maintained ledger through
+# round 8 (and drifted once — fixed in 7166605); it is now DERIVED from
+# the CORRECTNESS_r*.json evidence at import time, so rotation state can
+# never desynchronize from the artifacts:
+#   1. never driver-recorded queries first (registration order) — new
+#      work gets its first evidence row immediately;
+#   2. queries whose LATEST record is red next (stalest first) — a red
+#      row must be answered by a fresh green one;
+#   3. green queries last, stalest evidence first (r4-green before
+#      r5-green before r8-green), so the driver's 50-row budget
+#      refreshes the oldest proof each round.
 
-_RECORD_LAST = [
-    # round-8 additions that did not fit the cap (count-exact, least
-    # fragile cross-engine; st12 additionally pinned by its stream≡batch
-    # test) — never recorded, lead the r9 rotation
-    "j18_exists_lateness",
-    "a17_large_orders",
-    "g14_order_count_distribution",
-    "st12_stream_static_enrich",
-    "dd10_prefix_filter_join",
-    "txt16_bpe_pair_counts",
-    "w10_percentile_profile",
-    "st13_stateful_topk",
-    "llm16_split_repair",
-    "j20_nation_volume",
-    "p9_disjunctive_bands",
-    "j21_dominant_supplier",
-    "a20_market_share",
-    "a21_top_supplier",
-    "a22_contribution_analysis",
-    # r4-green remainder — stalest recorded evidence, next in r9
-    "m4_m8_buckets_status",
-    "m6_m7_categories",
-    "mm2_decode_features",
-    "mm3_frame_sample",
-    "o1_o2_ordered_extract",
-    "p2_incremental_watermark",
-    "p5_not_null",
-    "p8_falsy_zero",
-    "pk2_chunk_documents",
-    "pv1_k_anonymity",
-    "q1_data_quality",
-    "s11_scd2_history",
-    "sim3_multiprobe_topk",
-    "sk1_sketch_accuracy",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_sessionize",
-    "st4_session_window_native",
-    "t1_t5_string_scalars",
-    "txt1_token_stats",
-    "txt4_fingerprint",
-    "txt6_repetition_stats",
-    "txt7_inverted_index",
-    "u3_intersect_except",
-    "w4_moving_avg",
-    "x1_json_extract",
-    # r05-green (each pinned locally by its own unit tests meanwhile;
-    # st5/st6/st7 additionally by their stream≡batch and replay tests)
-    "j11_fuzzy_join",
-    "sim8_pq_topk",
-    "dd8_passage_dedup",
-    "o5_zorder_key",
-    "pv3_l_diversity",
-    "q2_snapshot_drift",
-    "g7_cube_events",
-    "q3_hourly_anomalies",
-    "s12_cdc_apply",
-    "sim7_recall_eval",
-    "llm11_contamination_spans",
-    "st5_dedup_stats",
-    "st6_interval_join",
-    "st7_gap_fill",
-    "llm10_leakage_safe_split",
-    "pk3_balanced_shards",
-    "g6_path_transitions",
-    "llm9_textual_neardup",
-    # r05-green, unchanged, next-stalest — first in line if the cap ever
-    # rises above 50
-    "txt9_unigram_logprob",
-    "txt10_lang_consistency",
-    "txt11_boilerplate_ngrams",
-    "w5_topk_per_group",
-    "j11b_fuzzy_join_sparse",
-    "s6_merge_idempotent",
-    "j6_first_match_join",
-    "txt5_tfidf_top_terms",
-    "a0_pricing_summary",
-    "a3_weighted_score",
-    "a4_surrogate_key",
-    "a5_row_count",
-    "d1_d3_d4_date_arithmetic",
-    "d6_min_date_clamp",
-    "dd1_exact_dedup",
-    "dd2_minhash_lsh",
-    "dd3_simhash",
-    "dd4_ngram_jaccard",
-    "e2_explode_roundtrip",
-    "e3_explode_3level",
-    "e4_explode_inner",
-    "e5_explode_outer",
-    "g3_rollup_incremental",
-    "g4_retention_cohorts",
-    "j2_inner_join",
-    "j3_broadcast_dim_join",
-    "j4_group_join",
-    "j5_correlated_subquery",
-    "llm1_clean_corpus",
-    "llm8_mixture_sample",
-    "mm1_binary_metadata",
-    "mm4_resize_payloads",
-    # r06-green (CORRECTNESS_r06.json, all 50 green) — freshest
-    # evidence, recorded last by design
-    "o3_top_n",
-    "o4_offset_fetch",
-    "p1_projection_alias",
-    "p3_soft_delete",
-    "p4_exclusion_filter",
-    "p6_semi_join",
-    "p7_empty_string_guard",
-    "pk1_sequence_packing",
-    "pv2_pii_redact",
-    "s7_date_dimension",
-    "sim1_cosine_topk",
-    "sim2_lsh_bucketed_topk",
-    "sim4_ivf_topk",
-    "sim5_int8_topk",
-    "txt2_quality_score",
-    "txt3_langid",
-    "u2_union_discriminator",
-    "w1_ordinal_index",
-    "w2_last_in_group",
-    "g8_pagerank",
-    "sk3_countmin_heavy_hitters",
-    "w6_decile_profile",
-    "j12_asof_nearest",
-    "st8_countmin_sketch",
-    "sim6_kmeans_fit",
-    "llm12_centrality_keeper",
-    "a7_group_quantiles",
-    "sk2_salted_aggregate",
-    "g5_funnel_conversion",
-    "txt8_bm25_topk",
-    "dd6_dedup_clusters",
-    "llm7_semantic_dedup",
-    "dd7_incremental_lsh",
-    "a1_latest_per_key",
-    "a2_max_per_key",
-    "a6_stats_profile",
-    "d2_m3_durations",
-    "d5_d8_timestamp_reconstruct",
-    "d7_year_repair",
-    "dd5_embedding_neardup",
-    "g1_rollup_corpus",
-    "g2_pivot_status_matrix",
-    "j1_multiway_left_join",
-    "j7_asof_join",
-    "j10_range_join",
-    "llm2_hash_split",
-    "llm3_quota_sample",
-    "llm5_decontamination",
-    "llm6_weighted_sample",
-    "m1_m2_m9_math_scalars",
-]
+
+def _correctness_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest recorded round, green at that round), from the
+    driver's CORRECTNESS_r*.json artifacts committed at each round close."""
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                # rows-only (no-oracle) records carry no hash_match key
+                and rec.get("hash_match", True)
+                and rec.get("err") is None
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
 
 
 def _ordered_names() -> list[str]:
-    mid = [n for n in REGISTRY if n not in _PRIORITY and n not in _RECORD_LAST]
-    return (
-        [n for n in _PRIORITY if n in REGISTRY]
-        + mid
-        + [n for n in _RECORD_LAST if n in REGISTRY]
-    )
+    hist = _correctness_history()
+    names = list(REGISTRY)
+    pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple:
+        rec = hist.get(n)
+        if rec is None:
+            return (0, 0, pos[n])  # never recorded
+        rnd, green = rec
+        return (2 if green else 1, rnd, pos[n])  # red first, then stalest green
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,120 @@
+"""The driver records CORRECTNESS rows for only the FIRST 50 queries()
+entries, so iteration order is the rotation budget. Round 8's hand-kept
+ledger drifted once; the order is now DERIVED from the CORRECTNESS_r*.json
+artifacts (VERDICT r8 task 7). These tests pin the derivation against the
+real r1–r8 history committed in the repo."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", REPO / "__spark_entry__.py"
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def _history_from_artifacts():
+    hist = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for name, rec in json.loads(p.read_text()).items():
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+                and rec.get("err") is None
+            )
+            if name not in hist or rnd >= hist[name][0]:
+                hist[name] = (rnd, green)
+    return hist
+
+
+def test_ordering_is_a_permutation_of_the_registry():
+    names = entry_mod._ordered_names()
+    assert sorted(names) == sorted(entry_mod.REGISTRY)
+    assert len(set(names)) == len(names)
+
+
+def test_never_recorded_queries_lead():
+    """Every registry query with no CORRECTNESS row in any round must come
+    before every query that has one — new work gets evidence first."""
+    hist = _history_from_artifacts()
+    names = entry_mod._ordered_names()
+    seen_recorded = False
+    for n in names:
+        if n in hist:
+            seen_recorded = True
+        else:
+            assert not seen_recorded, f"never-recorded {n} after a recorded query"
+
+
+def test_red_rows_precede_greens_and_greens_are_stalest_first():
+    hist = _history_from_artifacts()
+    names = entry_mod._ordered_names()
+    recorded = [n for n in names if n in hist]
+    # reds (latest record not green) before any green
+    first_green = next(
+        (i for i, n in enumerate(recorded) if hist[n][1]), len(recorded)
+    )
+    for i, n in enumerate(recorded):
+        if not hist[n][1]:
+            assert i < first_green, f"red {n} sorted after a green query"
+    greens = [n for n in recorded if hist[n][1]]
+    rounds = [hist[n][0] for n in greens]
+    assert rounds == sorted(rounds), "green queries must be stalest-evidence-first"
+
+
+def test_r8_history_concrete_expectations():
+    """Concrete pins against the committed r1–r8 artifacts: the 15 round-8
+    registry additions with no driver row ever lead the list, and
+    sim9_embedding_covariance (the only red latest record, r8) is the
+    first recorded name."""
+    hist = _history_from_artifacts()
+    names = entry_mod._ordered_names()
+    never = {n for n in entry_mod.REGISTRY if n not in hist}
+    expected_head = {
+        "j18_exists_lateness",
+        "a17_large_orders",
+        "g14_order_count_distribution",
+        "st12_stream_static_enrich",
+        "dd10_prefix_filter_join",
+        "txt16_bpe_pair_counts",
+        "w10_percentile_profile",
+        "st13_stateful_topk",
+        "llm16_split_repair",
+        "j20_nation_volume",
+        "p9_disjunctive_bands",
+        "j21_dominant_supplier",
+        "a20_market_share",
+        "a21_top_supplier",
+        "a22_contribution_analysis",
+    }
+    assert expected_head <= never
+    assert set(names[: len(never)]) == never
+    if hist.get("sim9_embedding_covariance", (0, True))[1] is False:
+        assert names[len(never)] == "sim9_embedding_covariance"
+
+
+def test_first_fifty_spend_the_budget_on_missing_or_stale_evidence():
+    """The 50-row driver budget must go to: all never-recorded, all red,
+    then the stalest greens — no fresh-evidence query may occupy a slot
+    while a staler one waits."""
+    hist = _history_from_artifacts()
+    names = entry_mod._ordered_names()
+    head, tail = names[:50], names[50:]
+
+    def rank(n):
+        if n not in hist:
+            return (0, 0)
+        rnd, green = hist[n]
+        return (2 if green else 1, rnd)
+
+    worst_head = max(rank(n) for n in head)
+    best_tail = min(rank(n) for n in tail)
+    assert worst_head <= best_tail
