@@ -1,0 +1,147 @@
+"""sf1 floor-amortization measurement (VERDICT r8 task 3).
+
+Four queries are correct but >2x their (tiny, 0.13-0.26 s) DuckDB oracles
+at sf0.1 — dd2_minhash_lsh, g13_jaccard_neighbors, g11_adamic_adar,
+txt14_sparse_cosine — and the builder has ARGUED (never measured) that the
+gap is Spark's fixed per-query floor (codegen compile, stage scheduling,
+exchange setup) amortizing away as data grows. This script measures it:
+one interleaved Spark/DuckDB pairing of those four plus the g9 sentinel at
+a DERIVED sf1 (10x sf0.1), same estimator as BASELINE.md (min of 3 warm
+fresh-plan runs per engine, alternating engines per query).
+
+The derived sf1 is a true 10x SCALE-UP, not a densification:
+- lineitem: 10 replicas with l_orderkey AND l_partkey shifted by a
+  replica stride, so the part co-purchase graph becomes 10 disjoint
+  copies — node count, edge count, and triangle work all scale 10x while
+  per-node degree stays fixed (shifting only orderkey would instead
+  densify the SAME graph 10x, a different asymptotic regime).
+- documents: 10 replicas with doc_id shifted and every token salted with
+  the replica id, so shingle/term spaces are disjoint across replicas —
+  near-dup candidate pairs and inverted-index work scale 10x (unsalted
+  replicas would be mutual near-duplicates and inflate candidates
+  quadratically, which is a different workload, not a scale-up).
+
+This derived data lives in .bench_sf1/ (gitignored) and is ONLY a
+performance fixture — correctness stays pinned to the driver's own
+testdata (TESTDATA.md).
+
+Usage: python tools/bench_sf1.py [> sf1.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF1_DIR = os.path.join(ROOT, ".bench_sf1")
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+QUERIES = [
+    "g9_triangle_count",  # sentinel: ~2x at sf0.1, known multi-stage floor
+    "dd2_minhash_lsh",
+    "g13_jaccard_neighbors",
+    "g11_adamic_adar",
+    "txt14_sparse_cosine",
+]
+
+
+def generate() -> None:
+    if os.path.isdir(SF1_DIR) and os.path.exists(
+        os.path.join(SF1_DIR, "documents.parquet")
+    ):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM '{SRC}/lineitem.parquet'")
+    so, sp = con.execute(
+        "SELECT max(l_orderkey) + 1, max(l_partkey) + 1 FROM li"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + r.r * {so} AS l_orderkey,
+                 l_partkey + r.r * {sp} AS l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM li CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{SRC}/documents.parquet'")
+    sd = con.execute("SELECT max(doc_id) + 1 FROM d").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r.r * {sd} AS doc_id,
+                 array_to_string(
+                   list_transform(string_split(text, ' '),
+                                  x -> x || '_r' || r.r), ' ') AS text,
+                 lang, source, n_chars
+          FROM d CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/documents.parquet' (FORMAT parquet)
+        """
+    )
+
+
+def main() -> int:
+    generate()
+
+    from com_danliris_service_etl_spark.plans.registry import load_all
+    from com_danliris_service_etl_spark.session import get_session
+
+    registry = load_all()
+    # shuffle width scales with the data (bench.py uses 8 at sf0.1)
+    spark = get_session(
+        app_name="bench-sf1",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE") or 32),
+    )
+    # session warmup outside any timing (JVM, parquet footers, one shuffle)
+    spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
+
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn, sql = registry[name]
+        # Spark: warm once (codegen compile, page cache), then min of
+        # RUNS FRESH-PLAN runs (bench.py estimator — shared plans reuse
+        # completed shuffle stages and undercount).
+        fn(spark, SF1_DIR).count()
+        s_times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF1_DIR).count()
+            s_times.append(time.perf_counter() - t0)
+        # DuckDB, interleaved right after, same estimator
+        con.execute(sql).fetchall()
+        d_times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            d_times.append(time.perf_counter() - t0)
+        out[name] = {
+            "spark_sec": round(min(s_times), 3),
+            "duckdb_sec": round(min(d_times), 3),
+            "ratio": round(min(s_times) / min(d_times), 2),
+        }
+        print(name, out[name], file=sys.stderr, flush=True)
+
+    print(json.dumps({"sf": 1.0, "replicas": REPLICAS, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
