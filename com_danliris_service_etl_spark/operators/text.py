@@ -745,11 +745,23 @@ def sparse_cosine_pairs(
     Returns ``(doc_a, doc_b, cos_sim)`` with doc_a < doc_b."""
     from com_danliris_service_etl_spark.operators.dedup import _shingles
 
+    from pyspark.sql import Window
+
     sh = _shingles(docs, text_col, id_col, k=shingle_k)
-    # one row per (doc, shingle) after this aggregate; forked below
-    # (df aggregate + weight join) so checkpoint the explode lazily
+    # ONE explicit exchange on hash(doc): HashPartitioning(id) satisfies
+    # ClusteredDistribution for the (id, s) tf aggregate (superset rule,
+    # the w8 lesson), for the per-doc L2-norm WINDOW below (state bounded
+    # by the doc's shingle count, never the corpus), and for the weight
+    # projection — replacing the r8 form's separate norm groupBy +
+    # join-back on id (two exchanges; r9 A/B: 1.60 -> 1.32 s at sf0.1,
+    # identical output). Forked below (df aggregate + weight join) so
+    # checkpoint lazily.
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
+    )
     tf = (
-        sh.groupBy(id_col, "s")
+        sh.repartition(n_part, id_col)
+        .groupBy(id_col, "s")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
@@ -770,9 +782,9 @@ def sparse_cosine_pairs(
             ).alias("wt"),
         )
     )
-    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("__nw"))
+    nw = Window.partitionBy(id_col)
     u = (
-        w.join(nrm, id_col)
+        w.withColumn("__nw", F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(nw)))
         .select(id_col, "s", (F.col("wt") / F.col("__nw")).alias("uw"))
         .localCheckpoint(eager=False)
     )
