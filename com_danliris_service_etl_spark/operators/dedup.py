@@ -1368,3 +1368,52 @@ def prefix_filter_join(
             F.round(F.col("__i") / F.col("__u"), 6).alias("exact_jaccard"),
         )
     )
+
+
+def topk_similar_docs(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k most-similar neighbors from the LSH candidate
+    set — the 'show me this document's near-duplicates' primitive behind
+    canonical-keeper choice and curation UIs: :func:`minhash_lsh_pairs`
+    emits each candidate pair once (doc_a < doc_b), this symmetrizes the
+    pair set (both directions, a narrow union — no extra shuffle of the
+    candidate build) and takes a per-doc window top-k ordered by
+    (est_jaccard DESC, neighbor id) — a TOTAL order, so the k-boundary
+    row is engine-invariant.
+
+    Scale shape: candidates come from the banded LSH join (bounded
+    buckets, never |D|²); the window partitions by doc over the
+    candidate set only — per-doc state is that doc's candidate count,
+    which LSH already bounds. Returns (doc_id, neighbor_id,
+    est_jaccard, rank) with rank ≤ k."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, n_perms, bands, shingle_k
+    ).localCheckpoint(eager=False)  # feeds both union branches
+    sym = pairs.select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias("neighbor_id"),
+        "est_jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias(id_col),
+            F.col("doc_a").alias("neighbor_id"),
+            "est_jaccard",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("est_jaccard").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "est_jaccard", "rank")
+    )

@@ -863,3 +863,72 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_k: int = 20) ->
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(top_k)
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-k-smoothed
+    BIGRAM model on the corpus itself, then score every document by its
+    average negative log-likelihood — low-perplexity docs read like the
+    corpus, high-perplexity docs are noise/boilerplate/foreign. This is
+    the classic cheap LM filter for pretraining curation (the real thing
+    swaps the corpus LM for a held-out KenLM; the dataflow is identical).
+
+    p(w2 | w1) = (c(w1, w2) + k) / (c(w1, ·) + k·V), with V the corpus
+    unigram vocabulary size; doc score = mean over its bigrams of
+    −ln p, rounded 4dp (ln ulps drift across engines far below 4dp).
+
+    Scale shape: one explode of the fact into (doc, w1, w2) bigram rows;
+    bigram counts aggregate map-side-combined (one shuffle); context
+    totals reduce FROM the bigram aggregate (vocabulary-sized input, not
+    the fact); the model joins back to the doc-bigram relation on the
+    bigram key — a shuffle join by design: at 100 TB the model is
+    vocabulary-scale and does NOT broadcast (the fixture would allow it;
+    the plan must not rely on it). Final per-doc mean is one more
+    bounded aggregate. Returns (doc_id, n_bigrams, avg_nll)."""
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    big = (
+        toks.select(
+            id_col,
+            F.posexplode(F.expr("slice(__t, 1, size(__t) - 1)")).alias(
+                "__i", "w1"
+            ),
+            F.col("__t"),
+        )
+        .select(
+            id_col, "w1", F.expr("__t[__i + 1]").alias("w2")
+        )
+        .localCheckpoint(eager=False)  # feeds model build AND scoring probe
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("__v"))
+    )
+    model = (
+        bc.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("__c12") + F.lit(add_k))
+                / (F.col("__c1") + F.lit(add_k) * F.col("__v"))
+            ).alias("__p"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("__p")), 4).alias("avg_nll"),
+        )
+    )

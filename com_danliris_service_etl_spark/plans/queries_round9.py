@@ -104,3 +104,146 @@ def a23_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# DD11 — per-document top-k similar neighbors (LSH candidates + window)
+# ---------------------------------------------------------------------------
+
+
+def _dd11_sql(k: int = 3) -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+
+    return f"""
+WITH cand AS (SELECT * FROM ({_minhash_sql()}) c),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, est_jaccard FROM cand
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, est_jaccard FROM cand
+),
+r AS (
+  SELECT doc_id, neighbor_id, est_jaccard,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY est_jaccard DESC, neighbor_id
+         ) AS rank
+  FROM sym
+)
+SELECT doc_id, neighbor_id, est_jaccard, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+@register("dd11_topk_similar", _dd11_sql())
+def dd11_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 most-similar neighbors
+    (operators/dedup.py::topk_similar_docs): the banded-LSH candidate
+    set symmetrized (narrow union, no extra shuffle of the candidate
+    build) and cut by a per-doc window totally ordered on
+    (est_jaccard DESC, neighbor_id) — the curation-UI / canonical-keeper
+    primitive. Candidate work stays the LSH bound (never |D|²); window
+    state is the doc's own candidate count."""
+    from com_danliris_service_etl_spark.operators.dedup import topk_similar_docs
+
+    out = topk_similar_docs(_t(spark, sf_dir, "documents"), k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# TXT17 — bigram-LM quality scoring (the CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+_TXT17_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY 1),
+v AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+model AS (
+  SELECT bc.w1, bc.w2,
+         (c12 + 0.5) / (c1 + 0.5 * v.v) AS p
+  FROM bc JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-ln(p)), 4) AS avg_nll
+FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
+GROUP BY 1
+"""
+
+
+@register("txt17_bigram_lm_score", _TXT17_SQL)
+def txt17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM trained on the corpus, every document
+    scored by mean −ln p(w2|w1) (operators/text.py::bigram_lm_scores) —
+    the CCNet-style perplexity filter for pretraining curation. One
+    bigram explode feeds both the model aggregates and the scoring
+    probe (lazy checkpoint at the fork); the model joins back on the
+    bigram key as a SHUFFLE join by design — at 100 TB the model is
+    vocabulary-scale and must not be hinted broadcast."""
+    from com_danliris_service_etl_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"), add_k=0.5)
+
+
+# ---------------------------------------------------------------------------
+# LLM17 — cross-source near-dup overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def _llm17_sql() -> str:
+    from com_danliris_service_etl_spark.plans.queries_llm import _minhash_sql
+
+    return f"""
+WITH cand AS (SELECT * FROM ({_minhash_sql()}) c),
+src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         c.est_jaccard
+  FROM cand c
+  JOIN src sa ON sa.doc_id = c.doc_a
+  JOIN src sb ON sb.doc_id = c.doc_b
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       round(avg(est_jaccard), 4) AS avg_est_jaccard
+FROM tagged GROUP BY 1, 2
+"""
+
+
+@register("llm17_source_overlap", _llm17_sql())
+def llm17_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: LSH candidate pairs
+    tagged with their documents' source labels (canonical cell =
+    lexicographic (least, greatest) so the matrix is upper-triangular),
+    counted per source pair — the corpus-curation report that tells you
+    WHICH feeds duplicate each other before you buy/dedup them.
+
+    Scale shape: the doc→source map is fact-sized, so the two tag joins
+    are UNHINTED equi-joins (AQE broadcasts at fixture scale, shuffles
+    at 100 TB); the matrix itself is |sources|² — bounded output."""
+    from com_danliris_service_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "est_jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+        )
+    )

@@ -106,6 +106,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "a16_small_quantity_loss": "final 1-row loss aggregate (Q17 scalar output) — one partial state per partition of the brand slice",
     "a18_revenue_share_filter": "1-row global total/count over the per-part rollup (Q11 scalar threshold), partial-aggregated and broadcast back",
     "a19_dormant_balances": "1-row avg(c_acctbal) scalar (Q22 threshold), partial-aggregated and broadcast back via crossJoin",
+    "txt17_bigram_lm_score": "1-row vocabulary-size scalar (count_distinct partial-aggregated), broadcast back as the add-k smoothing denominator — the txt9 vocabulary-total shape",
     "p9_disjunctive_bands": "final 1-row revenue aggregate (Q19 scalar output) — one partial state per partition of the double-pruned join",
     "a21_top_supplier": "1-row max(total_rev) scalar over the supplier rollup (Q15 tie threshold), partial-aggregated and broadcast back via crossJoin",
     "a22_contribution_analysis": "global share window over the |segments|-row aggregate — bounded by the segment alphabet, partial-aggregated before the exchange (the q4 digit-window class)",
