@@ -653,6 +653,29 @@ def pq_codebook_collect(
     )
 
 
+def _pq_codes_expr(vec_col: str, m: int, sub: int, n_cb: int):
+    """Code POSITIONS into the cid-sorted flat codebook: same argmin and
+    tiebreak as pq_encode (position order == cid order; identical sd
+    rounding). Shared by pq_topk and ivf_pq_topk."""
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), mi ->"
+        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
+        f"    array_min(transform(sequence(0, {n_cb - 1}), j -> struct("
+        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')} AS sd,"
+        "       j AS pos))).pos)[0])"
+    )
+
+
+def _pq_dq_expr(vec_col: str, m: int, sub: int, n_cb: int):
+    """Per-query FLAT m·K BIGINT ADC distance table (slot mi·K + j)."""
+    return F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), mi ->"
+        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
+        f"    transform(sequence(0, {n_cb - 1}), j ->"
+        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')}))[0]))"
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -712,21 +735,8 @@ def pq_topk(
         # and fail analysis obscurely — fail loud at the API boundary.
         raise ValueError("pq_topk: codebook is empty (no vectors to train on)")
     sub = dim // m
-    # code POSITIONS into the cid-sorted codebook: same argmin/tiebreak
-    # as pq_encode (position order == cid order; identical sd rounding)
-    codes_expr = F.expr(
-        f"transform(sequence(0, {m - 1}), mi ->"
-        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
-        f"    array_min(transform(sequence(0, {n_cb - 1}), j -> struct("
-        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')} AS sd,"
-        "       j AS pos))).pos)[0])"
-    )
-    dq_expr = F.expr(
-        f"flatten(transform(sequence(0, {m - 1}), mi ->"
-        f"  transform(array(slice({vec_col}, mi * {sub} + 1, {sub})), vs ->"
-        f"    transform(sequence(0, {n_cb - 1}), j ->"
-        f"      {_pq_subdist_flat('vs', f'__cbf[mi * {n_cb} + j]')}))[0]))"
-    )
+    codes_expr = _pq_codes_expr(vec_col, m, sub, n_cb)
+    dq_expr = _pq_dq_expr(vec_col, m, sub, n_cb)
     if n_cb * dim <= PQ_LITERAL_MAX_DOUBLES:
         # Exponent notation: Spark SQL parses `7.5e-2` as a DOUBLE
         # literal but `0.075` as a DECIMAL — a plain-decimal literal
@@ -891,5 +901,130 @@ def embedding_covariance(
                 )
                 / F.lit(1000000.0)
             ).alias("cov"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame | tuple,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: F.Column | None = None,
+) -> DataFrame:
+    """IVF+PQ two-stage ANN — the FAISS ``IVF,PQ`` production shape that
+    completes the family (flat / LSH / multi-probe / IVF / int8 / PQ /
+    recall): an inverted-file coarse quantizer routes every vector to a
+    cell (`ivf_assign_cells` — broadcast centroid fold, zero corpus
+    shuffle), and within the probed cell candidates are scored by PQ
+    asymmetric distance over their CODES (`pq_topk`'s exact scaled-BIGINT
+    ADC) — so the billion-vector regime touches neither raw floats nor
+    out-of-cell candidates.
+
+    Scale shape: the persisted index is (id, cell, codes) — m bytes-ish
+    per vector plus the cell id; the candidate join is an equi-join on
+    the cell (shuffle-partitionable, AQE-skew-splittable), never |Q|·|N|;
+    the ADC fold is exact integer table lookups, so rank order is engine-
+    and partitioning-independent. ``query_filter`` marks the query rows
+    (queries ⊆ corpus, the sim4 fast path): cell assignment and PQ
+    encoding run ONCE over the corpus and the query side is a filter
+    over the materialized index. Raising recall = probing more cells
+    (the standard IVF knob; nprobe=1 here, matching sim4).
+
+    Returns (query_id, neighbor_id, approx_l2sq, rank ≤ k), ranked
+    ascending on (exact integer distance, neighbor_id)."""
+    from pyspark.sql import Window
+
+    if query_filter is None:
+        raise ValueError(
+            "ivf_pq_topk currently implements the queries-subset-of-corpus "
+            "probe (pass query_filter); the external-query form assigns "
+            "the query batch with the same centroid array"
+        )
+    if isinstance(codebook, tuple):
+        cbf_vals, n_cb = list(codebook[0]), int(codebook[1])
+    else:
+        cb_row = pq_codebook_flat(codebook, m, dim, id_col, vec_col).first()
+        cbf_vals, n_cb = list(cb_row["__cbf"]), int(cb_row["__ncb"])
+    if n_cb == 0:
+        raise ValueError("ivf_pq_topk: codebook is empty")
+    sub = dim // m
+
+    if n_cb * dim <= PQ_LITERAL_MAX_DOUBLES:
+        lit_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join("%.17e" % x for x in s) + ")"
+                for s in cbf_vals
+            )
+            + ")"
+        )
+
+        def _with_cb(df: DataFrame) -> DataFrame:
+            return df.withColumn("__cbf", F.expr(lit_sql))
+
+    else:
+        cb_df = embeddings.sparkSession.createDataFrame(
+            [(cbf_vals,)], "__cbf array<array<double>>"
+        )
+
+        def _with_cb(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(cb_df))
+
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # ONE pass over the corpus: cell assignment + PQ encoding + the query
+    # flag, materialized — this IS the persisted IVF-PQ index; the query
+    # side filters it instead of re-quantizing.
+    assigned = ivf_assign_cells(
+        _spread(embeddings).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            query_filter.alias("__is_q"),
+        ),
+        id_col="__id",
+        vec_col="__vec",
+        cent_arr=build_centroid_array(centroids, id_col, vec_col),
+    )
+    index = _with_cb(assigned).select(
+        "__id",
+        "cell",
+        "__is_q",
+        "__vec",
+        _pq_codes_expr("__vec", m, sub, n_cb).alias("__codes"),
+    ).localCheckpoint()
+    corpus = index.select(
+        F.col("__id").alias("neighbor_id"), "cell", "__codes"
+    )
+    qtab = _with_cb(index.filter(F.col("__is_q"))).select(
+        F.col("__id").alias("query_id"),
+        "cell",
+        _pq_dq_expr("__vec", m, sub, n_cb).alias("__dq"),
+    )
+    adc = (
+        corpus.join(F.broadcast(qtab), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), cast(0 AS BIGINT),"
+                f" (acc, mi) -> acc + __dq[mi * {n_cb} + __codes[mi]])"
+            ).alias("__ds"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__ds"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__ds") / F.lit(float(PQ_SCALE)), 6).alias("approx_l2sq"),
+            "rank",
         )
     )

@@ -247,3 +247,96 @@ def llm17_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SIM10 — IVF+PQ two-stage ANN (the FAISS "IVF,PQ" production shape)
+# ---------------------------------------------------------------------------
+
+_S10_M = 8
+_S10_SUB = 8  # 64-dim / 8 subspaces
+_S10_CELLS = 16  # coarse centroids AND PQ codebook: vec_id < 16
+
+
+def _sim10_sql(k: int = 5) -> str:
+    from com_danliris_service_etl_spark.operators.similarity import PQ_SCALE
+    from com_danliris_service_etl_spark.plans.queries_llm import _FOLD_DOT
+
+    dot_ec = _FOLD_DOT.format(a="v.e", b="c.cv")
+    n_e = _FOLD_DOT.format(a="v.e", b="v.e")
+    n_c = _FOLD_DOT.format(a="c.cv", b="c.cv")
+    subdist = (
+        "CAST(round(list_reduce(list_prepend(0.0,"
+        f" list_transform(range(1, {_S10_SUB + 1}),"
+        f"  i -> ({{v}}[mi * {_S10_SUB} + i] - cb.cvec[mi * {_S10_SUB} + i])"
+        f"     * ({{v}}[mi * {_S10_SUB} + i] - cb.cvec[mi * {_S10_SUB} + i]))),"
+        f" (acc, x) -> acc + x) * {PQ_SCALE}) AS BIGINT)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < {_S10_CELLS}),
+    assign AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rk
+      FROM (SELECT v.vec_id, c.cent_id,
+                   {dot_ec} / (sqrt({n_e}) * sqrt({n_c})) AS sim
+            FROM v CROSS JOIN cent c)),
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rk = 1),
+    cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id < {_S10_CELLS}),
+    cdist AS (SELECT v.vec_id, r.mi, cb.cid, {subdist.format(v="v.e")} AS sd
+              FROM v, range(0, {_S10_M}) AS r(mi), cb),
+    codes AS (SELECT vec_id, mi, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                                             ORDER BY sd, cid) AS rk
+                FROM cdist) WHERE rk = 1),
+    qs AS (SELECT v.vec_id AS query_id, v.e AS qv, cells.cell
+           FROM v JOIN cells USING (vec_id) WHERE v.vec_id < 10),
+    dtab AS (SELECT q.query_id, r.mi, cb.cid AS code, {subdist.format(v="q.qv")} AS sd
+             FROM qs q, range(0, {_S10_M}) AS r(mi), cb),
+    nc AS (SELECT v.vec_id AS neighbor_id, cells.cell
+           FROM v JOIN cells USING (vec_id)),
+    adc AS (SELECT q.query_id, nc.neighbor_id, CAST(sum(d.sd) AS BIGINT) AS ds
+            FROM qs q
+            JOIN nc ON nc.cell = q.cell AND nc.neighbor_id <> q.query_id
+            JOIN codes c ON c.vec_id = nc.neighbor_id
+            JOIN dtab d ON d.query_id = q.query_id
+                       AND d.mi = c.mi AND d.code = c.code
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           round(ds / {float(PQ_SCALE)}, 6) AS approx_l2sq, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ds, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+@register("sim10_ivf_pq_topk", _sim10_sql())
+def sim10_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ two-stage top-5 (operators/similarity.py::ivf_pq_topk):
+    a 16-cell inverted file routes every vector (broadcast centroid
+    fold, zero corpus shuffle), candidates come only from the query's
+    cell (equi-join on the cell id), and in-cell scoring is exact
+    scaled-BIGINT PQ table lookups over the code matrix — the
+    billion-vector serving shape (FAISS "IVF,PQ") where the index is
+    (id, cell, m codes) and raw floats are never touched after
+    encoding. Completes the ANN family as the combined production
+    variant of sim4 (IVF) and sim8 (PQ). Codes are positions into the
+    cid-sorted codebook; cids are contiguous here so position == cid,
+    matching the oracle's cid-keyed lookup (the sim8 convention)."""
+    from com_danliris_service_etl_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _S10_CELLS)
+    return sim.ivf_pq_topk(
+        emb,
+        cent,
+        cent,
+        k=5,
+        m=_S10_M,
+        dim=64,
+        query_filter=F.col("vec_id") < 10,
+    )
