@@ -190,3 +190,34 @@ def token_balanced_shards(
             F.min("n_tokens").alias("min_doc_tokens"),
         )
     )
+
+
+def rendezvous_assign(
+    df,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+):
+    """Rendezvous (highest-random-weight) shard routing: every key goes to
+    the shard with the largest md5(key ':' shard) — the consistent-
+    placement primitive behind shard maps, cache rings, and incremental
+    dataset repartitioning. Its defining property over mod-N hashing:
+    growing the ring from N to N+1 moves only ~1/(N+1) of the keys (the
+    ones the NEW shard now wins), where mod-N reshuffles nearly all.
+
+    Entirely per-row codegen (one array fold over the shard list, md5 is
+    the shared deterministic hash — verify-skill gotcha: there is no
+    cross-engine xxhash); zero shuffle. Ties on the hex weight break to
+    the HIGHEST shard id on both engines (struct max semantics) —
+    unreachable in practice for distinct inputs, pinned for determinism.
+    """
+    from pyspark.sql import functions as F
+
+    best = F.expr(
+        f"array_max(transform(sequence(0, {n_shards - 1}), s -> struct("
+        f"  md5(concat(cast({key_col} AS STRING), ':', cast(s AS STRING))) AS h,"
+        "   s AS s)))"
+    )
+    return df.withColumn("__best", best).withColumn(
+        shard_col, F.col("__best.s").cast("long")
+    ).withColumn("__w", F.col("__best.h")).drop("__best")

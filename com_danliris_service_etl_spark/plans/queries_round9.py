@@ -340,3 +340,147 @@ def sim10_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         query_filter=F.col("vec_id") < 10,
     )
+
+
+# ---------------------------------------------------------------------------
+# O8 — rendezvous-hash shard routing (consistent placement)
+# ---------------------------------------------------------------------------
+
+_O8_N = 8
+
+_O8_SQL = f"""
+WITH w AS (
+  SELECT doc_id, s,
+         md5(doc_id::VARCHAR || ':' || s::VARCHAR) AS h
+  FROM documents, range(0, {_O8_N}) AS r(s)
+),
+a AS (
+  SELECT doc_id, s AS shard, h,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, s DESC) AS rk
+  FROM w
+),
+cur AS (SELECT doc_id, shard, h FROM a WHERE rk = 1)
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN md5(doc_id::VARCHAR || ':{_O8_N}') > h
+                THEN 1 ELSE 0 END)::BIGINT AS n_moved_to_{_O8_N + 1}
+FROM cur GROUP BY 1
+"""
+
+
+@register("o8_rendezvous_routing", _O8_SQL)
+def o8_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard map (operators/packing.py::rendezvous_assign)
+    with the consistency property demonstrated IN-QUERY: per-shard doc
+    counts for an 8-shard ring, plus how many of each shard's keys would
+    move if a 9th shard joined — exactly the keys the new shard's weight
+    now wins, ~1/9 of the corpus, where mod-N hashing would move ~8/9.
+    The assignment is one per-row array fold (zero shuffle); the report
+    aggregate is bounded by the shard count."""
+    from com_danliris_service_etl_spark.operators.packing import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = rendezvous_assign(docs, _O8_N)
+    new_w = F.expr(f"md5(concat(cast(doc_id AS STRING), ':', '{_O8_N}'))")
+    return (
+        assigned.withColumn("__moves", (new_w > F.col("__w")).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__moves").cast("long").alias(f"n_moved_to_{_O8_N + 1}"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PV6 — per-source PII redaction report (the governance rollup of pv2)
+# ---------------------------------------------------------------------------
+
+
+def _pv6_sql() -> str:
+    from com_danliris_service_etl_spark.operators.privacy import (
+        PII_EMAIL,
+        PII_PHONE,
+    )
+
+    return (
+        """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +62 812-3456789'
+                     ELSE '' END AS text
+      FROM documents),
+    per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '__EMAIL__')) AS n_emails,
+             len(regexp_extract_all(text, '__PHONE__')) AS n_phones
+      FROM aug)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_emails)::BIGINT AS total_emails,
+           sum(n_phones)::BIGINT AS total_phones,
+           sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_docs_with_pii,
+           round(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 6) AS pii_rate
+    FROM per_doc GROUP BY source
+    """
+        .replace("__EMAIL__", PII_EMAIL)
+        .replace("__PHONE__", PII_PHONE)
+    )
+
+
+@register("pv6_redaction_report", _pv6_sql())
+def pv6_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence report over the pv2 relation (same
+    deterministic injection so there are real positives): doc counts,
+    email/phone match totals, and the per-source PII rate — the
+    governance rollup a curation pipeline publishes BEFORE redaction so
+    feed owners see what leaks where. Per-row regex work pipelines into
+    the scan; the report aggregate is map-side-combinable and bounded by
+    the source alphabet."""
+    from com_danliris_service_etl_spark.operators import privacy as pv
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +62 812-3456789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(pv.PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(pv.PII_PHONE), F.lit(0)))
+    per_doc = aug.select(
+        "source", n_emails.alias("__e"), n_phones.alias("__p")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__e").cast("long").alias("total_emails"),
+        F.sum("__p").cast("long").alias("total_phones"),
+        F.sum(((F.col("__e") + F.col("__p")) > 0).cast("int"))
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.round(
+            F.sum(((F.col("__e") + F.col("__p")) > 0).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pii_rate"),
+    )
