@@ -1,0 +1,324 @@
+"""Round-9b registry queries — training-pipeline curation extensions.
+
+Three shapes a 100 TB corpus/clickstream pipeline needs that the registry
+did not yet cover:
+
+- ``g15_last_touch_attribution``: marketing-style last-touch conversion
+  attribution over the event stream — the as-of join (J7 union-sort
+  strategy, ops/joins.py) applied to purchases x prior same-user touches
+  with a bounded lookback window.
+- ``txt18_source_divergence``: per-source unigram-distribution drift vs
+  the whole corpus as an EXACT total-variation distance — the
+  data-mixture monitoring panel. Sufficient statistics are integer counts
+  combined in DECIMAL(38,0) (the sim9 exact-fixed-point discipline), so
+  both engines sum identical exact values in any order; one double
+  division at finalize.
+- ``llm18_quality_gate``: FineWeb-style per-source quality-percentile
+  gate — drop each source's bottom-20% documents by the shared txt2
+  quality score. The threshold is an ORDER STATISTIC (smallest score with
+  cumulative count >= ceil(n/5)) computed on the (source, score)
+  histogram, so the gate needs no fact-scale window and no interpolated
+  percentile (exact integer comparisons only).
+
+Reference provenance: the reference's fact-build pattern of enriching a
+stream with its latest preceding dimension state (`GarmentTotalHutang/
+run.js:122-124` latest-rate-as-of) is g15's join; the per-source counts
+panels (`MigrationLog` row-count telemetry) are the report grain of
+txt18/llm18.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.operators.joins import asof_join
+from com_danliris_service_etl_spark.operators.text import LANG_MARKERS, quality_col
+from com_danliris_service_etl_spark.plans.registry import _events, _t, register
+
+# ---------------------------------------------------------------------------
+# G15 — last-touch attribution (as-of join over the event stream)
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day attribution window, micros
+
+_G15_SQL = f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE event_type <> 'purchase'),
+cand AS (
+  SELECT p.event_id AS pid, p.ts_us AS pts, p.value,
+         t.event_type AS channel, t.ts_us AS tts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us),
+attr AS (
+  SELECT pid, value,
+         CASE WHEN channel IS NOT NULL
+                   AND tts >= pts - {_LOOKBACK_US}::BIGINT
+              THEN channel ELSE 'unattributed' END AS channel
+  FROM cand WHERE rn = 1)
+SELECT channel,
+       count(*)::BIGINT AS conversions,
+       round(sum(value), 2) AS revenue
+FROM attr GROUP BY channel
+"""
+
+
+@register("g15_last_touch_attribution", _G15_SQL)
+def g15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    same user's LATEST preceding non-purchase event within a 7-day
+    lookback (ties on timestamp: highest event_id — the J7 tiebreak
+    contract), else 'unattributed'; report conversions + revenue per
+    attributed channel.
+
+    Scale shape: the union-sort as-of strategy (ops/joins.py:186) — tag,
+    union, ONE window over (user_id, ts) carrying the latest touch
+    forward — is linear in |purchases|+|touches| with a single shuffle on
+    user_id. The naive per-purchase candidate join (the oracle's
+    row_number form) materializes |touches before each purchase| rows per
+    user and dies on hot users at clickstream scale; the running-last
+    form never widens. The lookback bound is applied AFTER the argmax
+    (equivalent: if the latest touch is out of window, all are), keeping
+    the window state one row."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("touch_ts_us"),
+        F.col("event_type").alias("touch_channel"),
+        F.col("event_id").alias("touch_event_id"),
+    )
+    matched = asof_join(
+        purchases,
+        touches,
+        left_on="ts_us",
+        right_on="touch_ts_us",
+        by=[("user_id", "user_id")],
+        direction="backward",
+        tiebreak="touch_event_id",
+        allow_exact_match=True,
+        strategy="sort",
+    )
+    in_window = F.col("touch_channel").isNotNull() & (
+        F.col("touch_ts_us") >= F.col("ts_us") - F.lit(_LOOKBACK_US)
+    )
+    return (
+        matched.select(
+            "value",
+            F.when(in_window, F.col("touch_channel"))
+            .otherwise("unattributed")
+            .alias("channel"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TXT18 — per-source unigram-distribution drift (exact TV distance)
+# ---------------------------------------------------------------------------
+
+# TV(source, corpus) = 1/2 * sum_t |cnt_s(t)/tot_s - cnt_c(t)/tot_c|
+#   = [ sum_{t in source} |cnt_s*tot_c - cnt_c*tot_s|          (observed)
+#     + tot_s * (tot_c - sum_{t in source} cnt_c) ]            (missing mass)
+#     / (2 * tot_s * tot_c)
+# Numerator terms are exact integers (DECIMAL(38,0) accumulation); the one
+# double division at finalize is correctly rounded from exact inputs, so
+# the 6dp round is engine-invariant.
+_TXT18_SQL = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+st AS (SELECT source, term, count(*)::BIGINT AS cnt_s FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, CAST(sum(cnt_s) AS BIGINT) AS cnt_c FROM st GROUP BY 1),
+tot AS (SELECT source, CAST(sum(cnt_s) AS BIGINT) AS tot_s FROM st GROUP BY 1),
+g AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS tot_c FROM ct),
+n AS (
+  SELECT st.source,
+         sum(abs(st.cnt_s::DECIMAL(38,0) * g.tot_c
+                 - ct.cnt_c::DECIMAL(38,0) * tot.tot_s)) AS num_obs,
+         CAST(sum(ct.cnt_c) AS BIGINT) AS cover_c
+  FROM st JOIN ct USING (term) JOIN tot USING (source) CROSS JOIN g
+  GROUP BY 1)
+SELECT n.source, tot.tot_s,
+       round((n.num_obs::DOUBLE + tot.tot_s::DOUBLE * (g.tot_c - n.cover_c)::DOUBLE)
+             / (2.0 * tot.tot_s::DOUBLE * g.tot_c::DOUBLE), 6) AS tv_distance
+FROM n JOIN tot USING (source) CROSS JOIN g
+"""
+
+
+@register("txt18_source_divergence", _TXT18_SQL)
+def txt18_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift report: exact total-variation distance between
+    each source's unigram token distribution and the whole corpus's.
+
+    Scale shape: ONE fact shuffle (explode -> partial-aggregated
+    groupBy(source, term)); everything downstream runs on the vocab-sized
+    (source, term) relation — corpus term counts via a second hash
+    aggregate, a shuffle join back on term (vocab can exceed broadcast at
+    100 TB), |sources|-row and 1-row aggregates broadcast back. The
+    (source, term) relation forks three ways (ct, tot, the joined sum), so
+    it is lazily localCheckpoint-ed once — without it the explode pipeline
+    re-runs per reference (the dd8/txt5 ReuseExchange gap).
+
+    Exactness: integer sufficient statistics combined in DECIMAL(38,0) —
+    summation order cannot matter (the sim9 discipline) — and the single
+    double division at finalize is correctly rounded from exact operands
+    in both engines before the 6dp round."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    st = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt_s"))
+        .localCheckpoint(eager=False)
+    )
+    ct = st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_c"))
+    tot = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
+    g = ct.agg(F.sum("cnt_c").alias("tot_c"))
+    dec = "decimal(38,0)"
+    # tot_s / tot_c are constant within each group — carry them through the
+    # aggregate (max) so the finalize projection needs no second broadcast
+    # join / scalar crossJoin (one reference to `g`, one to `tot`).
+    n = (
+        st.join(ct, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_s").cast(dec) * F.col("tot_c")
+                    - F.col("cnt_c").cast(dec) * F.col("tot_s")
+                )
+            ).alias("num_obs"),
+            F.sum("cnt_c").alias("cover_c"),
+            F.max("tot_s").alias("tot_s"),
+            F.max("tot_c").alias("tot_c"),
+        )
+    )
+    return n.select(
+        "source",
+        "tot_s",
+        F.round(
+            (
+                F.col("num_obs").cast("double")
+                + F.col("tot_s").cast("double")
+                * (F.col("tot_c") - F.col("cover_c")).cast("double")
+            )
+            / (F.lit(2.0) * F.col("tot_s").cast("double") * F.col("tot_c").cast("double")),
+            6,
+        ).alias("tv_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM18 — per-source quality-percentile gate (FineWeb-style curation)
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list})))"
+
+
+_LLM18_SQL = f"""
+WITH feat AS (
+  SELECT source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(CAST({_hits_sql(LANG_MARKERS["en"])} AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.3
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.5
+               + least(CAST(list_reduce(list_prepend(0,
+                     list_transform(string_split(text, ' '), t -> length(t))),
+                     (a, b) -> a + b) AS DOUBLE)
+                 / len(string_split(text, ' ')) / 10.0, 1.0) * 0.2, 6) AS quality
+  FROM documents),
+hist AS (SELECT source, quality, count(*)::BIGINT AS c,
+                CAST(sum(n_tokens) AS BIGINT) AS tok
+         FROM feat GROUP BY 1, 2),
+cum AS (SELECT source, quality, c, tok,
+               sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum_c,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM hist),
+thr AS (SELECT source, min(quality) AS q_thr FROM cum
+        WHERE cum_c * 5 >= n GROUP BY source)
+SELECT h.source,
+       CAST(sum(h.c) AS BIGINT) AS n_total,
+       CAST(COALESCE(sum(h.c) FILTER (WHERE h.quality >= t.q_thr), 0) AS BIGINT)
+         AS n_kept,
+       CAST(COALESCE(sum(h.tok) FILTER (WHERE h.quality >= t.q_thr), 0) AS BIGINT)
+         AS tokens_kept,
+       min(t.q_thr) AS q_threshold
+FROM hist h JOIN thr t USING (source)
+GROUP BY h.source
+"""
+
+
+@register("llm18_quality_gate", _LLM18_SQL)
+def llm18_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: drop each source's bottom-20% documents by
+    the shared txt2 quality score; report per source the kept doc count,
+    kept token mass, and the gate threshold.
+
+    The threshold is the 20th-percentile ORDER STATISTIC — the smallest
+    score v with count(quality <= v) * 5 >= n — so the comparison is
+    exact integer arithmetic on counts (no interpolated percentile whose
+    ulp could flip a boundary doc cross-engine), and docs AT the
+    threshold value are kept.
+
+    Scale shape: ONE fact shuffle — the per-doc (quality 6dp, token count)
+    projection is fused into the scan and partial-aggregates into the
+    (source, quality) histogram; the cumulative window, threshold pick,
+    and final report all run on that histogram (bounded by |sources| x
+    |distinct rounded scores|, ~1e6 rows at any corpus size). The fact is
+    scanned ONCE: kept counts/token mass are conditional sums over the
+    histogram, not a second pass over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        quality_col("text").alias("quality"),
+    )
+    hist = feat.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_tokens").alias("tok")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "quality",
+        "c",
+        "tok",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("cum_c") * 5 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("quality").alias("q_thr"))
+    )
+    kept = F.col("quality") >= F.col("q_thr")
+    return (
+        hist.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_total"),
+            F.coalesce(F.sum(F.when(kept, F.col("c"))), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0)).alias(
+                "tokens_kept"
+            ),
+            F.min("q_thr").alias("q_threshold"),
+        )
+    )

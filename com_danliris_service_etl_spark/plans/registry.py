@@ -99,6 +99,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_round7e,
         queries_round8,
         queries_round9,
+        queries_round9b,
         queries_scalars,
         queries_streaming,
     )

@@ -1,0 +1,207 @@
+"""Round-9b operators: semantic properties beyond the oracle parity test —
+a hand-built clickstream for last-touch attribution (lookback boundary,
+equal-timestamp tiebreak, unattributed fallbacks), an exact hand-computed
+TV distance for the source-divergence panel, and a Python recompute of the
+per-source order-statistic quality gate."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.plans.registry import load_all
+from tests.conftest import SF_DIR
+
+DAY_US = 86400 * 1_000_000
+
+
+def _q(name):
+    return load_all()[name][0]
+
+
+# ---------------------------------------------------------------------------
+# g15 — last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _attribution_on(spark, events):
+    """Run g15's core (asof + lookback + rollup) on a hand-built stream."""
+    from com_danliris_service_etl_spark.operators.joins import asof_join
+
+    ev = spark.createDataFrame(
+        events, "event_id long, user_id long, ts_us long, event_type string, value double"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("touch_ts_us"),
+        F.col("event_type").alias("touch_channel"),
+        F.col("event_id").alias("touch_event_id"),
+    )
+    matched = asof_join(
+        purchases, touches,
+        left_on="ts_us", right_on="touch_ts_us",
+        by=[("user_id", "user_id")],
+        direction="backward", tiebreak="touch_event_id",
+        allow_exact_match=True, strategy="sort",
+    )
+    in_window = F.col("touch_channel").isNotNull() & (
+        F.col("touch_ts_us") >= F.col("ts_us") - F.lit(7 * DAY_US)
+    )
+    return {
+        r.event_id: r.channel
+        for r in matched.select(
+            "event_id",
+            F.when(in_window, F.col("touch_channel"))
+            .otherwise("unattributed")
+            .alias("channel"),
+        ).collect()
+    }
+
+
+def test_g15_attribution_semantics_hand_fixture(spark):
+    t0 = 1_600_000_000 * 1_000_000
+    events = [
+        # user 1: click then view then purchase -> view (latest touch)
+        (1, 1, t0 + 1, "click", 0.0),
+        (2, 1, t0 + 2, "view", 0.0),
+        (3, 1, t0 + 3, "purchase", 10.0),
+        # user 2: only touch is 8 days before purchase -> unattributed
+        (4, 2, t0, "click", 0.0),
+        (5, 2, t0 + 8 * DAY_US, "purchase", 20.0),
+        # user 3: touch exactly at the 7-day boundary -> attributed
+        (6, 3, t0, "signup", 0.0),
+        (7, 3, t0 + 7 * DAY_US, "purchase", 30.0),
+        # user 4: two touches at the SAME ts -> higher event_id (error) wins
+        (8, 4, t0 + 5, "view", 0.0),
+        (9, 4, t0 + 5, "error", 0.0),
+        (10, 4, t0 + 6, "purchase", 40.0),
+        # user 5: touch at exactly the purchase ts counts (<=)
+        (11, 5, t0 + 9, "click", 0.0),
+        (12, 5, t0 + 9, "purchase", 50.0),
+        # user 6: no touches at all -> unattributed
+        (13, 6, t0 + 1, "purchase", 60.0),
+        # user 7: later touch AFTER the purchase must not be credited
+        (14, 7, t0 + 10, "purchase", 70.0),
+        (15, 7, t0 + 11, "click", 0.0),
+    ]
+    got = _attribution_on(spark, events)
+    assert got == {
+        3: "view",
+        5: "unattributed",
+        7: "signup",
+        10: "error",
+        12: "click",
+        13: "unattributed",
+        14: "unattributed",
+    }
+
+
+def test_g15_conversions_total_equals_purchase_count(spark):
+    out = _q("g15_last_touch_attribution")(spark, SF_DIR).collect()
+    n_purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.conversions for r in out) == n_purchases
+    assert all(r.channel != "purchase" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# txt18 — exact TV distance
+# ---------------------------------------------------------------------------
+
+
+def test_txt18_matches_exact_fraction_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a a b", "en", "s1", 5),
+            ("d2", "b c", "en", "s1", 3),
+            ("d3", "c c c d", "en", "s2", 7),
+        ],
+        "doc_id string, text string, lang string, source string, n_chars int",
+    )
+    from com_danliris_service_etl_spark.plans import queries_round9b as r9b
+    from com_danliris_service_etl_spark.plans.registry import _TABLE_CACHE
+
+    # run the registered query against an injected in-memory 'documents'
+    import com_danliris_service_etl_spark.plans.registry as reg
+
+    orig = reg._t
+    try:
+        reg._t = lambda s, d, t: docs if t == "documents" else orig(s, d, t)
+        r9b_t = r9b._t
+        r9b._t = reg._t
+        out = {
+            r.source: (r.tot_s, r.tv_distance)
+            for r in r9b.txt18_source_divergence(spark, SF_DIR).collect()
+        }
+    finally:
+        reg._t = orig
+        r9b._t = r9b_t
+        _TABLE_CACHE.clear()
+    # corpus: a:2 b:2 c:4 d:1 (tot 9); s1: a:2 b:2 c:1 (tot 5); s2: c:3 d:1 (tot 4)
+    def tv(src_counts, tot_s):
+        corpus = {"a": 2, "b": 2, "c": 4, "d": 1}
+        tot_c = 9
+        acc = Fraction(0)
+        for t, cc in corpus.items():
+            cs = src_counts.get(t, 0)
+            acc += abs(Fraction(cs, tot_s) - Fraction(cc, tot_c))
+        return float(acc / 2)
+
+    exp_s1 = round(tv({"a": 2, "b": 2, "c": 1}, 5), 6)
+    exp_s2 = round(tv({"c": 3, "d": 1}, 4), 6)
+    assert out["s1"] == (5, exp_s1)
+    assert out["s2"] == (4, exp_s2)
+
+
+def test_txt18_full_corpus_bounds(spark):
+    out = _q("txt18_source_divergence")(spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert r.tot_s > 0
+
+
+# ---------------------------------------------------------------------------
+# llm18 — per-source order-statistic quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_llm18_gate_matches_python_recompute(spark):
+    from com_danliris_service_etl_spark.operators.text import quality_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        quality_col("text").alias("quality"),
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in scored:
+        by_src.setdefault(r.source, []).append((r.quality, r.n_tokens))
+    expected = {}
+    for src, rows in by_src.items():
+        vals = sorted(q for q, _ in rows)
+        n = len(vals)
+        # smallest v with count(quality <= v) * 5 >= n
+        thr = next(v for i, v in enumerate(vals) if (i + 1) * 5 >= n)
+        kept = [(q, t) for q, t in rows if q >= thr]
+        expected[src] = (n, len(kept), sum(t for _, t in kept), thr)
+    out = _q("llm18_quality_gate")(spark, SF_DIR).collect()
+    got = {r.source: (r.n_total, r.n_kept, r.tokens_kept, r.q_threshold) for r in out}
+    assert got == expected
+
+
+def test_llm18_drops_at_most_twenty_percent(spark):
+    out = _q("llm18_quality_gate")(spark, SF_DIR).collect()
+    for r in out:
+        # docs strictly below the 20th-percentile order stat are dropped:
+        # the drop count is < ceil(n/5) <= 20% of n (threshold doc kept)
+        assert r.n_total - r.n_kept < (r.n_total + 4) // 5
+        assert r.n_kept >= 1
