@@ -3,10 +3,13 @@
 Three shapes a 100 TB corpus/clickstream pipeline needs that the registry
 did not yet cover:
 
-- ``g15_last_touch_attribution``: marketing-style last-touch conversion
-  attribution over the event stream — the as-of join (J7 union-sort
-  strategy, ops/joins.py) applied to purchases x prior same-user touches
-  with a bounded lookback window.
+- ``g15_last_touch_attribution`` / ``st14_stream_attribution``:
+  marketing-style last-touch conversion attribution over the event
+  stream — the as-of join (J7 union-sort strategy, ops/joins.py) applied
+  to purchases x prior same-user touches with a bounded lookback window;
+  st14 is the per-purchase grain and the batch twin of the third custom
+  stateful streaming operator (streaming/jobs.py::_attribution_fn,
+  O(|users|) keyed state).
 - ``txt18_source_divergence``: per-source unigram-distribution drift vs
   the whole corpus as an EXACT total-variation distance — the
   data-mixture monitoring panel. Sufficient statistics are integer counts
@@ -37,12 +40,17 @@ from com_danliris_service_etl_spark.operators.text import LANG_MARKERS, quality_
 from com_danliris_service_etl_spark.plans.registry import _events, _t, register
 
 # ---------------------------------------------------------------------------
-# G15 — last-touch attribution (as-of join over the event stream)
+# G15 / ST14 — last-touch attribution (as-of join over the event stream)
 # ---------------------------------------------------------------------------
 
-_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day attribution window, micros
+# Single source of truth for the lookback lives with the streaming twin.
+from com_danliris_service_etl_spark.streaming.jobs import (  # noqa: E402
+    ATTR_LOOKBACK_US as _LOOKBACK_US,
+)
 
-_G15_SQL = f"""
+# Per-purchase attribution grain, shared by the g15 rollup and the st14
+# streaming batch twin.
+_ATTR_SQL = f"""
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
            FROM events WHERE event_type = 'purchase'),
 t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
@@ -52,13 +60,16 @@ cand AS (
          t.event_type AS channel, t.ts_us AS tts,
          row_number() OVER (PARTITION BY p.event_id
                             ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
-  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us),
-attr AS (
-  SELECT pid, value,
-         CASE WHEN channel IS NOT NULL
-                   AND tts >= pts - {_LOOKBACK_US}::BIGINT
-              THEN channel ELSE 'unattributed' END AS channel
-  FROM cand WHERE rn = 1)
+  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.ts_us <= p.ts_us)
+SELECT pid AS event_id, pts AS ts_us, value,
+       CASE WHEN channel IS NOT NULL
+                 AND tts >= pts - {_LOOKBACK_US}::BIGINT
+            THEN channel ELSE 'unattributed' END AS channel
+FROM cand WHERE rn = 1
+"""
+
+_G15_SQL = f"""
+WITH attr AS ({_ATTR_SQL})
 SELECT channel,
        count(*)::BIGINT AS conversions,
        round(sum(value), 2) AS revenue
@@ -66,13 +77,11 @@ FROM attr GROUP BY channel
 """
 
 
-@register("g15_last_touch_attribution", _G15_SQL)
-def g15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch conversion attribution: each purchase is credited to the
-    same user's LATEST preceding non-purchase event within a 7-day
-    lookback (ties on timestamp: highest event_id — the J7 tiebreak
-    contract), else 'unattributed'; report conversions + revenue per
-    attributed channel.
+def attributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase attribution grain: each purchase credited to the same
+    user's LATEST preceding non-purchase event within a 7-day lookback
+    (ties on timestamp: highest event_id — the J7 tiebreak contract),
+    else 'unattributed'.
 
     Scale shape: the union-sort as-of strategy (ops/joins.py:186) — tag,
     union, ONE window over (user_id, ts) carrying the latest touch
@@ -82,7 +91,8 @@ def g15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user and dies on hot users at clickstream scale; the running-last
     form never widens. The lookback bound is applied AFTER the argmax
     (equivalent: if the latest touch is out of window, all are), keeping
-    the window state one row."""
+    the window state one row — which is also exactly the keyed state of
+    the streaming twin (streaming/jobs.py::_attribution_fn)."""
     ev = _events(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us", "value"
@@ -107,19 +117,42 @@ def g15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_window = F.col("touch_channel").isNotNull() & (
         F.col("touch_ts_us") >= F.col("ts_us") - F.lit(_LOOKBACK_US)
     )
+    return matched.select(
+        "event_id",
+        "ts_us",
+        "value",
+        F.when(in_window, F.col("touch_channel"))
+        .otherwise("unattributed")
+        .alias("channel"),
+    )
+
+
+@register("g15_last_touch_attribution", _G15_SQL)
+def g15_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel rollup of `attributed_purchases` (conversions + revenue per
+    attributed channel) — see that helper for the attribution semantics
+    and the linear as-of scale shape."""
     return (
-        matched.select(
-            "value",
-            F.when(in_window, F.col("touch_channel"))
-            .otherwise("unattributed")
-            .alias("channel"),
-        )
+        attributed_purchases(spark, sf_dir)
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("conversions"),
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+@register("st14_stream_attribution", _ATTR_SQL)
+def st14_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming last-touch attribution operator
+    (streaming/jobs.py::_attribution_fn / run_streaming_attribution — the
+    third custom applyInPandasWithState op): one row per purchase with
+    its credited channel. The streaming form keeps ONE row of keyed
+    state per user (the latest touch), so its memory is O(|users|) on an
+    unbounded clickstream; the batch form pays the bounded-relation
+    union-sort window instead. Stream ≡ batch is pinned in
+    tests/test_round9b_ops.py."""
+    return attributed_purchases(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -956,3 +956,92 @@ def run_streaming_topk(
         )
         .select("event_type", "rank", "user_id", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #3: last-touch attribution (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+ATTR_OUT_SCHEMA = "event_id bigint, ts_us bigint, value double, channel string"
+ATTR_STATE_SCHEMA = "ts_us bigint, event_id bigint, channel string"
+ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day attribution window
+
+
+def _attribution_fn(key, pdf_iter, state):
+    """Streaming last-touch attribution. Keyed state per user is ONE row —
+    the best (latest (ts_us, event_id)) touch seen so far — so state is
+    O(|users|) regardless of event volume, the property that lets this run
+    on an unbounded clickstream (contrast the batch twin's union-sort
+    window, which needs the whole bounded relation).
+
+    Within a batch the user's rows are processed in the batch-twin's
+    ordering contract — (ts_us, touch-before-purchase, event_id) — so a
+    touch at exactly the purchase timestamp is credited and equal-ts
+    touches resolve to the highest event_id. Across batches a stale or
+    replayed touch can never clobber a newer one (state only moves
+    forward in (ts_us, event_id)); the attribution is exact whenever
+    per-user event-time order holds ACROSS microbatches (a
+    watermark-ordered source), the same contract the sessionize operator
+    (_sessionize_fn) documents. Purchases emit exactly one attribution
+    row each in the batch that processes them."""
+    import pandas as pd
+
+    if state.exists:
+        s_ts, s_eid, s_channel = state.get
+    else:
+        s_ts = s_eid = s_channel = None
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.assign(__tag=(pdf["event_type"] == "purchase").astype(int))
+        pdf = pdf.sort_values(["ts_us", "__tag", "event_id"])
+        for row in pdf.itertuples(index=False):
+            ts, eid = int(row.ts_us), int(row.event_id)
+            if row.event_type != "purchase":
+                if s_ts is None or (ts, eid) > (s_ts, s_eid):
+                    s_ts, s_eid, s_channel = ts, eid, str(row.event_type)
+            else:
+                attributed = (
+                    s_ts is not None and s_ts >= ts - ATTR_LOOKBACK_US
+                )
+                out.append(
+                    (eid, ts, float(row.value),
+                     s_channel if attributed else "unattributed")
+                )
+
+    if s_ts is not None:
+        state.update((s_ts, s_eid, s_channel))
+    yield pd.DataFrame(out, columns=["event_id", "ts_us", "value", "channel"])
+
+
+def run_streaming_attribution(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_attr"
+) -> DataFrame:
+    """Drive last-touch attribution as a real stream and drain it; returns
+    one row per purchase (event_id, ts_us, value, channel). Update-mode
+    memory sink: each purchase is emitted exactly once (in the batch that
+    processes it), so the drained table IS the answer — no retention
+    dedup needed for exactly-once file-source replay; an at-least-once
+    production sink would key on event_id (the run_incremental_merge
+    pattern)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    attr = ev.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        attr.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

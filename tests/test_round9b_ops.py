@@ -205,3 +205,66 @@ def test_llm18_drops_at_most_twenty_percent(spark):
         # the drop count is < ceil(n/5) <= 20% of n (threshold doc kept)
         assert r.n_total - r.n_kept < (r.n_total + 4) // 5
         assert r.n_kept >= 1
+
+
+# ---------------------------------------------------------------------------
+# st14 — streaming last-touch attribution (stateful op #3)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_attribution_matches_batch(spark):
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_attribution,
+    )
+    from tests.conftest import assert_frames_match
+
+    stream_out = run_streaming_attribution(spark, SF_DIR, "st_attr_test").toPandas()
+    batch_out = _q("st14_stream_attribution")(spark, SF_DIR).toPandas()
+    assert_frames_match(stream_out, batch_out, "stream_attribution_vs_batch")
+
+
+def test_attribution_fn_state_across_batches():
+    """Two sequential micro-batches: (1) the touch in batch 1 attributes a
+    purchase in batch 2; (2) an OLDER out-of-order touch arriving in
+    batch 2 cannot clobber the newer state; (3) equal-ts touches within
+    a batch resolve to the highest event_id; (4) a purchase with state
+    older than the lookback is unattributed."""
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        ATTR_LOOKBACK_US,
+        _attribution_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    t0 = 1_700_000_000 * 1_000_000
+    cols = ["event_id", "ts_us", "event_type", "value"]
+    st = FakeState()
+    b1 = pd.DataFrame(
+        [(2, t0 + 10, "view", 0.0), (3, t0 + 10, "click", 0.0)], columns=cols
+    )
+    out1 = next(_attribution_fn((1,), iter([b1]), st))
+    assert out1.empty and st.get == (t0 + 10, 3, "click")  # higher id wins
+    b2 = pd.DataFrame(
+        [
+            (1, t0 + 5, "signup", 0.0),  # out-of-order older touch: ignored
+            (4, t0 + 20, "purchase", 9.0),
+            (5, t0 + 20 + ATTR_LOOKBACK_US + 1, "purchase", 7.0),  # too old
+        ],
+        columns=cols,
+    )
+    out2 = next(_attribution_fn((1,), iter([b2]), st))
+    got = {int(r.event_id): r.channel for r in out2.itertuples()}
+    assert got == {4: "click", 5: "unattributed"}
+    assert st.get == (t0 + 10, 3, "click")
