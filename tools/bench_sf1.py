@@ -51,7 +51,12 @@ QUERIES = [
     "g13_jaccard_neighbors",
     "g11_adamic_adar",
     "txt14_sparse_cosine",
+    "dd10_prefix_filter_join",  # r9: PPJoin vs shingle-equi-join oracle
 ]
+
+# Override the measured set: BENCH_SF1_QUERIES="dd10_prefix_filter_join,..."
+if os.environ.get("BENCH_SF1_QUERIES"):
+    QUERIES = [q for q in os.environ["BENCH_SF1_QUERIES"].split(",") if q]
 
 
 def generate() -> None:
