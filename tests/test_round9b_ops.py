@@ -268,3 +268,56 @@ def test_attribution_fn_state_across_batches():
     got = {int(r.event_id): r.channel for r in out2.itertuples()}
     assert got == {4: "click", 5: "unattributed"}
     assert st.get == (t0 + 10, 3, "click")
+
+
+# ---------------------------------------------------------------------------
+# property test: attribution vs brute-force recompute on random streams
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_attribution(events):
+    """Reference implementation: per purchase, scan ALL touches (the
+    O(n^2)-per-user form the engine must equal)."""
+    out = {}
+    for eid, uid, ts, etype, _val in events:
+        if etype != "purchase":
+            continue
+        touches = [
+            (t_ts, t_eid, t_type)
+            for t_eid, t_uid, t_ts, t_type, _ in events
+            if t_uid == uid and t_type != "purchase" and t_ts <= ts
+        ]
+        if touches:
+            t_ts, t_eid, t_type = max(touches)
+            out[eid] = t_type if t_ts >= ts - 7 * DAY_US else "unattributed"
+        else:
+            out[eid] = "unattributed"
+    return out
+
+
+def test_g15_matches_brute_force_on_random_streams(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t0 = 1_600_000_000 * 1_000_000
+    event = st.tuples(
+        st.integers(0, 4),  # user
+        st.integers(0, 20 * DAY_US),  # ts offset (spans the lookback)
+        st.sampled_from(["click", "view", "signup", "error", "purchase"]),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(raw=st.lists(event, min_size=1, max_size=25))
+    def run(raw):
+        events = [
+            (i + 1, uid, t0 + off, etype, float(i))
+            for i, (uid, off, etype) in enumerate(raw)
+        ]
+        got = _attribution_on(spark, events)
+        assert got == _brute_force_attribution(events)
+
+    run()
