@@ -355,3 +355,138 @@ def llm18_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("q_thr").alias("q_threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM19 — SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_CELLS = 16
+_SEMDEDUP_TAU = 0.35
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _llm19_sql(n_cells: int = _SEMDEDUP_CELLS, tau: float = _SEMDEDUP_TAU) -> str:
+    dot_vc = _FOLD_DOT.format(a="v.e", b="c.cv")
+    n_v = _FOLD_DOT.format(a="v.e", b="v.e")
+    n_c = _FOLD_DOT.format(a="c.cv", b="c.cv")
+    dot_xy = _FOLD_DOT.format(a="x.e", b="y.e")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, cent_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rk
+  FROM (SELECT v.vec_id, c.cent_id,
+               {dot_vc} / (sqrt({n_v}) * sqrt({n_c})) AS sim
+        FROM v CROSS JOIN cent c)),
+cells AS (SELECT a.vec_id, a.cent_id AS cell, round(a.sim, 6) AS centroid_sim,
+                 v.e, sqrt({n_v}) AS nrm
+          FROM assign a JOIN v USING (vec_id) WHERE rk = 1),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM cells x JOIN cells y ON x.cell = y.cell
+   AND ((y.centroid_sim < x.centroid_sim) OR
+        (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+  WHERE round({dot_xy} / (x.nrm * y.nrm), 6) > {tau!r})
+SELECT c.vec_id, c.cell, c.centroid_sim,
+       d.vec_id IS NULL AS is_kept
+FROM cells c LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("llm19_semdedup", _llm19_sql())
+def llm19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings into cells, then pruning
+    within-cell near-duplicates, keeping each duplicate neighborhood's
+    LOWEST-centroid-similarity member (the paper's diversity-preserving
+    keeper rule). A vector is dropped iff some same-cell vector with
+    strictly lower keep-priority — (centroid_sim 6dp, vec_id) ascending —
+    has pairwise cosine > tau with it; the rule needs no iteration
+    (priority is a total order), so it is one set-at-a-time self-join,
+    unlike the connected-components funnel (llm7) it complements: llm7
+    deletes whole duplicate CLUSTERS to one canonical doc, SemDeDup thins
+    DENSE REGIONS while keeping their most diverse member.
+
+    Scale shape: cell assignment is the broadcast-centroid HOF argmax
+    (ops/similarity.py::ivf_assign_cells — zero corpus shuffle); the
+    pairwise stage is quadratic ONLY within a cell, which is the
+    SemDeDup design point — k grows with the corpus (n/expected-cell-
+    size, 50k cells in the paper) so cells stay bounded and the self-join
+    on cell is embarrassingly parallel across them. Norms are
+    precomputed per row (O(n*d), not O(pairs*d)). The exists-check is a
+    left-semi join (each vector emitted once, no distinct shuffle);
+    fixture cells (16) understate the parallelism, not the plan.
+
+    Determinism: pairwise and centroid cosines are rounded 6dp before
+    any comparison in BOTH engines; both folds run in array order, so
+    the doubles are bit-identical cross-engine."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        cosine,
+        ivf_assign_cells,
+        norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _SEMDEDUP_CELLS)
+    assigned = ivf_assign_cells(emb, cent)
+    x = (
+        assigned.join(
+            F.broadcast(
+                cent.select(
+                    F.col("vec_id").alias("__cid"),
+                    F.col("embedding").alias("cvec"),
+                )
+            ),
+            F.col("cell") == F.col("__cid"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            F.round(cosine("embedding", "cvec"), 6).alias("centroid_sim"),
+            norm("embedding").alias("__nrm"),
+        )
+        # x forks three ways (self-join probe, self-join build, final
+        # report); without the lazy checkpoint the HOF assignment argmax
+        # re-runs per reference (the dd8/txt5 ReuseExchange gap).
+        .localCheckpoint(eager=False)
+    )
+    y = x.select(
+        F.col("cell").alias("y_cell"),
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_vec"),
+        F.col("centroid_sim").alias("y_cs"),
+        F.col("__nrm").alias("y_nrm"),
+    )
+    pair_dot = F.expr(
+        "aggregate(zip_with(embedding, y_vec, (a, b) -> cast(a AS DOUBLE) * cast(b AS DOUBLE)),"
+        " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pair_cos = F.round(F.try_divide(pair_dot, F.col("__nrm") * F.col("y_nrm")), 6)
+    priority_lt = (F.col("y_cs") < F.col("centroid_sim")) | (
+        (F.col("y_cs") == F.col("centroid_sim")) & (F.col("y_id") < F.col("vec_id"))
+    )
+    dropped = x.join(
+        y,
+        (F.col("cell") == F.col("y_cell"))
+        & priority_lt
+        & (pair_cos > F.lit(_SEMDEDUP_TAU)),
+        "left_semi",
+    ).select("vec_id", F.lit(True).alias("__dropped"))
+    return (
+        x.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -321,3 +321,56 @@ def test_g15_matches_brute_force_on_random_streams(spark):
         assert got == _brute_force_attribution(events)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# llm19 — SemDeDup cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+def test_llm19_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    out = {
+        r.vec_id: (r.cell, r.centroid_sim, r.is_kept)
+        for r in _q("llm19_semdedup")(spark, SF_DIR).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cents = {i: V[i] for i in V if i < 16}
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    # independent recompute: assignment, centroid sim, priority-prune
+    cell, csim = {}, {}
+    for vid, v in V.items():
+        sims = sorted(((cos(v, c), -cid) for cid, c in cents.items()), reverse=True)
+        best = -sims[0][1]
+        cell[vid] = best
+        csim[vid] = round(cos(v, cents[best]), 6)
+    expected = {}
+    for vid in V:
+        dropped = any(
+            round(cos(V[vid], V[o]), 6) > 0.35
+            for o in V
+            if o != vid
+            and cell[o] == cell[vid]
+            and (csim[o], o) < (csim[vid], vid)
+        )
+        expected[vid] = (cell[vid], csim[vid], not dropped)
+    assert out == expected
+
+
+def test_llm19_cell_minimum_priority_always_kept(spark):
+    out = _q("llm19_semdedup")(spark, SF_DIR).collect()
+    best = {}
+    for r in out:
+        k = (r.centroid_sim, r.vec_id)
+        if r.cell not in best or k < best[r.cell][0]:
+            best[r.cell] = (k, r.is_kept)
+    assert all(kept for _, kept in best.values())
