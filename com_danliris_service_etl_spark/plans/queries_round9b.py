@@ -490,3 +490,145 @@ def llm19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM20 — DSIR: data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_BUCKET = 1000  # threshold grain, micro-log units
+
+_LLM20_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, max(lang) AS lang, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+feat AS (SELECT term,
+                CAST(COALESCE(sum(tf) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}'), 0)
+                     AS BIGINT) AS cnt_t,
+                CAST(sum(tf) AS BIGINT) AS cnt_s
+         FROM tf GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS v,
+               CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+               CAST(sum(cnt_s) AS BIGINT) AS tot_s FROM feat),
+lr AS (SELECT term,
+              CAST(round(ln( ((cnt_t + 1)::DOUBLE / (tot_t + v)) /
+                             ((cnt_s + 1)::DOUBLE / (tot_s + v)) ) * 1e6, 0)
+                   AS BIGINT) AS lr_micro
+       FROM feat CROSS JOIN tot),
+doc AS (SELECT tf.doc_id, max(tf.lang) AS lang,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf.tf * lr.lr_micro) AS BIGINT) AS lw_micro
+        FROM tf JOIN lr USING (term) GROUP BY tf.doc_id),
+hist AS (SELECT (CASE WHEN lw_micro >= 0 THEN lw_micro
+                      ELSE lw_micro - {_DSIR_BUCKET - 1} END // {_DSIR_BUCKET}) AS b,
+                count(*)::BIGINT AS c FROM doc GROUP BY 1),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b DESC) AS cum_c,
+               sum(c) OVER () AS n FROM hist),
+thr AS (SELECT max(b) * {_DSIR_BUCKET} AS lw_star FROM cum WHERE cum_c * 5 >= n)
+SELECT d.doc_id, d.lang, d.n_tokens, d.lw_micro,
+       d.lw_micro >= t.lw_star AS selected
+FROM doc d CROSS JOIN thr t
+"""
+
+
+@register("llm20_dsir_selection", _LLM20_SQL)
+def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling — score every document by the log importance
+    weight of a target distribution (here the 'en' slice) over the raw
+    corpus under an add-1-smoothed unigram feature model, then keep the
+    top ~20% by weight. Selects raw docs that LOOK like the target
+    domain without training a classifier.
+
+    Exactness: the per-feature log-ratio is rounded ONCE into integer
+    micro-log units (the txt9 rounded-ln discipline — both engines round
+    the same double); per-doc weights are then exact BIGINT sums of
+    (tf x lr_micro), summation-order-proof.
+
+    Scale shape: one fact shuffle for (doc, term) tf (the tf relation is
+    lazily checkpointed at its feature/doc fork); the feature table
+    computes target and corpus counts in ONE pass (CASE-in-sum, the a20
+    discipline); smoothing totals are a 1-row scalar broadcast back; the
+    doc-weight join shuffles on term (vocab-scale, map-side combinable
+    on both sides). The selection threshold is deliberately BUCKET-grain
+    (div 1000 micro-units): the cut histogram is bounded by the WEIGHT
+    RANGE / bucket width, never by |docs| — an exact per-value top-20%
+    would need a fact-scale global sort. DSIR's selection is itself a
+    sampling step, so a value-threshold with <=1-bucket slack is the
+    faithful scale-honest form (fixture: 101/500 vs the exact 100)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.max("lang").alias("lang"), F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    feat = (
+        tf.groupBy("term")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
+                F.lit(0),
+            ).alias("cnt_t"),
+            F.sum("tf").alias("cnt_s"),
+        )
+        # feat forks two ways (smoothing totals, log-ratio projection) —
+        # checkpoint the vocab-sized relation so the term aggregate runs once.
+        .localCheckpoint(eager=False)
+    )
+    tot = feat.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt_t").alias("tot_t"),
+        F.sum("cnt_s").alias("tot_s"),
+    )
+    lr = feat.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(
+                ((F.col("cnt_t") + 1).cast("double") / (F.col("tot_t") + F.col("v")))
+                / ((F.col("cnt_s") + 1).cast("double") / (F.col("tot_s") + F.col("v")))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    doc = (
+        tf.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("lw_micro"),
+        )
+    )
+    b = F.expr(
+        f"CASE WHEN lw_micro >= 0 THEN lw_micro"
+        f" ELSE lw_micro - {_DSIR_BUCKET - 1} END div {_DSIR_BUCKET}"
+    )
+    hist = doc.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    w_desc = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "b",
+        F.sum("c").over(w_desc).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = (
+        cum.filter(F.col("cum_c") * 5 >= F.col("n"))
+        .agg((F.max("b") * _DSIR_BUCKET).alias("lw_star"))
+    )
+    return doc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lw_micro",
+        (F.col("lw_micro") >= F.col("lw_star")).alias("selected"),
+    )

@@ -111,6 +111,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "a21_top_supplier": "1-row max(total_rev) scalar over the supplier rollup (Q15 tie threshold), partial-aggregated and broadcast back via crossJoin",
     "a22_contribution_analysis": "global share window over the |segments|-row aggregate — bounded by the segment alphabet, partial-aggregated before the exchange (the q4 digit-window class)",
     "txt18_source_divergence": "1-row corpus-token-total scalar (sum over the vocab aggregate, partial-aggregated), broadcast back as the TV-distance normalizer — the txt9 vocabulary-total shape",
+    "llm20_dsir_selection": "1-row smoothing-totals scalar (vocab aggregate, partial-aggregated) + the global cut window over the BUCKET histogram (bounded by weight range / bucket width, never by |docs|) — the sk6 bounds / q4 digit-window classes",
 }
 
 

@@ -374,3 +374,71 @@ def test_llm19_cell_minimum_priority_always_kept(spark):
         if r.cell not in best or k < best[r.cell][0]:
             best[r.cell] = (k, r.is_kept)
     assert all(kept for _, kept in best.values())
+
+
+# ---------------------------------------------------------------------------
+# llm20 — DSIR importance-resampling selection
+# ---------------------------------------------------------------------------
+
+
+def test_llm20_matches_python_recompute(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tf = {r.doc_id: Counter(r.text.split(" ")) for r in rows}
+    lang = {r.doc_id: r.lang for r in rows}
+    cnt_t, cnt_s = defaultdict(int), defaultdict(int)
+    for did, c in tf.items():
+        for t, n in c.items():
+            cnt_s[t] += n
+            if lang[did] == "en":
+                cnt_t[t] += n
+    v, tot_t, tot_s = len(cnt_s), sum(cnt_t.values()), sum(cnt_s.values())
+
+    def half_away(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    lr = {
+        t: half_away(
+            math.log(((cnt_t[t] + 1) / (tot_t + v)) / ((cnt_s[t] + 1) / (tot_s + v)))
+            * 1e6
+        )
+        for t in cnt_s
+    }
+    lw = {did: sum(n * lr[t] for t, n in c.items()) for did, c in tf.items()}
+    buckets = sorted({x // 1000 for x in lw.values()}, reverse=True)  # floor div
+    n = len(lw)
+    by_b = Counter(x // 1000 for x in lw.values())
+    # max(b) with count(lw in buckets >= b)*5 >= n is the FIRST b descending
+    lw_star = next(
+        b * 1000
+        for b in buckets
+        if sum(c for bb, c in by_b.items() if bb >= b) * 5 >= n
+    )
+    out = {
+        r.doc_id: (r.lang, r.n_tokens, r.lw_micro, r.selected)
+        for r in _q("llm20_dsir_selection")(spark, SF_DIR).collect()
+    }
+    expected = {
+        did: (lang[did], sum(tf[did].values()), lw[did], lw[did] >= lw_star)
+        for did in tf
+    }
+    assert out == expected
+
+
+def test_llm20_threshold_partitions_and_enriches_target(spark):
+    rows = _q("llm20_dsir_selection")(spark, SF_DIR).collect()
+    sel = [r for r in rows if r.selected]
+    unsel = [r for r in rows if not r.selected]
+    assert sel and unsel
+    # pure value threshold: every selected weight beats every unselected one
+    assert min(r.lw_micro for r in sel) > max(r.lw_micro for r in unsel)
+    # at least the 20% quota is selected (bucket grain can only add)
+    assert 5 * len(sel) >= len(rows)
+    # the selection is enriched in the target slice
+    en_sel = sum(1 for r in sel if r.lang == "en") / len(sel)
+    en_all = sum(1 for r in rows if r.lang == "en") / len(rows)
+    assert en_sel > en_all
