@@ -932,3 +932,85 @@ def bigram_lm_scores(
             F.round(F.avg(-F.log("__p")), 4).alias("avg_nll"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    iterations: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): run
+    ``iterations`` merge steps over the corpus vocabulary and report, per
+    step, the merged pair, its corpus-weighted count at selection time,
+    and the corpus symbol total AFTER applying the merge. Extends
+    :func:`bpe_pair_counts` (one step's counts) to the actual training
+    loop — the third iterative driver-loop operator after k-means and
+    PageRank.
+
+    Representation: each vocabulary word is a symbol string with
+    DOUBLE-space separators and flanks (``'  l  o  w  '``). Applying a
+    merge is then ONE literal ``replace(w, ' a  b ', ' ab ')``: both
+    engines' replace scans left-to-right non-overlapping, which is
+    exactly greedy BPE application — the single-space-flanked pattern
+    cannot match inside a larger symbol (symbols are flanked by two
+    spaces), and consecutive matches keep their shared boundary because
+    each replacement re-emits the single boundary space ('a b a b'
+    merges twice; an 'a a a' run merges floor(3/2) times). A struct-
+    accumulator fold would express the same thing, but DuckDB 1.0's
+    list_reduce drops non-scalar accumulator state, so the replace form
+    is also what keeps the oracle exact.
+
+    Scale shape: ONE map-side-combinable corpus shuffle builds the
+    (word, freq) vocabulary, which is lazily checkpointed and reused by
+    every iteration; each step's pair explode runs over vocabulary rows
+    only (|vocab| x word length), the pair rollup is symbol-alphabet²-
+    bounded, and the driver collects exactly ONE argmax row per step
+    (the k-means centroid-collect precedent) plus one scalar for the
+    symbol total. Counts are exact integers; the argmax total order is
+    (count desc, a, b)."""
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    state = vocab.select(
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("w"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    syms = "filter(split(w, '  '), x -> x <> '')"
+    # sequence over the FULL size with try_element_at for the right-hand
+    # symbol, then a null filter: sequence(1, size-1) DESCENDS when a word
+    # has collapsed to one symbol (Spark's a>b sequence gotcha) and
+    # element_at would abort under ANSI on the out-of-bounds probe.
+    pair_structs = (
+        f"filter(transform(sequence(1, size({syms})),"
+        f" i -> struct(element_at({syms}, i) AS a, try_element_at({syms}, i + 1) AS b)),"
+        " p -> p.b IS NOT NULL)"
+    )
+    n_syms = f"size({syms})"
+
+    out_rows = []
+    for step in range(1, iterations + 1):
+        top = (
+            state.select("freq", F.explode(F.expr(pair_structs)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        state = state.select(
+            F.replace(F.col("w"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")).alias("w"),
+            "freq",
+        ).localCheckpoint(eager=False)
+        symbols_after = int(
+            state.agg(F.sum(F.col("freq") * F.expr(n_syms))).collect()[0][0]
+        )
+        out_rows.append((step, a + b, cnt, symbols_after))
+    return spark.createDataFrame(
+        out_rows, "step int, merged string, pair_count bigint, symbols_after bigint"
+    )

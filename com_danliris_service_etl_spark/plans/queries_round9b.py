@@ -632,3 +632,54 @@ def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lw_micro",
         (F.col("lw_micro") >= F.col("lw_star")).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TXT19 — iterative BPE tokenizer training (3 merge steps)
+# ---------------------------------------------------------------------------
+
+
+def _llm_bpe_sql(iterations: int = 3) -> str:
+    pair_cte = """
+p{k} AS (SELECT t.syms[i] AS a, t.syms[i + 1] AS b,
+                CAST(sum(t.freq) AS BIGINT) AS cnt
+         FROM (SELECT freq, list_filter(string_split(w, '  '), x -> x <> '') AS syms
+               FROM s{prev}) t,
+              unnest(range(1, len(t.syms))) r(i)
+         GROUP BY 1, 2),
+m{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+s{k} AS (SELECT replace(w, ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+                           ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ') AS w,
+                freq
+         FROM s{prev})"""
+    out_sel = """
+SELECT {k} AS step, (SELECT a || b FROM m{k}) AS merged,
+       (SELECT cnt FROM m{k}) AS pair_count,
+       (SELECT CAST(sum(freq * len(list_filter(string_split(w, '  '), x -> x <> '')))
+               AS BIGINT) FROM s{k}) AS symbols_after"""
+    ctes = "".join(
+        "," + pair_cte.format(k=k, prev=k - 1) for k in range(1, iterations + 1)
+    )
+    sels = "\nUNION ALL".join(out_sel.format(k=k) for k in range(1, iterations + 1))
+    return f"""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word, count(*)::BIGINT AS freq FROM words
+          WHERE length(word) >= 2 GROUP BY word),
+s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w, freq
+       FROM vocab){ctes}
+{sels}
+"""
+
+
+@register("txt19_bpe_train", _llm_bpe_sql())
+def txt19_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE merge steps trained on the corpus vocabulary
+    (ops/text.py::bpe_train — the iterative driver-loop extension of
+    txt16's single-step pair counts): per step, the merged pair, its
+    selection-time corpus-weighted count, and the corpus symbol total
+    after applying the merge. See the operator docstring for the
+    double-space symbol-string representation that makes greedy merge
+    application one literal replace() in both engines."""
+    from com_danliris_service_etl_spark.operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), iterations=3)

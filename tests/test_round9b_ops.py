@@ -442,3 +442,40 @@ def test_llm20_threshold_partitions_and_enriches_target(spark):
     en_sel = sum(1 for r in sel if r.lang == "en") / len(sel)
     en_all = sum(1 for r in rows if r.lang == "en") / len(rows)
     assert en_sel > en_all
+
+
+# ---------------------------------------------------------------------------
+# txt19 — iterative BPE training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_corpus(spark):
+    from com_danliris_service_etl_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [("d1", "low low lower")], "doc_id string, text string"
+    )
+    out = [tuple(r) for r in bpe_train(docs, iterations=3).collect()]
+    # vocab: low x2, lower x1. step1: lo=3 ties ow=3 -> 'lo' (a asc).
+    # step2: (lo,w)=3 -> 'low'. step3: (e,r)=1 ties (low,e)=1 -> 'er'.
+    assert out == [
+        (1, "lo", 3, 2 * 2 + 1 * 4),
+        (2, "low", 3, 2 * 1 + 1 * 3),
+        (3, "er", 1, 2 * 1 + 1 * 2),
+    ]
+
+
+def test_bpe_train_greedy_replace_edge_cases(spark):
+    from com_danliris_service_etl_spark.operators.text import bpe_train
+
+    # 'abab' must merge BOTH (a,b) occurrences in one step; 'aaa' must
+    # merge floor(3/2)=1 time (greedy left-to-right run parity).
+    docs = spark.createDataFrame(
+        [("d1", "abab abab aaa")], "doc_id string, text string"
+    )
+    out = {r.step: (r.merged, r.pair_count, r.symbols_after) for r in
+           bpe_train(docs, iterations=1).collect()}
+    # pairs: (a,b)=4 (2 per 'abab' x2 words... vocab: abab x2 -> freq2, aaa x1)
+    # abab: pairs ab,ba,ab -> ab weight 2*2=4; ba 2; aa 2 (from aaa: aa,aa)
+    # argmax: ab=4. after merge: abab -> 'ab ab' (2 syms), aaa stays 3 syms
+    assert out[1] == ("ab", 4, 2 * 2 + 1 * 3)
