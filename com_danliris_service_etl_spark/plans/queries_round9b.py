@@ -1,7 +1,8 @@
 """Round-9b registry queries — training-pipeline curation extensions.
 
-Three shapes a 100 TB corpus/clickstream pipeline needs that the registry
-did not yet cover:
+Shapes a 100 TB corpus/clickstream pipeline needs that the registry did
+not yet cover (see also llm19 SemDeDup, llm20 DSIR, and txt19 iterative
+BPE training further down):
 
 - ``g15_last_touch_attribution`` / ``st14_stream_attribution``:
   marketing-style last-touch conversion attribution over the event
