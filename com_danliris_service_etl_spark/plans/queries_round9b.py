@@ -563,23 +563,22 @@ def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.max("lang").alias("lang"), F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    # tf forks two ways (feature counts, per-doc weights) and feat forks two
+    # ways (smoothing totals, log-ratio projection). Deliberately NOT
+    # checkpointed: the fork-recompute costs two extra scan+aggregate passes,
+    # but the checkpoint WRITES cost more — measured at derived sf1 (min of 3
+    # fresh-plan runs): none 3.71 s, tf-only 4.47 s, both 5.42 s. The
+    # projection-pruned parquet re-scan is the cheaper side of that trade at
+    # any scale where the (doc, term) relation is fact-sized.
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("lang").alias("lang"), F.count(F.lit(1)).alias("tf")
     )
-    feat = (
-        tf.groupBy("term")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
-                F.lit(0),
-            ).alias("cnt_t"),
-            F.sum("tf").alias("cnt_s"),
-        )
-        # feat forks two ways (smoothing totals, log-ratio projection) —
-        # checkpoint the vocab-sized relation so the term aggregate runs once.
-        .localCheckpoint(eager=False)
+    feat = tf.groupBy("term").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
+            F.lit(0),
+        ).alias("cnt_t"),
+        F.sum("tf").alias("cnt_s"),
     )
     tot = feat.agg(
         F.count(F.lit(1)).alias("v"),

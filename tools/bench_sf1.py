@@ -52,6 +52,7 @@ QUERIES = [
     "g11_adamic_adar",
     "txt14_sparse_cosine",
     "dd10_prefix_filter_join",  # r9: PPJoin vs shingle-equi-join oracle
+    "llm20_dsir_selection",  # r9b: DSIR floor-class ratio (9.7x on 0.10s)
 ]
 
 # Override the measured set: BENCH_SF1_QUERIES="dd10_prefix_filter_join,..."
