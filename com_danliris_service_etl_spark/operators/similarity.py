@@ -1028,3 +1028,89 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) cluster-then-prune:
+    assign embeddings to cells (deterministic centroids: the ``n_cells``
+    lowest ids), then within each cell drop a vector iff some same-cell
+    vector with strictly lower keep-priority — (centroid_sim 6dp, id)
+    ascending — has pairwise cosine > tau with it. Keeping the LOWEST-
+    centroid-similarity member of each duplicate neighborhood is the
+    paper's diversity-preserving rule; the priority is a total order, so
+    pruning is ONE set-at-a-time semi-join, no iteration.
+
+    Scale shape: cell assignment is the broadcast-centroid HOF argmax
+    (:func:`ivf_assign_cells` — zero corpus shuffle); the pairwise stage
+    is quadratic ONLY within a cell — the algorithm's design point is
+    that ``n_cells`` grows with the corpus (n / expected-cell-size, 50k
+    cells in the paper) so cells stay bounded and the self-join on cell
+    parallelizes across them (measured at a derived sf1 with cells
+    scaled 10x alongside the vectors — see BASELINE.md). Norms are
+    precomputed per row (O(n*d), not O(pairs*d)); the exists-check is a
+    left-semi join (each vector emitted once, no distinct shuffle).
+
+    Determinism: pairwise and centroid cosines are rounded 6dp before
+    any comparison; both engines' folds run in array order, so the
+    doubles are bit-identical cross-engine."""
+    cent = emb.filter(F.col(id_col) < n_cells)
+    assigned = ivf_assign_cells(
+        emb, cent, id_col=id_col, vec_col=vec_col,
+        cent_id_col=id_col, cent_vec_col=vec_col,
+    )
+    x = (
+        assigned.join(
+            F.broadcast(
+                cent.select(
+                    F.col(id_col).alias("__cid"),
+                    F.col(vec_col).alias("cvec"),
+                )
+            ),
+            F.col("cell") == F.col("__cid"),
+        )
+        .select(
+            id_col,
+            "cell",
+            vec_col,
+            F.round(cosine(vec_col, "cvec"), 6).alias("centroid_sim"),
+            norm(vec_col).alias("__nrm"),
+        )
+        # x forks three ways (self-join probe, self-join build, final
+        # report); without the lazy checkpoint the HOF assignment argmax
+        # re-runs per reference (the dd8/txt5 ReuseExchange gap).
+        .localCheckpoint(eager=False)
+    )
+    y = x.select(
+        F.col("cell").alias("y_cell"),
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).alias("y_vec"),
+        F.col("centroid_sim").alias("y_cs"),
+        F.col("__nrm").alias("y_nrm"),
+    )
+    pair_dot = F.expr(
+        f"aggregate(zip_with({vec_col}, y_vec, (a, b) -> cast(a AS DOUBLE) * cast(b AS DOUBLE)),"
+        " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pair_cos = F.round(F.try_divide(pair_dot, F.col("__nrm") * F.col("y_nrm")), 6)
+    priority_lt = (F.col("y_cs") < F.col("centroid_sim")) | (
+        (F.col("y_cs") == F.col("centroid_sim")) & (F.col("y_id") < F.col(id_col))
+    )
+    dropped = x.join(
+        y,
+        (F.col("cell") == F.col("y_cell"))
+        & priority_lt
+        & (pair_cos > F.lit(tau)),
+        "left_semi",
+    ).select(id_col, F.lit(True).alias("__dropped"))
+    return x.join(dropped, id_col, "left").select(
+        id_col,
+        "cell",
+        "centroid_sim",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+    )

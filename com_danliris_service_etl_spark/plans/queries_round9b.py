@@ -428,68 +428,16 @@ def llm19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pairwise and centroid cosines are rounded 6dp before
     any comparison in BOTH engines; both folds run in array order, so
-    the doubles are bit-identical cross-engine."""
-    from com_danliris_service_etl_spark.operators.similarity import (
-        cosine,
-        ivf_assign_cells,
-        norm,
-    )
+    the doubles are bit-identical cross-engine. Core:
+    ops/similarity.py::semdedup_prune (parameterized in n_cells/tau —
+    the sf1 pairing in tools/bench_llm19_sf1.py scales cells with the
+    corpus, the algorithm's own contract)."""
+    from com_danliris_service_etl_spark.operators.similarity import semdedup_prune
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < _SEMDEDUP_CELLS)
-    assigned = ivf_assign_cells(emb, cent)
-    x = (
-        assigned.join(
-            F.broadcast(
-                cent.select(
-                    F.col("vec_id").alias("__cid"),
-                    F.col("embedding").alias("cvec"),
-                )
-            ),
-            F.col("cell") == F.col("__cid"),
-        )
-        .select(
-            "vec_id",
-            "cell",
-            "embedding",
-            F.round(cosine("embedding", "cvec"), 6).alias("centroid_sim"),
-            norm("embedding").alias("__nrm"),
-        )
-        # x forks three ways (self-join probe, self-join build, final
-        # report); without the lazy checkpoint the HOF assignment argmax
-        # re-runs per reference (the dd8/txt5 ReuseExchange gap).
-        .localCheckpoint(eager=False)
-    )
-    y = x.select(
-        F.col("cell").alias("y_cell"),
-        F.col("vec_id").alias("y_id"),
-        F.col("embedding").alias("y_vec"),
-        F.col("centroid_sim").alias("y_cs"),
-        F.col("__nrm").alias("y_nrm"),
-    )
-    pair_dot = F.expr(
-        "aggregate(zip_with(embedding, y_vec, (a, b) -> cast(a AS DOUBLE) * cast(b AS DOUBLE)),"
-        " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    pair_cos = F.round(F.try_divide(pair_dot, F.col("__nrm") * F.col("y_nrm")), 6)
-    priority_lt = (F.col("y_cs") < F.col("centroid_sim")) | (
-        (F.col("y_cs") == F.col("centroid_sim")) & (F.col("y_id") < F.col("vec_id"))
-    )
-    dropped = x.join(
-        y,
-        (F.col("cell") == F.col("y_cell"))
-        & priority_lt
-        & (pair_cos > F.lit(_SEMDEDUP_TAU)),
-        "left_semi",
-    ).select("vec_id", F.lit(True).alias("__dropped"))
-    return (
-        x.join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "centroid_sim",
-            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
-        )
+    return semdedup_prune(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=_SEMDEDUP_CELLS,
+        tau=_SEMDEDUP_TAU,
     )
 
 
