@@ -53,6 +53,7 @@ QUERIES = [
     "txt14_sparse_cosine",
     "dd10_prefix_filter_join",  # r9: PPJoin vs shingle-equi-join oracle
     "llm20_dsir_selection",  # r9b: DSIR floor-class ratio (9.7x on 0.10s)
+    "txt19_bpe_train",  # r9b: iterative driver-loop BPE trainer
 ]
 
 # Override the measured set: BENCH_SF1_QUERIES="dd10_prefix_filter_join,..."
