@@ -1014,3 +1014,52 @@ def bpe_train(
     return spark.createDataFrame(
         out_rows, "step int, merged string, pair_count bigint, symbols_after bigint"
     )
+
+
+def tv_distance_from_counts(st: DataFrame) -> DataFrame:
+    """Finalize the per-source total-variation drift report from a
+    (source, term, cnt_s) count relation — the shared tail of the batch
+    query (plans/queries_round9b.py::txt18_source_divergence, which
+    builds the counts with one explode+groupBy pass) and the streaming
+    monitor (streaming/jobs.py::run_streaming_source_divergence, which
+    maintains the same counts as Structured Streaming state and
+    finalizes over the compact state table).
+
+    Exactness: integer sufficient statistics combined in DECIMAL(38,0)
+    (summation-order-proof); one double division at finalize, then the
+    6dp round — engine- and partitioning-invariant."""
+    st = st.localCheckpoint(eager=False)  # forked three ways below
+    ct = st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_c"))
+    tot = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
+    g = ct.agg(F.sum("cnt_c").alias("tot_c"))
+    dec = "decimal(38,0)"
+    n = (
+        st.join(ct, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt_s").cast(dec) * F.col("tot_c")
+                    - F.col("cnt_c").cast(dec) * F.col("tot_s")
+                )
+            ).alias("num_obs"),
+            F.sum("cnt_c").alias("cover_c"),
+            F.max("tot_s").alias("tot_s"),
+            F.max("tot_c").alias("tot_c"),
+        )
+    )
+    return n.select(
+        "source",
+        "tot_s",
+        F.round(
+            (
+                F.col("num_obs").cast("double")
+                + F.col("tot_s").cast("double")
+                * (F.col("tot_c") - F.col("cover_c")).cast("double")
+            )
+            / (F.lit(2.0) * F.col("tot_s").cast("double") * F.col("tot_c").cast("double")),
+            6,
+        ).alias("tv_distance"),
+    )

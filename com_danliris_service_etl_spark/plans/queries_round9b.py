@@ -205,51 +205,17 @@ def txt18_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer sufficient statistics combined in DECIMAL(38,0) —
     summation order cannot matter (the sim9 discipline) — and the single
     double division at finalize is correctly rounded from exact operands
-    in both engines before the 6dp round."""
+    in both engines before the 6dp round. The finalize tail
+    (ops/text.py::tv_distance_from_counts) is shared with the streaming
+    monitor, which maintains the same (source, term) counts as keyed
+    streaming state (streaming/jobs.py::run_streaming_source_divergence,
+    stream ≡ batch pinned in tests)."""
+    from com_danliris_service_etl_spark.operators.text import tv_distance_from_counts
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-    st = (
-        toks.groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt_s"))
-        .localCheckpoint(eager=False)
-    )
-    ct = st.groupBy("term").agg(F.sum("cnt_s").alias("cnt_c"))
-    tot = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
-    g = ct.agg(F.sum("cnt_c").alias("tot_c"))
-    dec = "decimal(38,0)"
-    # tot_s / tot_c are constant within each group — carry them through the
-    # aggregate (max) so the finalize projection needs no second broadcast
-    # join / scalar crossJoin (one reference to `g`, one to `tot`).
-    n = (
-        st.join(ct, "term")
-        .join(F.broadcast(tot), "source")
-        .crossJoin(F.broadcast(g))
-        .groupBy("source")
-        .agg(
-            F.sum(
-                F.abs(
-                    F.col("cnt_s").cast(dec) * F.col("tot_c")
-                    - F.col("cnt_c").cast(dec) * F.col("tot_s")
-                )
-            ).alias("num_obs"),
-            F.sum("cnt_c").alias("cover_c"),
-            F.max("tot_s").alias("tot_s"),
-            F.max("tot_c").alias("tot_c"),
-        )
-    )
-    return n.select(
-        "source",
-        "tot_s",
-        F.round(
-            (
-                F.col("num_obs").cast("double")
-                + F.col("tot_s").cast("double")
-                * (F.col("tot_c") - F.col("cover_c")).cast("double")
-            )
-            / (F.lit(2.0) * F.col("tot_s").cast("double") * F.col("tot_c").cast("double")),
-            6,
-        ).alias("tv_distance"),
-    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_s"))
+    return tv_distance_from_counts(st)
 
 
 # ---------------------------------------------------------------------------

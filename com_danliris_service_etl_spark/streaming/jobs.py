@@ -1045,3 +1045,41 @@ def run_streaming_attribution(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_streaming_source_divergence(
+    spark: SparkSession, sf_dir: str, query_name: str = "source_div_stream"
+) -> DataFrame:
+    """Live data-mixture drift monitor: maintain (source, term) token
+    counts as Structured Streaming state over the document stream, then
+    finalize each source's exact total-variation distance from the
+    corpus unigram distribution in batch over the compact state table
+    (ops/text.py::tv_distance_from_counts — the shared tail of the
+    txt18 batch twin; tests pin stream ≡ batch).
+
+    The streaming stage is ONE map-side-combinable stateful aggregation
+    — state is one row per distinct (source, term), the vocabulary
+    grain, which is also the minimum any exact distribution monitor can
+    hold — and the finalize never touches the raw stream (the st5
+    dedup-monitor split: chained streaming aggregations are unsupported,
+    and over the vocab-sized state the batch finalize is the correct
+    shape, not a workaround)."""
+    raw = _stream_table(spark, documents_schema(), sf_dir, "documents")
+    st = (
+        raw.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt_s"))
+    )
+    q = (
+        st.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from com_danliris_service_etl_spark.operators.text import (
+        tv_distance_from_counts,
+    )
+
+    return tv_distance_from_counts(spark.table(query_name))

@@ -479,3 +479,21 @@ def test_bpe_train_greedy_replace_edge_cases(spark):
     # abab: pairs ab,ba,ab -> ab weight 2*2=4; ba 2; aa 2 (from aaa: aa,aa)
     # argmax: ab=4. after merge: abab -> 'ab ab' (2 syms), aaa stays 3 syms
     assert out[1] == ("ab", 4, 2 * 2 + 1 * 3)
+
+
+# ---------------------------------------------------------------------------
+# streaming source-divergence monitor ≡ txt18 batch twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_source_divergence_matches_batch(spark):
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_source_divergence,
+    )
+    from tests.conftest import assert_frames_match
+
+    stream_out = run_streaming_source_divergence(
+        spark, SF_DIR, "st_srcdiv_test"
+    ).toPandas()
+    batch_out = _q("txt18_source_divergence")(spark, SF_DIR).toPandas()
+    assert_frames_match(stream_out, batch_out, "source_divergence_vs_batch")
