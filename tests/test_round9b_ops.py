@@ -497,3 +497,43 @@ def test_streaming_source_divergence_matches_batch(spark):
     ).toPandas()
     batch_out = _q("txt18_source_divergence")(spark, SF_DIR).toPandas()
     assert_frames_match(stream_out, batch_out, "source_divergence_vs_batch")
+
+
+def test_semdedup_prune_parameterized_cells_match_brute_force(spark):
+    """The extracted operator must stay brute-force-correct when n_cells
+    changes (the sf1 pairing scales cells 10x — this pins that the
+    parameterization itself is sound, not just the registry's 16)."""
+    import numpy as np
+
+    from com_danliris_service_etl_spark.operators.similarity import semdedup_prune
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    for n_cells in (8, 32):
+        cents = {i: V[i] for i in V if i < n_cells}
+        cell, csim = {}, {}
+        for vid, v in V.items():
+            sims = sorted(((cos(v, c), -cid) for cid, c in cents.items()), reverse=True)
+            best = -sims[0][1]
+            cell[vid] = best
+            csim[vid] = round(cos(v, cents[best]), 6)
+        expected = {}
+        for vid in V:
+            dropped = any(
+                round(cos(V[vid], V[o]), 6) > 0.35
+                for o in V
+                if o != vid
+                and cell[o] == cell[vid]
+                and (csim[o], o) < (csim[vid], vid)
+            )
+            expected[vid] = (cell[vid], csim[vid], not dropped)
+        out = {
+            r.vec_id: (r.cell, r.centroid_sim, r.is_kept)
+            for r in semdedup_prune(emb, n_cells=n_cells, tau=0.35).collect()
+        }
+        assert out == expected, f"n_cells={n_cells}"
