@@ -70,35 +70,54 @@ def test_red_rows_precede_greens_and_greens_are_stalest_first():
     assert rounds == sorted(rounds), "green queries must be stalest-evidence-first"
 
 
-def test_r8_history_concrete_expectations():
-    """Concrete pins against the committed r1–r8 artifacts: the 15 round-8
-    registry additions with no driver row ever lead the list, and
-    sim9_embedding_covariance (the only red latest record, r8) is the
-    first recorded name."""
-    hist = _history_from_artifacts()
-    names = entry_mod._ordered_names()
-    never = {n for n in entry_mod.REGISTRY if n not in hist}
-    expected_head = {
-        "j18_exists_lateness",
-        "a17_large_orders",
-        "g14_order_count_distribution",
-        "st12_stream_static_enrich",
-        "dd10_prefix_filter_join",
-        "txt16_bpe_pair_counts",
-        "w10_percentile_profile",
-        "st13_stateful_topk",
-        "llm16_split_repair",
-        "j20_nation_volume",
-        "p9_disjunctive_bands",
-        "j21_dominant_supplier",
-        "a20_market_share",
-        "a21_top_supplier",
-        "a22_contribution_analysis",
-    }
-    assert expected_head <= never
-    assert set(names[: len(never)]) == never
-    if hist.get("sim9_embedding_covariance", (0, True))[1] is False:
-        assert names[len(never)] == "sim9_embedding_covariance"
+def test_newest_round_sampled_missing_or_stalest_first():
+    """Generative replacement for the round-8 hardcoded pin (which went
+    stale the moment CORRECTNESS_r09.json sampled the very queries it
+    declared never-sampled): for the NEWEST committed round N, the
+    driver's actual 50-query sample must be exactly the prefix-priority
+    set predicted by the history of rounds < N — every sampled query
+    ranks no fresher than every unsampled one. Re-derives from the
+    artifacts each run, so landing a new CORRECTNESS round can never
+    break it."""
+    rounds = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rounds[int(p.stem.split("_r")[1])] = set(json.loads(p.read_text()))
+    newest = max(rounds)
+    sampled = rounds[newest]
+
+    hist_prev = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        if rnd >= newest:
+            continue
+        for name, rec in json.loads(p.read_text()).items():
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+                and rec.get("err") is None
+            )
+            if name not in hist_prev or rnd >= hist_prev[name][0]:
+                hist_prev[name] = (rnd, green)
+
+    # Registry at capture time, approximated as queries we can PROVE
+    # existed then (sampled at N, or recorded before N), intersected with
+    # the current registry so later renames/removals don't fail the pin.
+    known = (sampled | set(hist_prev)) & set(entry_mod.REGISTRY)
+
+    def rank(n):
+        if n not in hist_prev:
+            return (0, 0)  # never recorded before N: highest priority
+        rnd, green = hist_prev[n]
+        return (2 if green else 1, rnd)  # red beats green; stalest first
+
+    in_sample = [rank(n) for n in known if n in sampled]
+    out_sample = [rank(n) for n in known if n not in sampled]
+    if in_sample and out_sample:
+        assert max(in_sample) <= min(out_sample), (
+            f"round {newest} sampled a fresher-evidence query while a "
+            f"staler one waited"
+        )
 
 
 def test_first_fifty_spend_the_budget_on_missing_or_stale_evidence():
