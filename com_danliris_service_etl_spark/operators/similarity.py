@@ -1058,8 +1058,17 @@ def semdedup_prune(
 
     Determinism: pairwise and centroid cosines are rounded 6dp before
     any comparison; both engines' folds run in array order, so the
-    doubles are bit-identical cross-engine."""
-    cent = emb.filter(F.col(id_col) < n_cells)
+    doubles are bit-identical cross-engine.
+
+    Edge contracts: centroids are the ``n_cells`` LOWEST ids actually
+    present (orderBy+limit — a TakeOrdered reduce, no assumption that
+    ids are contiguous from 0; a sparse id space still yields exactly
+    min(n_cells, n) centroids). A zero-norm or NULL embedding gets a
+    NULL cell from :func:`ivf_assign_cells`; such rows are emitted with
+    ``is_kept=true`` and NULL cell/centroid_sim (they belong to no
+    neighborhood, so they can neither drop nor be dropped) rather than
+    silently disappearing through an inner join."""
+    cent = emb.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_cells)
     assigned = ivf_assign_cells(
         emb, cent, id_col=id_col, vec_col=vec_col,
         cent_id_col=id_col, cent_vec_col=vec_col,
@@ -1073,6 +1082,7 @@ def semdedup_prune(
                 )
             ),
             F.col("cell") == F.col("__cid"),
+            "left",
         )
         .select(
             id_col,

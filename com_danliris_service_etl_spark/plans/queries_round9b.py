@@ -345,7 +345,7 @@ def _llm19_sql(n_cells: int = _SEMDEDUP_CELLS, tau: float = _SEMDEDUP_TAU) -> st
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-         FROM embeddings WHERE vec_id < {n_cells}),
+         FROM embeddings ORDER BY vec_id LIMIT {n_cells}),
 assign AS (
   SELECT vec_id, cent_id, sim,
          row_number() OVER (PARTITION BY vec_id

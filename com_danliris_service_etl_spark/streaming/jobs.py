@@ -982,8 +982,12 @@ def _attribution_fn(key, pdf_iter, state):
     forward in (ts_us, event_id)); the attribution is exact whenever
     per-user event-time order holds ACROSS microbatches (a
     watermark-ordered source), the same contract the sessionize operator
-    (_sessionize_fn) documents. Purchases emit exactly one attribution
-    row each in the batch that processes them."""
+    (_sessionize_fn) documents. When that contract is violated — a
+    purchase replayed in a LATER batch than a touch that post-dates it —
+    the s_ts <= ts guard degrades the purchase to 'unattributed' rather
+    than crediting the future touch (degraded, never actively wrong).
+    Purchases emit exactly one attribution row each in the batch that
+    processes them."""
     import pandas as pd
 
     if state.exists:
@@ -1001,8 +1005,15 @@ def _attribution_fn(key, pdf_iter, state):
                 if s_ts is None or (ts, eid) > (s_ts, s_eid):
                     s_ts, s_eid, s_channel = ts, eid, str(row.event_type)
             else:
+                # Both bounds checked: the lookback floor AND s_ts <= ts,
+                # so a purchase replayed out-of-order in a later batch
+                # (after a newer touch already advanced the state) falls
+                # back to 'unattributed' instead of being credited to a
+                # touch that happened AFTER it. Within-batch equal-ts
+                # touches still win (sorted before purchases above).
                 attributed = (
-                    s_ts is not None and s_ts >= ts - ATTR_LOOKBACK_US
+                    s_ts is not None
+                    and ts - ATTR_LOOKBACK_US <= s_ts <= ts
                 )
                 out.append(
                     (eid, ts, float(row.value),

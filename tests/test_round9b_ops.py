@@ -269,6 +269,15 @@ def test_attribution_fn_state_across_batches():
     assert got == {4: "click", 5: "unattributed"}
     assert st.get == (t0 + 10, 3, "click")
 
+    # (5) an out-of-order PURCHASE (replayed after a newer touch advanced
+    # the state) must degrade to 'unattributed', never be credited to a
+    # touch that happened after it (ADVICE r9: the missing s_ts <= ts
+    # bound).
+    b3 = pd.DataFrame([(6, t0 + 2, "purchase", 3.0)], columns=cols)
+    out3 = next(_attribution_fn((1,), iter([b3]), st))
+    assert list(out3.channel) == ["unattributed"]
+    assert st.get == (t0 + 10, 3, "click")  # state untouched by purchases
+
 
 # ---------------------------------------------------------------------------
 # property test: attribution vs brute-force recompute on random streams
@@ -537,3 +546,51 @@ def test_semdedup_prune_parameterized_cells_match_brute_force(spark):
             for r in semdedup_prune(emb, n_cells=n_cells, tau=0.35).collect()
         }
         assert out == expected, f"n_cells={n_cells}"
+
+
+def test_semdedup_prune_sparse_ids_and_zero_norm(spark):
+    """ADVICE r9 edge contracts: (1) centroids are the n_cells lowest ids
+    PRESENT — a non-zero-based sparse id space still yields n_cells
+    centroids (the old `id < n_cells` filter would yield zero and the
+    output would be silently empty); (2) a zero-norm embedding gets a
+    NULL cell and is emitted with is_kept=true instead of being dropped
+    by the centroid join."""
+    import numpy as np
+
+    from com_danliris_service_etl_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.default_rng(7)
+    vecs = {1000 + 7 * i: rng.normal(size=8).tolist() for i in range(20)}
+    zero_id = 1000 + 7 * 20
+    rows = [(vid, [float(x) for x in v]) for vid, v in vecs.items()]
+    rows.append((zero_id, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = {r.vec_id: r for r in semdedup_prune(emb, n_cells=4, tau=0.35).collect()}
+    assert set(out) == set(vecs) | {zero_id}, "no row may vanish"
+
+    z = out[zero_id]
+    assert z.cell is None and z.centroid_sim is None and z.is_kept is True
+
+    # brute-force twin with centroids = 4 lowest ids present
+    V = {vid: np.asarray(v) for vid, v in vecs.items()}
+    cents = {vid: V[vid] for vid in sorted(V)[:4]}
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    cell, csim = {}, {}
+    for vid, v in V.items():
+        best = max(cents, key=lambda c: (round(cos(v, cents[c]), 12), -c))
+        cell[vid], csim[vid] = best, round(cos(v, cents[best]), 6)
+    for vid in V:
+        dropped = any(
+            round(cos(V[vid], V[o]), 6) > 0.35
+            for o in V
+            if o != vid and cell[o] == cell[vid] and (csim[o], o) < (csim[vid], vid)
+        )
+        assert (out[vid].cell, out[vid].centroid_sim, out[vid].is_kept) == (
+            cell[vid],
+            csim[vid],
+            not dropped,
+        ), vid
