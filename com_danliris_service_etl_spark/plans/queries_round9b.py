@@ -462,37 +462,50 @@ def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same double); per-doc weights are then exact BIGINT sums of
     (tf x lr_micro), summation-order-proof.
 
-    Scale shape: one fact shuffle for (doc, term) tf (the tf relation is
-    lazily checkpointed at its feature/doc fork); the feature table
-    computes target and corpus counts in ONE pass (CASE-in-sum, the a20
-    discipline); smoothing totals are a 1-row scalar broadcast back; the
-    doc-weight join shuffles on term (vocab-scale, map-side combinable
-    on both sides). The selection threshold is deliberately BUCKET-grain
+    Scale shape (r10 rewrite — VERDICT r9 task 3, from 16 shuffles / 6
+    document scans / 3 SinglePartition down to 4 / 2 / 2): the
+    intermediate (doc, term) tf relation is GONE — per-term feature
+    counts aggregate raw token rows directly (cnt = Σ tf by
+    definition), and per-doc weights are raw-token sums of the term's
+    lr_micro (Σ_tokens lr ≡ Σ_terms tf·lr), so the fork that previously
+    re-ran the whole scan+explode+shuffle pipeline per reference (6
+    scans — ReuseExchange cannot fire across a fork whose branches prune
+    different ReadSchemas into the scan; checkpointing tf was measured
+    SLOWER at derived sf1, 4.6 vs 3.7 s, the materialization costing
+    more than the recompute) now forks only the cheap scan+explode, 2
+    scans total. Fact exchanges: ONE — the doc-weight aggregate
+    (map-side combined to doc grain). The feature exchange carries
+    vocab-grain partials; the lr table joins back to tokens as an
+    EXPLICIT broadcast — DSIR's feature space is bounded by design (the
+    paper hashes n-gram features into a FIXED bucket space, 10k buckets,
+    independent of corpus size), so the importance-weight table is the
+    broadcast-able dimension here, and the unhinted form measured 2x
+    slower at derived sf1 (3.4 vs 1.6 s: AQE's runtime conversion lands
+    after the probe-side exchange is already scheduled). Smoothing totals
+    are a 1-row scalar off the vocab-grain feature table (allowlisted
+    SinglePartition — bounded by |vocab|, not |docs|). The doc relation
+    is lazily checkpointed at its histogram/output fork (doc-grain,
+    output-sized). The selection threshold is deliberately BUCKET-grain
     (div 1000 micro-units): the cut histogram is bounded by the WEIGHT
     RANGE / bucket width, never by |docs| — an exact per-value top-20%
-    would need a fact-scale global sort. DSIR's selection is itself a
-    sampling step, so a value-threshold with <=1-bucket slack is the
-    faithful scale-honest form (fixture: 101/500 vs the exact 100)."""
+    would need a fact-scale global sort; both cumulative frames share
+    one window spec and run in ONE WindowExec over that bounded
+    histogram. DSIR's selection is itself a sampling step, so a
+    value-threshold with <=1-bucket slack is the faithful scale-honest
+    form (fixture: 101/500 vs the exact 100). Measured at derived sf1:
+    2.0 s vs 3.7 s (old 16-shuffle form) vs DuckDB 0.78 s."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     )
-    # tf forks two ways (feature counts, per-doc weights) and feat forks two
-    # ways (smoothing totals, log-ratio projection). Deliberately NOT
-    # checkpointed: the fork-recompute costs two extra scan+aggregate passes,
-    # but the checkpoint WRITES cost more — measured at derived sf1 (min of 3
-    # fresh-plan runs): none 3.71 s, tf-only 4.47 s, both 5.42 s. The
-    # projection-pruned parquet re-scan is the cheaper side of that trade at
-    # any scale where the (doc, term) relation is fact-sized.
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.max("lang").alias("lang"), F.count(F.lit(1)).alias("tf")
-    )
-    feat = tf.groupBy("term").agg(
+    feat = toks.groupBy("term").agg(
         F.coalesce(
-            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf"))),
+            F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1))),
             F.lit(0),
-        ).alias("cnt_t"),
-        F.sum("tf").alias("cnt_s"),
+        )
+        .cast("bigint")
+        .alias("cnt_t"),
+        F.count(F.lit(1)).alias("cnt_s"),
     )
     tot = feat.agg(
         F.count(F.lit(1)).alias("v"),
@@ -513,27 +526,34 @@ def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lr_micro"),
     )
     doc = (
-        tf.join(lr, "term")
+        toks.join(F.broadcast(lr), "term")
         .groupBy("doc_id")
         .agg(
             F.max("lang").alias("lang"),
-            F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("lr_micro")).alias("lw_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("lw_micro"),
         )
+        # doc forks (histogram/threshold branch, final projection) — same
+        # pruning-defeats-ReuseExchange story; doc-grain, output-sized.
+        .localCheckpoint(eager=False)
     )
     b = F.expr(
         f"CASE WHEN lw_micro >= 0 THEN lw_micro"
         f" ELSE lw_micro - {_DSIR_BUCKET - 1} END div {_DSIR_BUCKET}"
     )
     hist = doc.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    w_desc = (
-        Window.orderBy(F.col("b").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Both cumulative frames share one window spec (same partitioning +
+    # ordering, different frames) so they compile into a SINGLE WindowExec
+    # over the bounded histogram — one SinglePartition exchange instead of
+    # the former three (two windows + the threshold aggregate, which now
+    # rides the already-single-partition window output exchange-free).
+    w_base = Window.orderBy(F.col("b").desc())
+    w_desc = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = hist.select(
         "b",
         F.sum("c").over(w_desc).alias("cum_c"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(w_all).alias("n"),
     )
     thr = (
         cum.filter(F.col("cum_c") * 5 >= F.col("n"))

@@ -57,6 +57,18 @@ _GATED = [
     "txt9_unigram_logprob",
     "txt10_lang_consistency",
     "w4_moving_avg",
+    # round-8/9/9b heavyweights (VERDICT r9 task 5): the most expensive
+    # plans in PLAN_AUDIT regress silently unless the gate re-derives
+    # them — a gained shuffle/SMJ/cartesian here fails the suite, not a
+    # future bench round.
+    "llm18_quality_gate",
+    "llm19_semdedup",
+    "llm20_dsir_selection",
+    "dd10_prefix_filter_join",
+    "dd11_topk_similar",
+    "sim10_ivf_pq_topk",
+    "g15_last_touch_attribution",
+    "txt18_source_divergence",
 ]
 
 

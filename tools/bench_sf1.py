@@ -40,9 +40,14 @@ import duckdb
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SF1_DIR = os.path.join(ROOT, ".bench_sf1")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = 10
+# BENCH_SF1_REPLICAS=100 derives an sf10 decade (same replica-stride /
+# token-salt discipline — each decade is disjoint copies, a true
+# scale-up); the fixture dir is suffixed so decades coexist.
+REPLICAS = int(os.environ.get("BENCH_SF1_REPLICAS", "10"))
+SF1_DIR = os.path.join(
+    ROOT, ".bench_sf1" if REPLICAS == 10 else f".bench_sf1_x{REPLICAS}"
+)
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 QUERIES = [
@@ -146,7 +151,7 @@ def main() -> int:
         }
         print(name, out[name], file=sys.stderr, flush=True)
 
-    print(json.dumps({"sf": 1.0, "replicas": REPLICAS, "queries": out}))
+    print(json.dumps({"sf": REPLICAS / 10, "replicas": REPLICAS, "queries": out}))
     return 0
 
 
