@@ -388,6 +388,11 @@ def cooccurrence_jaccard(
         per_group.select(F.explode("__items").alias("__item"))
         .groupBy("__item")
         .agg(F.count(F.lit(1)).alias("__d"))
+        # deg forks into the src- and dst-side broadcast builds; their
+        # differing aliases defeat ReuseExchange, so without this the
+        # explode+degree aggregate runs twice (measured: the bucketed
+        # layout showed 3 runtime exchanges instead of 2).
+        .localCheckpoint(eager=False)
     )
     # double-explode pair generation — see cooccurrence_adamic_adar for
     # the measured rationale vs the nested-HOF form

@@ -213,6 +213,11 @@ def txt18_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import tv_distance_from_counts
 
     docs = _t(spark, sf_dir, "documents")
+    # NOT _spread: the explode+count fact pass is this whole query, and
+    # an up-front repartition of the fat text column measured strictly
+    # slower in the fresh-plan protocol (sf10 decade: 2.06 -> 2.73 s) —
+    # the wire cost of moving the corpus exceeds the map-parallelism
+    # gain; the 15-split scan keeps the cores busy enough.
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
     st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_s"))
     return tv_distance_from_counts(st)

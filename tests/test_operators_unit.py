@@ -300,6 +300,48 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_cooccurrence_on_bucketed_layout_single_exchange(spark):
+    """The documented production layout for the co-occurrence family
+    (g11/g13, BASELINE.md): the fact bucketed by the group key. The
+    per-group collect_set aggregate must then plan ZERO exchanges, so
+    adamic-adar's whole plan carries exactly ONE shuffle (the pair
+    aggregation) — the claim the r9 verdict asked to make CI-visible
+    (task 4), asserted here instead of in a bench note. Results must be
+    identical to the unbucketed path."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.bucketing import write_bucketed
+    from com_danliris_service_etl_spark.operators.graph import (
+        cooccurrence_adamic_adar,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS bkt_cooc")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    write_bucketed(li, "bkt_cooc", ["l_orderkey"], n_buckets=4)
+    try:
+        bucketed = cooccurrence_adamic_adar(
+            spark.table("bkt_cooc"), "l_orderkey", "l_partkey", min_common=2
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bucketed.explain("formatted")
+        plan = buf.getvalue()
+        shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+        assert shuffles == 1, f"expected 1 shuffle on bucketed layout:\n{plan}"
+
+        plain = cooccurrence_adamic_adar(li, "l_orderkey", "l_partkey", min_common=2)
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_cooc")
+
+
 def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     """The broadcast sorted-array fast path must produce the same rows as
     the union-sort default across direction/exactness, including the

@@ -151,6 +151,74 @@ def main() -> int:
         }
         print(name, out[name], file=sys.stderr, flush=True)
 
+    # --- bucketed-layout arm (VERDICT r9 task 4) -------------------------
+    # BENCH_SF1_BUCKETED=1 measures g11/g13 over the DOCUMENTED production
+    # layout: the fact bucketed by the group key (ops/bucketing.py), where
+    # the per-group collect_set aggregate plans ZERO exchanges — the
+    # shuffle was paid once at write time and is amortized over every
+    # query against the layout (SCALE.md). The write is setup, untimed
+    # (at 100 TB the table is bucketed by design); the DuckDB side is the
+    # identical oracle (same relation content). Each Spark plan is
+    # asserted to carry exactly ONE shuffle (the pair aggregation).
+    if os.environ.get("BENCH_SF1_BUCKETED"):
+        import contextlib
+        import io
+
+        from com_danliris_service_etl_spark.operators.bucketing import (
+            write_bucketed,
+        )
+        from com_danliris_service_etl_spark.operators.graph import (
+            cooccurrence_adamic_adar,
+            cooccurrence_jaccard,
+        )
+
+        li = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        tbl = f"bench_li_bkt_x{REPLICAS}"
+        # a fresh session's metastore doesn't know a prior run's managed
+        # table, so overwrite can't reclaim the warehouse dir — clear it
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(ROOT, "spark-warehouse", tbl), ignore_errors=True
+        )
+        write_bucketed(li, tbl, ["l_orderkey"], n_buckets=32)
+        ops = {
+            "g11_adamic_adar": lambda d: cooccurrence_adamic_adar(
+                d, "l_orderkey", "l_partkey", min_common=2
+            ),
+            "g13_jaccard_neighbors": lambda d: cooccurrence_jaccard(
+                d, "l_orderkey", "l_partkey", min_common=2
+            ),
+        }
+        for name, op in ops.items():
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                op(spark.table(tbl)).explain("formatted")
+            plan = buf.getvalue()
+            shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+            op(spark.table(tbl)).count()  # warm
+            s_times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                op(spark.table(tbl)).count()
+                s_times.append(time.perf_counter() - t0)
+            _, sql = registry[name]
+            con.execute(sql).fetchall()
+            d_times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                d_times.append(time.perf_counter() - t0)
+            out[f"{name}@bucketed"] = {
+                "spark_sec": round(min(s_times), 3),
+                "duckdb_sec": round(min(d_times), 3),
+                "ratio": round(min(s_times) / min(d_times), 2),
+                "shuffles": shuffles,
+            }
+            print(name, "@bucketed", out[f"{name}@bucketed"], file=sys.stderr, flush=True)
+
     print(json.dumps({"sf": REPLICAS / 10, "replicas": REPLICAS, "queries": out}))
     return 0
 
