@@ -67,8 +67,11 @@ if os.environ.get("BENCH_SF1_QUERIES"):
 
 
 def generate() -> None:
-    if os.path.isdir(SF1_DIR) and os.path.exists(
-        os.path.join(SF1_DIR, "documents.parquet")
+    # per-table guard so a fixture built before a table was added to the
+    # derivation (events landed in r10) is upgraded in place
+    if all(
+        os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
+        for t in ("lineitem", "documents", "events")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -86,6 +89,27 @@ def generate() -> None:
                  l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM li CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
         ) TO '{SF1_DIR}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{SRC}/events.parquet'")
+    se, su = con.execute(
+        "SELECT max(event_id) + 1, max(user_id) + 1 FROM e"
+    ).fetchone()
+    # events: user_id AND event_id strided per replica so sessions,
+    # per-user windows, and attribution chains stay disjoint across
+    # replicas (10x users, 10x events, per-user behavior unchanged —
+    # a true scale-up; replicating under the SAME users would densify
+    # every user's timeline 10x, a different workload). ts is kept:
+    # time-bucketed aggregates see 10x rows per bucket, which is what
+    # growth looks like.
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + r.r * {se} AS event_id, ts,
+                 user_id + r.r * {su} AS user_id,
+                 event_type, value, props
+          FROM e CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/events.parquet' (FORMAT parquet)
         """
     )
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{SRC}/documents.parquet'")
@@ -122,7 +146,7 @@ def main() -> int:
     ).count().collect()
 
     con = duckdb.connect()
-    for t in ("lineitem", "documents"):
+    for t in ("lineitem", "documents", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
 
     out: dict[str, dict] = {}
