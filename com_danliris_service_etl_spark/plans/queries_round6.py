@@ -214,9 +214,18 @@ def st8_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a live heavy-hitter monitor viable where exact counts grow with the
     vocabulary). Cell sums are associative, so micro-batch folding lands
     on this identical grid; tests/test_streaming.py pins stream ≡
-    batch, and integer counts make the oracle bit-exact."""
+    batch, and integer counts make the oracle bit-exact.
+
+    Built in ROLLUP form (the sk3 lesson, promoted here in r10 after the
+    events-decade measurement caught the raw form at 9.8x the oracle):
+    aggregate exact per-token counts first — ONE map-side-combined fact
+    exchange that reduces the corpus to vocabulary grain — then md5-hash
+    only the vocabulary into cells. Identical grid by associativity of
+    cell sums; the corpus-scale double-md5 projection (2·|tokens| digest
+    calls, the measured bottleneck) becomes 2·|vocab|."""
     docs = _t(spark, sf_dir, "documents")
-    return countmin_sketch(tokens_of(docs), width=256, depth=2)
+    tf = tokens_of(docs).groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    return countmin_sketch(tf, width=256, depth=2, counts_col="__tf")
 
 
 # ---------------------------------------------------------------------------
