@@ -1,0 +1,281 @@
+"""Round-10 additions: Gopher-style repetition quality stats and
+reciprocal-rank-fusion hybrid retrieval — two canonical LLM-corpus
+operators (Rae et al. 2021 §A1.1 repetition filters; Cormack et al. 2009
+RRF) the registry did not yet cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from com_danliris_service_etl_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# LLM21 — per-document repetition stats (Gopher quality rules)
+# ---------------------------------------------------------------------------
+
+# Thresholds in exact integer micro-shares (value * 1e6, floor division):
+# chosen to SPLIT the fixture distribution (dup_token_frac spans 0–0.72,
+# top-bigram share 0.01–0.17 at sf0.01) so both flag outcomes occur —
+# an all-true/all-false detector can hide a broken comparison.
+_DUP_MICRO = 550_000
+_BG_MICRO = 80_000
+_TG_MICRO = 60_000
+
+_LLM21_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         len(tk)::BIGINT AS n_tokens,
+         len(list_distinct(tk))::BIGINT AS nd,
+         list_max(list_transform(
+           list_distinct(list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1])),
+           x -> len(list_filter(
+                  list_transform(range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1]),
+                  y -> y = x))))::BIGINT AS bg_cnt,
+         list_max(list_transform(
+           list_distinct(list_transform(range(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])),
+           x -> len(list_filter(
+                  list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                  y -> y = x))))::BIGINT AS tg_cnt
+  FROM t WHERE len(tk) >= 3)
+SELECT doc_id, n_tokens,
+       ((n_tokens - nd) * 1000000) // n_tokens AS dup_token_micro,
+       (bg_cnt * 1000000) // (n_tokens - 1) AS top_bigram_micro,
+       (tg_cnt * 1000000) // (n_tokens - 2) AS top_trigram_micro,
+       (((n_tokens - nd) * 1000000) // n_tokens > {_DUP_MICRO}
+        OR (bg_cnt * 1000000) // (n_tokens - 1) > {_BG_MICRO}
+        OR (tg_cnt * 1000000) // (n_tokens - 2) > {_TG_MICRO}) AS is_repetitive
+FROM s
+"""
+
+
+@register("llm21_repetition_stats", _LLM21_SQL)
+def llm21_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the MassiveText quality rules): per doc, the
+    duplicate-token fraction and the share of the single most frequent
+    bigram/trigram, plus the keep/drop flag. Repetition is the classic
+    LLM-corpus failure mode (boilerplate loops, template spam) that
+    doc-level dedup cannot catch because the duplication is INSIDE one
+    document.
+
+    Scale shape: ZERO shuffles — every statistic is row-local (the doc's
+    own token array), so the whole query is one scan projection inside
+    whole-stage codegen, embarrassingly parallel at any corpus size.
+    The per-row max-frequency fold is O(distinct × n) per doc, bounded
+    by the document length — the global explode+groupBy alternative
+    would shuffle the corpus to answer a per-row question. (Contrast
+    txt5/txt18, where the tf relation is genuinely global: there the
+    explode+hash-aggregate IS the right shape and row-local tf measured
+    slower — the difference is output grain, per-doc here vs per-term
+    there.)
+
+    Exactness: all three shares are integer micro-units via floor
+    division of exact longs ((cnt * 1e6) div denom, numerators
+    non-negative so div == floor in both engines) — no float compare
+    anywhere, flags included."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        "array_max(transform(array_distinct({g}), x -> "
+        "size(filter({g}, y -> y = x))))"
+    )
+    bg = (
+        "transform(sequence(0, size(tk) - 2), "
+        "i -> concat(tk[i], ' ', tk[i + 1]))"
+    )
+    tg = (
+        "transform(sequence(0, size(tk) - 3), "
+        "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))"
+    )
+    s = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("tk")).cast("bigint").alias("nd"),
+            F.expr(grams.format(g=bg)).cast("bigint").alias("bg_cnt"),
+            F.expr(grams.format(g=tg)).cast("bigint").alias("tg_cnt"),
+        )
+    )
+    dup = F.expr("((n_tokens - nd) * 1000000) div n_tokens")
+    bgm = F.expr("(bg_cnt * 1000000) div (n_tokens - 1)")
+    tgm = F.expr("(tg_cnt * 1000000) div (n_tokens - 2)")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_token_micro"),
+        bgm.alias("top_bigram_micro"),
+        tgm.alias("top_trigram_micro"),
+        (
+            (dup > _DUP_MICRO) | (bgm > _BG_MICRO) | (tgm > _TG_MICRO)
+        ).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIM11 — reciprocal-rank-fusion hybrid retrieval (dense ∪ lexical)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RETR_K = 5
+_N_QUERIES = 10
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> {a}[i] * {b}[i])),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _sim11_sql() -> str:
+    dot_qc = _FOLD_DOT.format(a="q.e", b="c.e")
+    n_q = _FOLD_DOT.format(a="q.e", b="q.e")
+    n_c = _FOLD_DOT.format(a="c.e", b="c.e")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dense AS (
+  SELECT query_id, neighbor_id, rd FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({dot_qc} / (sqrt({n_q}) * sqrt({n_c})), 6) DESC,
+                                       c.vec_id) AS rd
+    FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id)
+  WHERE rd <= {_RETR_K}),
+arrs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS arr
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  WHERE len(tk) >= 3),
+lex AS (
+  SELECT query_id, neighbor_id, rl FROM (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.doc_id
+                              ORDER BY round(
+                                len(list_intersect(q.arr, c.arr))::DOUBLE
+                                / (len(q.arr) + len(c.arr)
+                                   - len(list_intersect(q.arr, c.arr))), 6) DESC,
+                                       c.doc_id) AS rl
+    FROM arrs q JOIN arrs c ON q.doc_id < {_N_QUERIES} AND q.doc_id <> c.doc_id)
+  WHERE rl <= {_RETR_K}),
+fused AS (
+  SELECT query_id, neighbor_id, rd AS rank_dense, rl AS rank_lex,
+         round(coalesce(1.0::DOUBLE / ({_RRF_K} + rd), 0.0)
+               + coalesce(1.0::DOUBLE / ({_RRF_K} + rl), 0.0), 6) AS rrf_score
+  FROM dense FULL JOIN lex USING (query_id, neighbor_id))
+SELECT query_id, neighbor_id, rank_dense, rank_lex, rrf_score,
+       fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id)
+               AS fused_rank
+      FROM fused)
+WHERE fused_rank <= {_RETR_K}
+"""
+
+
+@register("sim11_rrf_hybrid", _sim11_sql())
+def sim11_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009): fuse a DENSE ranking (embedding cosine top-k,
+    ops/similarity.py::brute_force_topk — the aligned embeddings table)
+    with a LEXICAL ranking (exact 3-shingle Jaccard top-k over the same
+    documents) by rrf = Σ 1/(60 + rank), the standard hybrid-search
+    combiner that needs no score calibration between systems.
+
+    Scale shape: the query set is bounded (the sim-family convention),
+    so BOTH rankers broadcast the queries and stream the corpus once —
+    no corpus shuffle; per-query top-k is a window partitioned by query.
+    The fusion itself touches only |Q|·2k rank rows (a full outer join
+    on (query, candidate) + coalesce — missing side contributes 0). At
+    real scale each ranker swaps in its candidate-generation variant
+    (LSH/IVF for dense — sim2/sim4; prefix-filter or LSH for lexical —
+    dd10/dd11) and the fusion tail is UNCHANGED — rank lists are the
+    interface, which is RRF's whole point.
+
+    Exactness: both rankings order by 6dp-rounded scores with candidate
+    id as total-order tiebreak; rrf adds two IEEE doubles in a fixed
+    order then rounds 6dp — engine-identical."""
+    from pyspark.sql import Window
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_RETR_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank_dense"),
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 3),"
+                    " i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
+                )
+            ).alias("arr"),
+        )
+    )
+    q = arrs.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("arr").alias("q_arr")
+    )
+    inter = F.size(F.array_intersect("q_arr", "arr"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("q_arr") + F.size("arr") - inter),
+        6,
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("__jac").desc(), F.col("neighbor_id")
+    )
+    lex = (
+        arrs.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            jac.alias("__jac"),
+        )
+        .withColumn("rank_lex", F.row_number().over(w_lex).cast("bigint"))
+        .filter(F.col("rank_lex") <= _RETR_K)
+        .select("query_id", "neighbor_id", "rank_lex")
+    )
+
+    fused = dense.join(lex, ["query_id", "neighbor_id"], "full").select(
+        "query_id",
+        "neighbor_id",
+        "rank_dense",
+        "rank_lex",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_f).cast("bigint")
+        )
+        .filter(F.col("fused_rank") <= _RETR_K)
+    )
