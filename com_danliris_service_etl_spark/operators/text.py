@@ -969,6 +969,25 @@ def bpe_train(
     symbol total. Counts are exact integers; the argmax total order is
     (count desc, a, b)."""
     spark = docs.sparkSession
+    out_rows = []
+    n_syms = "size(filter(split(w, '  '), x -> x <> ''))"
+    for step, a, b, cnt, state in _bpe_steps(docs, iterations, text_col):
+        symbols_after = int(
+            state.agg(F.sum(F.col("freq") * F.expr(n_syms))).collect()[0][0]
+        )
+        out_rows.append((step, a + b, cnt, symbols_after))
+    return spark.createDataFrame(
+        out_rows, "step int, merged string, pair_count bigint, symbols_after bigint"
+    )
+
+
+def _bpe_steps(docs: DataFrame, iterations: int, text_col: str):
+    """Shared BPE training loop (bpe_train reports per-step stats;
+    bpe_encode consumes only the learned (a, b) merges): yields
+    (step, a, b, pair_count, post-merge vocab state) per iteration.
+    One map-side-combinable corpus shuffle builds the (word, freq)
+    vocabulary, lazily checkpointed and reused by every iteration; the
+    driver collects exactly ONE argmax row per step."""
     words = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).filter(F.length("word") >= 2)
@@ -988,9 +1007,7 @@ def bpe_train(
         f" i -> struct(element_at({syms}, i) AS a, try_element_at({syms}, i + 1) AS b)),"
         " p -> p.b IS NOT NULL)"
     )
-    n_syms = f"size({syms})"
 
-    out_rows = []
     for step in range(1, iterations + 1):
         top = (
             state.select("freq", F.explode(F.expr(pair_structs)).alias("p"))
@@ -1001,18 +1018,75 @@ def bpe_train(
             .collect()
         )
         if not top:
-            break
+            return
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         state = state.select(
             F.replace(F.col("w"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")).alias("w"),
             "freq",
         ).localCheckpoint(eager=False)
-        symbols_after = int(
-            state.agg(F.sum(F.col("freq") * F.expr(n_syms))).collect()[0][0]
+        yield step, a, b, cnt, state
+
+
+def bpe_encode(
+    docs: DataFrame,
+    iterations: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a just-trained BPE merge table — the
+    APPLY half of the Sennrich et al. 2016 pipeline (:func:`bpe_train`
+    reports the training trajectory; this encodes every document with
+    the learned merges and reports per-doc token accounting: words,
+    pre-merge symbols (= characters), post-merge tokens, and the exact
+    integer compression micro-ratio).
+
+    Scale shape: training collects one bounded argmax row per step (the
+    `_bpe_steps` contract); the ENCODE is then a pure row-local scan
+    projection — the learned merges are string literals folded into a
+    chained replace() inside a per-word transform, so tokenizing 100 TB
+    is embarrassingly parallel with ZERO shuffles after the (vocab-
+    grain) training pass. Greedy merge application is exact via the
+    double-space symbol representation (see :func:`bpe_train`); chained
+    replaces apply merges in training order, which IS BPE encoding.
+
+    Merge symbols are asserted to be quote/backslash-free before being
+    folded into the expression — the corpus contract (whitespace-
+    tokenized words) guarantees it; a corpus violating it fails loudly
+    rather than generating a malformed expression."""
+    merges = [(a, b) for _s, a, b, _c, _st in _bpe_steps(docs, iterations, text_col)]
+    for a, b in merges:
+        if any(ch in a + b for ch in ("'", "\\")):
+            raise ValueError(f"BPE merge symbols must be quote-free: {(a, b)!r}")
+    applied = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
+    for a, b in merges:
+        applied = f"replace({applied}, ' {a}  {b} ', ' {a}{b} ')"
+    tok_count = f"size(filter(split({applied}, '  '), x -> x <> ''))"
+    return (
+        docs.select(
+            id_col,
+            F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__ws"),
         )
-        out_rows.append((step, a + b, cnt, symbols_after))
-    return spark.createDataFrame(
-        out_rows, "step int, merged string, pair_count bigint, symbols_after bigint"
+        .select(
+            id_col,
+            F.size("__ws").cast("bigint").alias("n_words"),
+            F.expr(
+                "aggregate(__ws, cast(0 AS BIGINT), (acc, w) -> acc + length(w))"
+            ).alias("n_chars"),
+            F.expr(
+                f"aggregate(__ws, cast(0 AS BIGINT), (acc, w) -> acc + {tok_count})"
+            ).alias("n_tokens"),
+        )
+        # an empty/whitespace-only text has zero chars — drop it before
+        # the ratio (ANSI div would abort the job on the fixture that
+        # finally contains one)
+        .filter(F.col("n_chars") > 0)
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_chars").alias("compression_micro"),
+        )
     )
 
 

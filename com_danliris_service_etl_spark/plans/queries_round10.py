@@ -279,3 +279,59 @@ def sim11_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rank") <= _RETR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# TXT20 — BPE corpus encoding (apply the learned merges to every document)
+# ---------------------------------------------------------------------------
+
+
+def _txt20_sql(iterations: int = 3) -> str:
+    from com_danliris_service_etl_spark.plans.queries_round9b import (
+        _bpe_cte_prefix,
+    )
+
+    applied = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for k in range(1, iterations + 1):
+        applied = (
+            f"replace({applied},"
+            f" ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',"
+            f" ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ')"
+        )
+    return f"""{_bpe_cte_prefix(iterations)},
+docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+enc AS (SELECT doc_id,
+               length(word)::BIGINT AS chars,
+               len(list_filter(string_split({applied}, '  '),
+                               x -> x <> ''))::BIGINT AS toks
+        FROM docw WHERE word <> '')
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       (CAST(sum(toks) AS BIGINT) * 1000000) // CAST(sum(chars) AS BIGINT)
+         AS compression_micro
+FROM enc GROUP BY doc_id HAVING sum(chars) > 0
+"""
+
+
+@register("txt20_bpe_encode", _txt20_sql())
+def txt20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus ENCODING (ops/text.py::bpe_encode) — the apply half of
+    the tokenizer pipeline txt19 trains: every document tokenized with
+    the 3 learned merges, reporting per-doc words, pre-merge symbols
+    (characters), post-merge tokens, and the exact integer compression
+    micro-ratio. Train→apply is the operation an LLM data pipeline runs
+    on the whole corpus once the tokenizer is fixed.
+
+    Scale shape: training collects one bounded argmax row per step; the
+    encode itself is a ZERO-shuffle row-local scan projection — the
+    merges are string literals folded into a chained replace() inside a
+    per-word fold, so tokenizing 100 TB is embarrassingly parallel. The
+    oracle re-derives the same merges as training CTEs (shared with
+    txt19 via _bpe_cte_prefix) and applies the same chained replace —
+    greedy merge application is exact in both engines via the
+    double-space symbol representation (see bpe_train)."""
+    from com_danliris_service_etl_spark.operators.text import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), iterations=3)

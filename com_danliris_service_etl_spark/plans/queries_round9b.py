@@ -578,7 +578,10 @@ def llm20_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _llm_bpe_sql(iterations: int = 3) -> str:
+def _bpe_cte_prefix(iterations: int = 3) -> str:
+    """The words/vocab/s0 + (p_k, m_k, s_k) training CTE chain shared by
+    txt19 (training trajectory) and txt20 (corpus encode) oracles — m_k
+    holds step k's merged (a, b) pair, s_k the post-merge vocab state."""
     pair_cte = """
 p{k} AS (SELECT t.syms[i] AS a, t.syms[i + 1] AS b,
                 CAST(sum(t.freq) AS BIGINT) AS cnt
@@ -591,21 +594,25 @@ s{k} AS (SELECT replace(w, ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM
                            ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ') AS w,
                 freq
          FROM s{prev})"""
-    out_sel = """
-SELECT {k} AS step, (SELECT a || b FROM m{k}) AS merged,
-       (SELECT cnt FROM m{k}) AS pair_count,
-       (SELECT CAST(sum(freq * len(list_filter(string_split(w, '  '), x -> x <> '')))
-               AS BIGINT) FROM s{k}) AS symbols_after"""
     ctes = "".join(
         "," + pair_cte.format(k=k, prev=k - 1) for k in range(1, iterations + 1)
     )
-    sels = "\nUNION ALL".join(out_sel.format(k=k) for k in range(1, iterations + 1))
     return f"""
 WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
 vocab AS (SELECT word, count(*)::BIGINT AS freq FROM words
           WHERE length(word) >= 2 GROUP BY word),
 s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w, freq
-       FROM vocab){ctes}
+       FROM vocab){ctes}"""
+
+
+def _llm_bpe_sql(iterations: int = 3) -> str:
+    out_sel = """
+SELECT {k} AS step, (SELECT a || b FROM m{k}) AS merged,
+       (SELECT cnt FROM m{k}) AS pair_count,
+       (SELECT CAST(sum(freq * len(list_filter(string_split(w, '  '), x -> x <> '')))
+               AS BIGINT) FROM s{k}) AS symbols_after"""
+    sels = "\nUNION ALL".join(out_sel.format(k=k) for k in range(1, iterations + 1))
+    return f"""{_bpe_cte_prefix(iterations)}
 {sels}
 """
 

@@ -77,3 +77,32 @@ def test_sim11_rrf_math_and_shape(spark):
             expected += 1.0 / (60 + r.rank_lex)
         assert abs(r.rrf_score - round(expected, 6)) < 1e-9
         assert r.rank_dense is not None or r.rank_lex is not None
+
+
+def test_bpe_encode_hand_corpus(spark):
+    """Encode pins on the low/lower hand corpus: with merges learned from
+    the same corpus, every doc's token count must equal the hand-derived
+    post-merge symbol count, and compression is exact integer micro."""
+    from com_danliris_service_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower"), (2, "newest widest")],
+        "doc_id long, text string",
+    )
+    steps = {r.step: r.merged for r in bpe_train(docs, iterations=2).collect()}
+    out = {r.doc_id: r for r in bpe_encode(docs, iterations=2).collect()}
+
+    d1, d2 = out[1], out[2]
+    assert d1.n_words == 5 and d1.n_chars == 3 * 3 + 5 * 2
+    assert d2.n_words == 2 and d2.n_chars == 6 + 6
+    # merges are learned on the corpus vocabulary: 'lo' (freq low*3 +
+    # lower*2 = 5) then 'low' — so 'low' encodes to 1 token, 'lower' to 3
+    assert steps[1] == "lo" and steps[2] == "low"
+    assert d1.n_tokens == 3 * 1 + 2 * 3
+    # 'newest'/'widest' contain no learned pair: chars = tokens
+    assert d2.n_tokens == 12
+    assert d2.compression_micro == 1_000_000
+    assert d1.compression_micro == (d1.n_tokens * 1_000_000) // d1.n_chars
