@@ -71,24 +71,59 @@ def generate() -> None:
     # derivation (events landed in r10) is upgraded in place
     if all(
         os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
-        for t in ("lineitem", "documents", "events")
+        for t in ("lineitem", "documents", "events", "orders", "supplier")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW li AS SELECT * FROM '{SRC}/lineitem.parquet'")
-    so, sp = con.execute(
-        "SELECT max(l_orderkey) + 1, max(l_partkey) + 1 FROM li"
-    ).fetchone()
+    con.execute(f"CREATE VIEW o AS SELECT * FROM '{SRC}/orders.parquet'")
+    con.execute(f"CREATE VIEW su AS SELECT * FROM '{SRC}/supplier.parquet'")
+    # Strides are UNIFIED across tables sharing a key space, so FK joins
+    # stay consistent within each replica and disjoint across replicas:
+    # lineitem↔orders on the orderkey stride, lineitem↔supplier on the
+    # suppkey stride. Nation/region are fixed-cardinality dimensions —
+    # scaling them would misrepresent the workload, so customer/supplier
+    # nationkeys stay in the base range and join the shared dims.
+    so = con.execute(
+        "SELECT greatest((SELECT max(l_orderkey) FROM li),"
+        " (SELECT max(o_orderkey) FROM o)) + 1"
+    ).fetchone()[0]
+    sp = con.execute("SELECT max(l_partkey) + 1 FROM li").fetchone()[0]
+    ss = con.execute(
+        "SELECT greatest((SELECT max(l_suppkey) FROM li),"
+        " (SELECT max(s_suppkey) FROM su)) + 1"
+    ).fetchone()[0]
+    sc = con.execute("SELECT max(o_custkey) + 1 FROM o").fetchone()[0]
     con.execute(
         f"""
         COPY (
           SELECT l_orderkey + r.r * {so} AS l_orderkey,
                  l_partkey + r.r * {sp} AS l_partkey,
-                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_suppkey + r.r * {ss} AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice,
                  l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM li CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
         ) TO '{SF1_DIR}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + r.r * {so} AS o_orderkey,
+                 o_custkey + r.r * {sc} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM o CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT s_suppkey + r.r * {ss} AS s_suppkey,
+                 s_name, s_nationkey, s_acctbal
+          FROM su CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/supplier.parquet' (FORMAT parquet)
         """
     )
     con.execute(f"CREATE VIEW e AS SELECT * FROM '{SRC}/events.parquet'")
@@ -146,7 +181,7 @@ def main() -> int:
     ).count().collect()
 
     con = duckdb.connect()
-    for t in ("lineitem", "documents", "events"):
+    for t in ("lineitem", "documents", "events", "orders", "supplier"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
 
     out: dict[str, dict] = {}
