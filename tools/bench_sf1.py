@@ -71,7 +71,8 @@ def generate() -> None:
     # derivation (events landed in r10) is upgraded in place
     if all(
         os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
-        for t in ("lineitem", "documents", "events", "orders", "supplier")
+        for t in ("lineitem", "documents", "events", "orders", "supplier",
+                  "embeddings")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -147,6 +148,29 @@ def generate() -> None:
         ) TO '{SF1_DIR}/events.parquet' (FORMAT parquet)
         """
     )
+    # embeddings cannot scale by replication (replicated vectors are exact
+    # twins — the tools/bench_llm19_sf1.py argument): derive a 10x set of
+    # DETERMINISTIC md5-seeded uniform vectors instead, same dim/scale,
+    # float32 like the source table, labels cycling the base alphabet.
+    # Near-dup density drops vs the organic fixture (uniform vectors
+    # rarely collide), so this measures the candidate-generation stages
+    # at scale, not the cluster tail — the same trade llm19's pairing
+    # makes.
+    n_emb, dim = con.execute(
+        f"SELECT count(*), max(len(embedding)) FROM '{SRC}/embeddings.parquet'"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT v.vec_id,
+                 list_transform(range(0, {dim}),
+                   i -> CAST((CAST(('0x' || substring(md5(v.vec_id || '_' || i), 1, 8)) AS BIGINT)
+                         % 1000000) / 1000000.0 - 0.5 AS FLOAT)) AS embedding,
+                 CAST(v.vec_id % 10 AS INT) AS label
+          FROM (SELECT unnest(range({n_emb} * {REPLICAS})) AS vec_id) v
+        ) TO '{SF1_DIR}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
     con.execute(f"CREATE VIEW d AS SELECT * FROM '{SRC}/documents.parquet'")
     sd = con.execute("SELECT max(doc_id) + 1 FROM d").fetchone()[0]
     con.execute(
@@ -181,7 +205,8 @@ def main() -> int:
     ).count().collect()
 
     con = duckdb.connect()
-    for t in ("lineitem", "documents", "events", "orders", "supplier"):
+    for t in ("lineitem", "documents", "events", "orders", "supplier",
+              "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
 
     out: dict[str, dict] = {}
