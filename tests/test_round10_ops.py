@@ -106,3 +106,59 @@ def test_bpe_encode_hand_corpus(spark):
     assert d2.n_tokens == 12
     assert d2.compression_micro == 1_000_000
     assert d1.compression_micro == (d1.n_tokens * 1_000_000) // d1.n_chars
+
+
+# ---------------------------------------------------------------------------
+# property tests: llm21 vs a pure-Python recompute on random corpora
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcX", min_size=1, max_size=3)
+_doc = st.lists(_token, min_size=3, max_size=25)
+
+
+@_SETTINGS
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_llm21_matches_python_recompute(spark, docs):
+    """Random small-alphabet corpora (engineered for heavy repetition and
+    ties) must match an independent Python recompute exactly — integers
+    everywhere, so no tolerance."""
+    import com_danliris_service_etl_spark.plans.queries_round10 as r10
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (
+                r.n_tokens,
+                r.dup_token_micro,
+                r.top_bigram_micro,
+                r.top_trigram_micro,
+                r.is_repetitive,
+            )
+            for r in r10.llm21_repetition_stats(spark, d).collect()
+        }
+
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        dup = ((n - len(set(toks))) * 1_000_000) // n
+        bg = Counter(zip(toks, toks[1:])).most_common(1)[0][1]
+        tg = Counter(zip(toks, toks[1:], toks[2:])).most_common(1)[0][1]
+        bgm = (bg * 1_000_000) // (n - 1)
+        tgm = (tg * 1_000_000) // (n - 2)
+        rep = dup > 550_000 or bgm > 80_000 or tgm > 60_000
+        assert got[i] == (n, dup, bgm, tgm, rep), (i, toks)
