@@ -1094,3 +1094,115 @@ def run_streaming_source_divergence(
     )
 
     return tv_distance_from_counts(spark.table(query_name))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #4: bounded-state quota sampling
+# ---------------------------------------------------------------------------
+
+QUOTA_OUT_SCHEMA = (
+    "lang string, source string, doc_id bigint, sample_rank int, seen bigint"
+)
+QUOTA_STATE_SCHEMA = "seen bigint, hashes array<string>, ids array<bigint>"
+QUOTA_CAP = 50
+
+
+def _quota_sample_fn_factory(cap: int):
+    """Streaming twin of ops/sampling.py::quota_per_group: keyed state per
+    (lang, source) stratum is the cap smallest (md5(doc_id), doc_id)
+    pairs plus a seen-counter — O(cap) per stratum REGARDLESS of stream
+    length, the bounded-state property that lets a training pipeline
+    sample a firehose it can never hold. Because the kept set is defined
+    by a deterministic hash RANK (not arrival order or randomness), the
+    micro-batch fold converges to exactly the batch operator's sample:
+    merging two top-cap pools and re-truncating is associative, so the
+    final state equals the top-cap of the whole bounded stream —
+    stream ≡ batch is an identity, not an approximation, and a replayed
+    doc_id is idempotent (same hash, deduped on id).
+
+    Each invocation emits the stratum's CURRENT sample tagged with the
+    monotone `seen` counter; the update-mode memory sink retains every
+    batch's emissions, so the drain keeps each stratum's max-seen rows —
+    the documented retention-dedup pattern (a displaced doc from an
+    earlier batch disappears from later emissions, which an append-mode
+    sink could not express)."""
+
+    def fn(key, pdf_iter, state):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            seen, hashes, ids = state.get
+            pool = dict(zip(ids, hashes))
+        else:
+            seen, pool = 0, {}
+        for pdf in pdf_iter:
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seen += 1
+                if did not in pool:
+                    pool[did] = hashlib.md5(str(did).encode()).hexdigest()
+        kept = sorted(((h, i) for i, h in pool.items()))[:cap]
+        state.update(
+            (seen, [h for h, _ in kept], [i for _, i in kept])
+        )
+        lang, source = key
+        yield pd.DataFrame(
+            [
+                (lang, source, i, rk + 1, seen)
+                for rk, (_h, i) in enumerate(kept)
+            ],
+            columns=["lang", "source", "doc_id", "sample_rank", "seen"],
+        )
+
+    return fn
+
+
+def run_streaming_quota_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "quota_stream",
+    cap: int = QUOTA_CAP,
+) -> DataFrame:
+    """Drive the bounded-state quota sampler over the document stream and
+    drain the FINAL sample: (doc_id, lang, source, sample_rank) — the
+    same columns ops/sampling.py::quota_per_group emits, pinned equal in
+    tests. Drain takes each stratum's max-`seen` emission (the monotone
+    retention-dedup pattern; `seen` strictly increases per invocation,
+    and a stratum absent from a batch emits nothing)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = _stream_table(spark, documents_schema(), sf_dir, "documents")
+    sampled = (
+        raw.select("lang", "source", "doc_id")
+        .groupBy("lang", "source")
+        .applyInPandasWithState(
+            _quota_sample_fn_factory(cap),
+            outputStructType=QUOTA_OUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        sampled.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(query_name)
+    latest = drained.groupBy(
+        F.col("lang").alias("__l"), F.col("source").alias("__s")
+    ).agg(F.max("seen").alias("__max_seen"))
+    return (
+        drained.join(
+            latest,
+            (F.col("lang") == F.col("__l"))
+            & (F.col("source") == F.col("__s"))
+            & (F.col("seen") == F.col("__max_seen")),
+        )
+        .select("doc_id", "lang", "source", "sample_rank")
+    )

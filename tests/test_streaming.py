@@ -640,3 +640,67 @@ def test_topk_fn_accumulates_state_across_batches():
     assert list(out2["user_id"]) == [3, 1, 2]
     assert list(out2["n_events"]) == [4, 2, 2]
     assert list(out2["type_total"]) == [8, 8, 8]
+
+
+def test_streaming_quota_sample_matches_batch(spark):
+    """Bounded-state quota sampler (4th custom stateful op) ≡ the batch
+    hash-rank quota (ops/sampling.py::quota_per_group, registry llm3):
+    per-stratum top-cap merging is associative, so the micro-batch fold
+    lands on the identical kept set AND ranks."""
+    from com_danliris_service_etl_spark.operators.sampling import quota_per_group
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        run_streaming_quota_sample,
+    )
+
+    stream_out = run_streaming_quota_sample(
+        spark, SF_DIR, "st_quota_test"
+    ).toPandas()
+    batch_out = quota_per_group(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), cap=50
+    ).toPandas()
+    assert len(batch_out) > 0
+    assert_frames_match(stream_out, batch_out, "quota_sample_vs_batch")
+
+
+def test_quota_sample_fn_state_across_batches():
+    """Direct state-machine pins: cross-batch displacement (a lower-hash
+    doc in batch 2 evicts a batch-1 member once cap is hit), replay
+    idempotence, and the monotone seen counter."""
+    import hashlib
+
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.streaming.jobs import (
+        _quota_sample_fn_factory,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    fn = _quota_sample_fn_factory(2)
+    st = FakeState()
+    ids = list(range(20))
+    by_hash = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+
+    b1 = pd.DataFrame({"doc_id": ids[:10]})
+    out1 = next(fn(("en", "web"), iter([b1]), st))
+    assert list(out1.seen) == [10, 10]
+    expect1 = sorted(ids[:10], key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:2]
+    assert list(out1.doc_id) == expect1
+
+    # batch 2: the rest of the ids + a REPLAY of batch 1 — replays must
+    # not advance membership (dedup on id) though seen counts them
+    b2 = pd.DataFrame({"doc_id": ids[10:] + ids[:3]})
+    out2 = next(fn(("en", "web"), iter([b2]), st))
+    assert list(out2.doc_id) == by_hash[:2]
+    assert list(out2.sample_rank) == [1, 2]
+    assert list(out2.seen) == [23, 23]
