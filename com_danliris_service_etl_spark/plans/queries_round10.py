@@ -335,3 +335,98 @@ def txt20_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import bpe_encode
 
     return bpe_encode(_t(spark, sf_dir, "documents"), iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# SIM12 — embedding-truncation recall (MRL-style dimension ablation)
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (32, 16)
+
+
+def _sim12_sql() -> str:
+    def topk_cte(alias: str, d: int | None) -> str:
+        e_q = "q.e" if d is None else f"q.e[1:{d}]"
+        e_c = "c.e" if d is None else f"c.e[1:{d}]"
+        n = 64 if d is None else d
+        fold = (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, {n} + 1),"
+            " i -> {a}[i] * {b}[i])), (acc, v) -> acc + v)"
+        )
+        dot = fold.format(n=n, a=e_q, b=e_c)
+        nq = fold.format(n=n, a=e_q, b=e_q)
+        nc = fold.format(n=n, a=e_c, b=e_c)
+        return f"""
+{alias} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({dot} / (sqrt({nq}) * sqrt({nc})), 6) DESC,
+                                       c.vec_id) AS rk
+    FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id)
+  WHERE rk <= {_RETR_K})"""
+
+    trunc_ctes = ",".join(topk_cte(f"t{d}", d) for d in _TRUNC_DIMS)
+    sels = "\nUNION ALL".join(
+        f"""
+SELECT {d} AS dim, f.query_id,
+       CAST(count(t{d}.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(t{d}.neighbor_id) / {float(_RETR_K)}, 6) AS recall
+FROM fulltk f LEFT JOIN t{d}
+  ON f.query_id = t{d}.query_id AND f.neighbor_id = t{d}.neighbor_id
+GROUP BY f.query_id"""
+        for d in _TRUNC_DIMS
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{topk_cte("fulltk", None).lstrip()},
+{trunc_ctes}
+{sels}
+"""
+
+
+@register("sim12_truncated_recall", _sim12_sql())
+def sim12_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation ablation (the Matryoshka-representation
+    deployment question): recall@k of brute-force search over the FIRST
+    d dimensions against full-dimension search, per query, for d in
+    {32, 16} — the measurement that decides whether an index can store
+    truncated vectors (2–4× memory/bandwidth saved) without silent
+    quality loss. Output (dim, query_id, n_hits, recall) — exact
+    integers plus one rounded division.
+
+    Scale shape: one corpus stream per similarity space (full, d=32,
+    d=16 — inherent, they rank by different geometry), each the
+    broadcast-query brute-force shape (no corpus shuffle; swap in the
+    IVF/LSH variants for the same evaluation at index scale). The full
+    top-k is lazily checkpointed — it is |Q|·k rows but forked into one
+    recall join per dim, and without the checkpoint each fork would
+    re-run the full-dim corpus pass. recall_at_k joins are |Q|·k-sized
+    (ops/similarity.py::recall_at_k, the sim7 evaluator reused with a
+    different candidate system)."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        brute_force_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    full = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_RETR_K
+    ).localCheckpoint(eager=False)
+    parts = []
+    for d in _TRUNC_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        trunc = brute_force_topk(
+            sliced, sliced.filter(F.col("vec_id") < _N_QUERIES), k=_RETR_K
+        )
+        parts.append(
+            recall_at_k(full, trunc, _RETR_K).select(
+                F.lit(d).alias("dim"), "query_id", "n_hits", "recall"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

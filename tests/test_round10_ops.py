@@ -162,3 +162,19 @@ def test_llm21_matches_python_recompute(spark, docs):
         tgm = (tg * 1_000_000) // (n - 2)
         rep = dup > 550_000 or bgm > 80_000 or tgm > 60_000
         assert got[i] == (n, dup, bgm, tgm, rep), (i, toks)
+
+
+def test_sim12_shape_and_consistency(spark):
+    """Each query appears once per truncation dim; hits are bounded by k
+    and recall is exactly n_hits/k; truncating to FEWER dims can only
+    lose (mean) recall on this fixture's near-uniform vectors."""
+    rows = _q("sim12_truncated_recall")(spark, SF_DIR).collect()
+    by_dim = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5.0) < 1e-9
+        by_dim.setdefault(r.dim, []).append(r.query_id)
+    assert set(by_dim) == {32, 16}
+    for d, qids in by_dim.items():
+        assert len(qids) == len(set(qids)), f"duplicate query rows at dim {d}"
+        assert sorted(qids) == sorted(by_dim[32 if d == 16 else 16])
