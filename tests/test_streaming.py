@@ -704,3 +704,88 @@ def test_quota_sample_fn_state_across_batches():
     assert list(out2.doc_id) == by_hash[:2]
     assert list(out2.sample_rank) == [1, 2]
     assert list(out2.seen) == [23, 23]
+
+
+def test_windowed_counts_append_mode_evicts_and_drops_late(spark, tmp_path):
+    """Drive the PRODUCTION emission mode the windowed_counts docstring
+    claims but no test exercised: append mode over a 4-file stream with
+    maxFilesPerTrigger=1. Spark's watermark LAGS one batch (the value
+    published at batch N's end is computed from batch N-1's max event
+    time), so: (1) a late W1 row arriving one batch after the advancing
+    event is still folded in; (2) W1 is emitted exactly once, at the end
+    of the batch where the advanced watermark takes effect; (3) a W1 row
+    arriving after that is DROPPED by the watermark (metric asserted) —
+    no re-emission, no count change; (4) the still-open window is
+    withheld. This is the state-eviction contract that bounds the
+    aggregation's memory on an unbounded stream."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.streaming.jobs import windowed_counts
+
+    src = tmp_path / "ev_append"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    # tumbling windows anchor at epoch 0, so W1's start must be a whole hour
+    base = (1_700_000_000 // 3600) * 3600
+    hour = 3600
+
+    def write_file(name, rows):
+        out = str(stage / name)
+        spark.createDataFrame(
+            rows, "ts_s long, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        # the file source needs FLAT files (it does not recurse into the
+        # per-write directories) and orders them by modification time
+        shutil.copy(glob.glob(f"{out}/part-*.parquet")[0], str(src / f"{name}.parquet"))
+        time.sleep(1.1)
+
+    # f1: three rows in W1 = [base, base+1h)
+    write_file("f1", [(base + 60, "view", 1.0), (base + 120, "view", 2.0),
+                      (base + 1800, "click", 3.0)])
+    # f2: a late W1 row + the watermark-advancing event 4h later
+    write_file("f2", [(base + 600, "view", 4.0), (base + 4 * hour, "view", 9.0)])
+    # f3: open-window traffic; during this batch the advanced watermark
+    # (base+2h, from f2's max) takes effect at batch END -> W1 emitted
+    # here, INCLUDING f2's late row
+    write_file("f3", [(base + 4 * hour + 10, "view", 5.0)])
+    # f4: a W1 row arriving after W1 was finalized -> dropped
+    write_file("f4", [(base + 300, "view", 99.0)])
+
+    stream = (
+        spark.readStream.schema("ts_s long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts_utc", F.timestamp_seconds("ts_s"))
+    )
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_evict_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {
+        (r.window_start_us, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("append_evict_test").collect()
+    }
+    w1_us = base * 1_000_000
+    # W1 emitted once per type: includes the in-watermark late row (4.0),
+    # excludes the post-finalization one (99.0)
+    assert out[(w1_us, "view")] == (3, 7.0), out
+    assert out[(w1_us, "click")] == (1, 3.0), out
+    # the open 4h-later window is withheld by append mode
+    assert all(start == w1_us for start, _t in out), out
+    # and the 99.0 row was dropped BY THE WATERMARK, not lost elsewhere
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
