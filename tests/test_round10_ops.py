@@ -178,3 +178,73 @@ def test_sim12_shape_and_consistency(spark):
     for d, qids in by_dim.items():
         assert len(qids) == len(set(qids)), f"duplicate query rows at dim {d}"
         assert sorted(qids) == sorted(by_dim[32 if d == 16 else 16])
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_train_and_encode_match_python_reference(spark, docs):
+    """Random two-letter corpora (maximal merge collisions: runs, abab
+    alternations, single chars) vs an independent pure-Python BPE: the
+    double-space replace() trick must equal leftmost non-overlapping
+    greedy merge application, for training stats AND per-doc encode
+    counts."""
+    from collections import Counter
+
+    from com_danliris_service_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    # pure-Python training on the vocabulary (words of length >= 2)
+    vocab = Counter(w for d in docs for w in d if len(w) >= 2)
+    state = {w: list(w) for w in vocab}
+    merges, steps = [], []
+    for _ in range(3):
+        pairs = Counter()
+        for w, syms in state.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += vocab[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        state = {w: apply_merge(s, a, b) for w, s in state.items()}
+        merges.append((a, b))
+        steps.append(
+            (a + b, cnt, sum(vocab[w] * len(s) for w, s in state.items()))
+        )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_steps = [
+        (r.merged, r.pair_count, r.symbols_after)
+        for r in sorted(bpe_train(df, iterations=3).collect(), key=lambda r: r.step)
+    ]
+    assert got_steps == steps
+
+    got_enc = {r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+               for r in bpe_encode(df, iterations=3).collect()}
+    for i, d in enumerate(docs):
+        syms_per_word = []
+        for w in d:
+            s = list(w)
+            for a, b in merges:
+                s = apply_merge(s, a, b)
+            syms_per_word.append(len(s))
+        assert got_enc[i] == (len(d), sum(len(w) for w in d), sum(syms_per_word)), (i, d)
