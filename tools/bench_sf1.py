@@ -59,6 +59,18 @@ QUERIES = [
     "dd10_prefix_filter_join",  # r9: PPJoin vs shingle-equi-join oracle
     "llm20_dsir_selection",  # r9b: DSIR floor-class ratio (9.7x on 0.10s)
     "txt19_bpe_train",  # r9b: iterative driver-loop BPE trainer
+    # r10 sweep additions — the full heavy-query scorecard (BASELINE.md);
+    # the recursive/iterative family's oracles run 10-30s each at sf1,
+    # so a bare run takes ~6-8 min total
+    "g8_pagerank",
+    "dd6_dedup_clusters",
+    "llm9_textual_neardup",
+    "g15_last_touch_attribution",
+    "st14_stream_attribution",
+    "st8_countmin_sketch",
+    "sim11_rrf_hybrid",
+    "llm21_repetition_stats",
+    "txt20_bpe_encode",
 ]
 
 # Override the measured set: BENCH_SF1_QUERIES="dd10_prefix_filter_join,..."
