@@ -421,3 +421,86 @@ def cooccurrence_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def kcore_peel(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling over the co-occurrence graph (items are
+    nodes, an edge joins items sharing a group): each round removes every
+    node whose degree in the CURRENT induced subgraph is < k, and the
+    query emits the peeling trajectory — (round, n_nodes, n_edges) for
+    the EDGE-BEARING subgraph (n_nodes counts edge endpoints; a survivor
+    isolated by its neighbors' removal is invisible here and is peeled
+    next round regardless, deg 0 < k), from round 0 (the full graph)
+    through ``rounds`` — the standard
+    community-density / spam-filtering primitive (a k-core survivor has
+    k neighbors who THEMSELVES survived, which one-shot degree filters
+    cannot express; the cascade is the point: on the fixture one round
+    drops 40% of nodes and the second drops 94% of the remainder).
+
+    Bounded rounds, not fixpoint, so the oracle is expressible as an
+    unrolled CTE chain and the result is engine-deterministic (the txt19
+    bounded-iterations discipline); production callers raise ``rounds``
+    or loop to fixpoint on the survivor count (1 scalar per round — the
+    pagerank/bpe driver-loop class).
+
+    Scale shape: edges are built ONCE from per-group arrays (the g9/g11
+    double-explode shape, never a fact×fact self-join) and lazily
+    checkpointed; each round is one map-side-combinable degree aggregate
+    plus two semi-joins of the edge list against the (node-grain,
+    broadcastable) survivor set, re-checkpointed to cut superstep
+    lineage. Per-round counts are single scalars to the driver."""
+    per_group = (
+        df.groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+        .filter(F.size("__items") >= 2)
+    )
+    edges = (
+        per_group.select(F.explode("__items").alias("src"), "__items")
+        .select("src", F.explode("__items").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = df.sparkSession
+    traj = []
+    for rnd in range(rounds + 1):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            # node-grain; referenced by the scalar row AND the survivor
+            # filter — checkpoint so the degree aggregate runs once
+            .localCheckpoint(eager=False)
+        )
+        # ONE action per round: n_edges = Σdeg / 2 exactly (each edge
+        # contributes two degree increments), so no separate edge count
+        row = nodes.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__deg").alias("sd")
+        ).collect()[0]
+        n_nodes = int(row["n"])
+        n_edges = int(row["sd"] or 0) // 2
+        traj.append((rnd, n_nodes, n_edges))
+        if rnd == rounds or n_nodes == 0:
+            # an empty graph stays empty: emit the remaining rounds
+            # without running their no-op supersteps
+            traj.extend((r, 0, 0) for r in range(rnd + 1, rounds + 1))
+            break
+        survivors = nodes.filter(F.col("__deg") >= k).select("node")
+        edges = (
+            edges.join(
+                F.broadcast(survivors.withColumnRenamed("node", "src")), "src"
+            )
+            .join(F.broadcast(survivors.withColumnRenamed("node", "dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        traj, "round int, n_nodes bigint, n_edges bigint"
+    )

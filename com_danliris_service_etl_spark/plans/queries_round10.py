@@ -430,3 +430,59 @@ def sim12_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# G16 — bounded k-core peeling trajectory
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 110
+_KCORE_ROUNDS = 4
+
+
+def _g16_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = ["""
+d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+n{p} AS MATERIALIZED (SELECT node, count(*) AS deg
+         FROM (SELECT src AS node FROM e{p}
+               UNION ALL SELECT dst FROM e{p}) GROUP BY 1),
+s{r} AS (SELECT node FROM n{p} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
+         JOIN s{r} x ON e.src = x.node
+         JOIN s{r} y ON e.dst = y.node)""")
+    sels = "\nUNION ALL ".join(
+        f"""SELECT {r} AS round,
+       (SELECT count(DISTINCT node) FROM
+          (SELECT src AS node FROM e{r} UNION ALL SELECT dst FROM e{r}))::BIGINT
+         AS n_nodes,
+       (SELECT count(*) FROM e{r})::BIGINT AS n_edges"""
+        for r in range(0, rounds + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{sels}"
+
+
+@register("g16_kcore_peel", _g16_sql())
+def g16_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (ops/graph.py::kcore_peel) over the part
+    co-purchase graph: 4 peel rounds at k=110, emitting the trajectory
+    (round, surviving nodes, surviving edges). The cascade is the
+    signal — on the fixture round 1 drops ~40% of nodes and round 2
+    drops ~94% of the remainder, which no one-shot degree filter can
+    express (a k-core member needs k neighbors who THEMSELVES survive).
+    Community-density / spam-subgraph primitive; bounded rounds keep the
+    oracle expressible as an unrolled CTE chain (the txt19 discipline) —
+    production loops the same superstep to fixpoint on the survivor
+    scalar."""
+    from com_danliris_service_etl_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return kcore_peel(
+        li, "l_orderkey", "l_partkey", k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )

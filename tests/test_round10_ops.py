@@ -248,3 +248,45 @@ def test_bpe_train_and_encode_match_python_reference(spark, docs):
                 s = apply_merge(s, a, b)
             syms_per_word.append(len(s))
         assert got_enc[i] == (len(d), sum(len(w) for w in d), sum(syms_per_word)), (i, d)
+
+
+def test_g16_kcore_peel_semantics(spark):
+    """k-core peeling pins on a constructed graph: a 4-clique (every
+    degree 3) survives k=3 peeling forever; a pendant chain hanging off
+    it is peeled layer by layer — one chain node per round, which a
+    one-shot degree filter cannot reproduce."""
+    from com_danliris_service_etl_spark.operators.graph import kcore_peel
+
+    # groups: the 4-clique via one group {0,1,2,3}; chain 3-10-11 via
+    # pair groups (10 hangs off clique node 3, 11 off 10)
+    rows = [(100, n) for n in (0, 1, 2, 3)] + [
+        (200, 3), (200, 10), (300, 10), (300, 11),
+    ]
+    df = spark.createDataFrame(rows, "g long, item long")
+    out = {r.round: (r.n_nodes, r.n_edges) for r in
+           kcore_peel(df, "g", "item", k=3, rounds=3).collect()}
+    # round 0: 6 nodes, clique 6 edges + 2 chain edges
+    assert out[0] == (6, 8)
+    # round 1: node 11 (deg 1) and 10 (deg 2) both drop — both are
+    # below k in the ORIGINAL graph; clique survives with its 6 edges
+    assert out[1] == (4, 6)
+    # stable thereafter: the 4-clique IS a 3-core
+    assert out[2] == (4, 6) and out[3] == (4, 6)
+
+
+def test_g16_kcore_peel_cascade_needs_iteration(spark):
+    """The defining cascade: a chain a-b-c-d-e at k=2 — endpoints drop in
+    round 1, which lowers their neighbors below k, and the whole chain
+    unravels ONE LAYER PER ROUND. Any single-pass filter would keep the
+    middle nodes."""
+    from com_danliris_service_etl_spark.operators.graph import kcore_peel
+
+    rows = [(i, x) for i, (x, y) in enumerate(
+        [(0, 1), (1, 2), (2, 3), (3, 4)]) for x in (x, y)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    out = {r.round: r.n_nodes for r in
+           kcore_peel(df, "g", "item", k=2, rounds=3).collect()}
+    # n_nodes counts EDGE ENDPOINTS: round 2's sole survivor (the chain
+    # middle) is isolated, carries no edge, and would be peeled next
+    # round anyway — so it reports 0, same as the oracle's endpoint count
+    assert out[0] == 5 and out[1] == 3 and out[2] == 0 and out[3] == 0
