@@ -290,3 +290,43 @@ def test_g16_kcore_peel_cascade_needs_iteration(spark):
     # middle) is isolated, carries no edge, and would be peeled next
     # round anyway — so it reports 0, same as the oracle's endpoint count
     assert out[0] == 5 and out[1] == 3 and out[2] == 0 and out[3] == 0
+
+
+@_SETTINGS
+@given(
+    groups=st.lists(
+        st.lists(st.integers(0, 12), min_size=2, max_size=5, unique=True),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 4),
+)
+def test_kcore_peel_matches_python_recompute(spark, groups, k):
+    """Random small co-occurrence graphs vs an independent Python peel:
+    trajectory (endpoint counts, edge counts) must match exactly for
+    every round at every k."""
+    from com_danliris_service_etl_spark.operators.graph import kcore_peel
+
+    rows = [(gi, item) for gi, g in enumerate(groups) for item in g]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in kcore_peel(df, "g", "item", k=k, rounds=3).collect()
+    }
+
+    edges = set()
+    for g in groups:
+        s = sorted(set(g))
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                edges.add((a, b))
+    import collections
+
+    for rnd in range(4):
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        assert got[rnd] == (len(deg), len(edges)), (rnd, k, groups)
+        survivors = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in survivors and b in survivors}
