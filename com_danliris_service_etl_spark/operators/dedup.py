@@ -1417,3 +1417,102 @@ def topk_similar_docs(
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "est_jaccard", "rank")
     )
+
+
+def lsh_band_ablation(
+    docs: DataFrame,
+    band_configs: tuple[int, ...] = (2, 4, 8),
+    n_perms: int = DEFAULT_PERMS,
+    thresh_num: int = 3,
+    thresh_den: int = 5,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Banding-parameter ablation: for each candidate LSH configuration
+    (``bands`` bands of ``n_perms // bands`` rows over the SAME MinHash
+    signatures), the exact precision/recall of its candidate pairs
+    against the TRUE near-duplicate set (shingle-set Jaccard >= t,
+    computed losslessly by the PPJoin prefix-filter join) — the
+    measurement that picks (b, r) before a corpus-scale dedup run,
+    instead of trusting the 1-(1-s^r)^b curve on paper. One row per
+    config: candidate/true/hit counts plus precision and recall in
+    exact integer micro-units.
+
+    Scale shape: this is a DIAGNOSTIC an operator runs on a corpus
+    sample, but nothing in the plan is sample-bound — signatures are
+    computed ONCE (shuffle-free projection, lazily checkpointed because
+    |configs| banding branches consume it), each config's candidates
+    come from the same bounded-bucket group-and-pair shape as
+    :func:`minhash_lsh_pairs` (never |D|^2), the ground truth comes
+    from :func:`prefix_filter_join` (exact, candidates only), and the
+    scoring join + per-config rollup shuffle only pair ids. The one
+    scalar (|true pairs|) rides in via a broadcast 1-row aggregate.
+
+    Cross-band duplicate candidates are removed with one distinct on
+    (bands, pair) — here the pair sets are the OUTPUT being measured,
+    so unlike minhash_lsh_pairs' first-colliding-band trick the dedup
+    must span configs anyway; one shuffle of the union is the cost of
+    scoring all configs in a single pass."""
+    sig = minhash_signatures(docs, "text", "doc_id", n_perms, shingle_k).select(
+        "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
+    ).localCheckpoint(eager=False)  # one signature pass feeds every config
+
+    per_config = []
+    for bands in band_configs:
+        grouped = (
+            sig.select(
+                "doc_id", F.explode(_band_structs(n_perms, bands)).alias("band")
+            )
+            .select("doc_id", "band.band_idx", "band.band_hash")
+            .groupBy("band_idx", "band_hash")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, max_bucket
+                ).alias("ms")
+            )
+            .filter(F.size("ms") > 1)
+        )
+        pairs = (
+            grouped.select("band_idx", F.posexplode("ms").alias("i", "m"), "ms")
+            .select("band_idx", "i", "m", F.posexplode("ms").alias("j", "n"))
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.col("m").alias("doc_a"),
+                F.col("n").alias("doc_b"),
+            )
+        )
+        per_config.append(pairs)
+
+    cand = per_config[0]
+    for p in per_config[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+
+    truth = (
+        prefix_filter_join(docs, thresh_num, thresh_den, shingle_k)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # scored against AND counted
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+
+    scored = cand.join(truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left")
+    per = scored.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+    return per.crossJoin(F.broadcast(n_true)).select(
+        F.col("bands").cast("long").alias("bands"),
+        F.lit(n_perms).cast("long").alias("n_perms"),
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN NULL"
+            " ELSE (n_hit * 1000000) div n_candidates END"
+        ).alias("precision_micro"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN NULL"
+            " ELSE (n_hit * 1000000) div n_true END"
+        ).alias("recall_micro"),
+    )

@@ -1053,14 +1053,7 @@ def bpe_encode(
     folded into the expression — the corpus contract (whitespace-
     tokenized words) guarantees it; a corpus violating it fails loudly
     rather than generating a malformed expression."""
-    merges = [(a, b) for _s, a, b, _c, _st in _bpe_steps(docs, iterations, text_col)]
-    for a, b in merges:
-        if any(ch in a + b for ch in ("'", "\\")):
-            raise ValueError(f"BPE merge symbols must be quote-free: {(a, b)!r}")
-    applied = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
-    for a, b in merges:
-        applied = f"replace({applied}, ' {a}  {b} ', ' {a}{b} ')"
-    tok_count = f"size(filter(split({applied}, '  '), x -> x <> ''))"
+    tok_count = _bpe_token_count_expr(docs, iterations, text_col)
     return (
         docs.select(
             id_col,
@@ -1085,6 +1078,90 @@ def bpe_encode(
             "n_words",
             "n_chars",
             "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_chars").alias("compression_micro"),
+        )
+    )
+
+
+def _bpe_token_count_expr(docs: DataFrame, iterations: int, text_col: str) -> str:
+    """Train the merge table (bounded per-step argmax collects — the
+    `_bpe_steps` contract) and fold it into a per-word token-count SQL
+    expression over an in-scope word `w` — the shared encode kernel of
+    :func:`bpe_encode` (per-doc accounting) and :func:`bpe_fertility`
+    (per-slice accounting). Merge symbols are asserted quote/backslash-
+    free before entering the expression text."""
+    merges = [(a, b) for _s, a, b, _c, _st in _bpe_steps(docs, iterations, text_col)]
+    for a, b in merges:
+        if any(ch in a + b for ch in ("'", "\\")):
+            raise ValueError(f"BPE merge symbols must be quote-free: {(a, b)!r}")
+    applied = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
+    for a, b in merges:
+        applied = f"replace({applied}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"size(filter(split({applied}, '  '), x -> x <> ''))"
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    iterations: int = 3,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY report per corpus slice — the tokenizer-
+    evaluation table an LLM pipeline publishes after training a
+    tokenizer (e.g. Rust et al. 2021, arXiv:2012.15613: fertility =
+    subword tokens per word, the standard measure of how well a
+    tokenizer fits each language/source; compression = tokens per
+    character). Slices with systematically high fertility get more
+    tokens charged per unit of text — the number that drives
+    per-language token budgets and mixture weights.
+
+    Per (group_cols): doc count, word/char/token totals under the
+    ``iterations``-merge BPE tokenizer trained on the SAME corpus
+    (shared kernel with :func:`bpe_encode`), plus exact integer
+    micro-ratios (tokens-per-word, tokens-per-char).
+
+    Scale shape: the encode is the same ZERO-shuffle row-local scan
+    projection as bpe_encode (merges are string literals inside a
+    per-word fold); the only exchange is the final map-side-combined
+    hash aggregate on the slice key — per-slice state is five longs, so
+    the report costs one fact pass at any corpus size. Empty texts are
+    dropped before the aggregate (mirroring bpe_encode's guard), so a
+    slice's denominators are sums over its non-empty docs; an
+    (unfixtured) all-empty slice would vanish rather than divide by
+    zero."""
+    tok_count = _bpe_token_count_expr(docs, iterations, text_col)
+    per_doc = (
+        docs.select(
+            *group_cols,
+            F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__ws"),
+        )
+        .select(
+            *group_cols,
+            F.size("__ws").cast("bigint").alias("__w"),
+            F.expr(
+                "aggregate(__ws, cast(0 AS BIGINT), (acc, w) -> acc + length(w))"
+            ).alias("__c"),
+            F.expr(
+                f"aggregate(__ws, cast(0 AS BIGINT), (acc, w) -> acc + {tok_count})"
+            ).alias("__t"),
+        )
+        .filter(F.col("__c") > 0)
+    )
+    return (
+        per_doc.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__c").alias("n_chars"),
+            F.sum("__t").alias("n_tokens"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias("fertility_micro"),
             F.expr("(n_tokens * 1000000) div n_chars").alias("compression_micro"),
         )
     )

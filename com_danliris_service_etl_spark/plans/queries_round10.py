@@ -486,3 +486,157 @@ def g16_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(
         li, "l_orderkey", "l_partkey", k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# DD12 — LSH banding-parameter ablation (precision/recall vs exact truth)
+# ---------------------------------------------------------------------------
+
+_DD12_CONFIGS = (2, 4, 8)
+
+
+def _dd12_sql(
+    band_configs: tuple[int, ...] = _DD12_CONFIGS, n_perms: int = 16
+) -> str:
+    from com_danliris_service_etl_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _perm_consts,
+    )
+
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{p}"
+        for p, (a, b) in enumerate(_perm_consts(n_perms))
+    )
+
+    def band_select(bands: int) -> str:
+        rpb = n_perms // bands
+        cases = " ".join(
+            "WHEN {b} THEN md5({parts})".format(
+                b=b,
+                parts=" || ':' || ".join(
+                    f"mh{p}::VARCHAR" for p in range(b * rpb, (b + 1) * rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        return (
+            f"SELECT {bands} AS bands, doc_id, b.b AS band_idx,"
+            f" CASE b.b {cases} END AS band_hash"
+            f" FROM mh, (SELECT unnest(range({bands})) AS b) b"
+        )
+
+    bands_union = "\n  UNION ALL ".join(band_select(b) for b in band_configs)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+shh AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh),
+mh AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+allbands AS ({bands_union}),
+cand AS (SELECT DISTINCT x.bands, x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM allbands x JOIN allbands y
+           ON x.bands = y.bands AND x.band_idx = y.band_idx
+              AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          WHERE 5 * i >= 3 * (sa.sz + sb.sz - i)),
+tn AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+per AS (SELECT c.bands, count(*)::BIGINT AS n_candidates,
+               sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_hit
+        FROM cand c
+        LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        GROUP BY c.bands)
+SELECT bands::BIGINT AS bands, {n_perms}::BIGINT AS n_perms,
+       n_candidates, tn.n_true, n_hit,
+       CASE WHEN n_candidates = 0 THEN NULL
+            ELSE (n_hit * 1000000) // n_candidates END AS precision_micro,
+       CASE WHEN tn.n_true = 0 THEN NULL
+            ELSE (n_hit * 1000000) // tn.n_true END AS recall_micro
+FROM per CROSS JOIN tn
+"""
+
+
+@register("dd12_lsh_ablation", _dd12_sql())
+def dd12_lsh_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding ablation (ops/dedup.py::lsh_band_ablation): exact
+    precision/recall of each (bands, rows) configuration's candidate
+    pairs — 16 MinHash permutations split as 2×8 / 4×4 / 8×2 — against
+    the TRUE Jaccard >= 0.6 pair set from the lossless prefix-filter
+    join (dd10's machinery). The 'measure, don't guess' step before a
+    corpus-scale dedup run: on this fixture 2 bands trades ~8% recall
+    for perfect precision, 4 bands reaches full recall at ~84%
+    precision, 8 bands buys no recall over 4 but a 4–5× candidate
+    blow-up — the s-curve made empirical. Signatures are computed once for all configs; the truth
+    side is candidates-only (never |D|²); the oracle recomputes truth
+    the exhaustive shared-shingle way, pinning that prefix filtering
+    dropped nothing."""
+    from com_danliris_service_etl_spark.operators.dedup import lsh_band_ablation
+
+    return lsh_band_ablation(
+        _t(spark, sf_dir, "documents"), band_configs=_DD12_CONFIGS
+    )
+
+
+# ---------------------------------------------------------------------------
+# TXT21 — tokenizer fertility per corpus slice
+# ---------------------------------------------------------------------------
+
+
+def _txt21_sql(iterations: int = 3) -> str:
+    from com_danliris_service_etl_spark.plans.queries_round9b import (
+        _bpe_cte_prefix,
+    )
+
+    applied = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for k in range(1, iterations + 1):
+        applied = (
+            f"replace({applied},"
+            f" ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',"
+            f" ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ')"
+        )
+    return f"""{_bpe_cte_prefix(iterations)},
+docw AS (SELECT lang, source, doc_id,
+                unnest(string_split(text, ' ')) AS word
+         FROM documents),
+enc AS (SELECT lang, source, doc_id,
+               length(word)::BIGINT AS chars,
+               len(list_filter(string_split({applied}, '  '),
+                               x -> x <> ''))::BIGINT AS toks
+        FROM docw WHERE word <> ''),
+per AS (SELECT lang, source, doc_id,
+               count(*)::BIGINT AS w,
+               CAST(sum(chars) AS BIGINT) AS c,
+               CAST(sum(toks) AS BIGINT) AS t
+        FROM enc GROUP BY 1, 2, 3 HAVING sum(chars) > 0)
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       (CAST(sum(t) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
+         AS fertility_micro,
+       (CAST(sum(t) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+         AS compression_micro
+FROM per GROUP BY lang, source
+"""
+
+
+@register("txt21_tokenizer_fertility", _txt21_sql())
+def txt21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) tokenizer fertility report (ops/text.py::
+    bpe_fertility): subword tokens per word and per character under the
+    corpus-trained 3-merge BPE tokenizer — the slice-level evaluation
+    table (Rust et al. 2021) that decides per-language token budgets
+    and flags slices the tokenizer fits poorly. Shares the encode
+    kernel with txt20; the only exchange is one map-side-combined
+    aggregate on the slice key, so the report is one fact pass at any
+    scale. The oracle re-derives the merges as CTEs (txt19's
+    discipline) and aggregates doc-grain accounting the same way."""
+    from com_danliris_service_etl_spark.operators.text import bpe_fertility
+
+    return bpe_fertility(_t(spark, sf_dir, "documents"), iterations=3)

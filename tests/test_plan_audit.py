@@ -124,6 +124,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "a22_contribution_analysis": "global share window over the |segments|-row aggregate — bounded by the segment alphabet, partial-aggregated before the exchange (the q4 digit-window class)",
     "txt18_source_divergence": "1-row corpus-token-total scalar (sum over the vocab aggregate, partial-aggregated), broadcast back as the TV-distance normalizer — the txt9 vocabulary-total shape",
     "llm20_dsir_selection": "1-row smoothing-totals scalar (vocab aggregate, partial-aggregated) + the global cut window over the BUCKET histogram (bounded by weight range / bucket width, never by |docs|) — the sk6 bounds / q4 digit-window classes",
+    "dd12_lsh_ablation": "1-row |true pairs| scalar (count over the prefix-filter truth set, partial-aggregated), broadcast back as the recall denominator — the a5 count class",
 }
 
 

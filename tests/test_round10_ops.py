@@ -330,3 +330,118 @@ def test_kcore_peel_matches_python_recompute(spark, groups, k):
         assert got[rnd] == (len(deg), len(edges)), (rnd, k, groups)
         survivors = {n for n, d in deg.items() if d >= k}
         edges = {(a, b) for a, b in edges if a in survivors and b in survivors}
+
+
+# ---------------------------------------------------------------------------
+# DD12 — LSH banding ablation
+# ---------------------------------------------------------------------------
+
+
+def test_dd12_band_nesting_monotonicity(spark):
+    """With n_perms fixed, config boundaries NEST (bands=8's band 2b is a
+    sub-slice of bands=4's band b), so any collision at b bands implies
+    one at 2b bands: candidate counts and recall must be monotone
+    nondecreasing in bands, and hits can never exceed either side's
+    count. Pinned on the sf0.001 fixture."""
+    rows = {
+        r.bands: r
+        for r in _q("dd12_lsh_ablation")(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [2, 4, 8]
+    n_true = {r.n_true for r in rows.values()}
+    assert len(n_true) == 1  # truth is config-independent
+    for lo, hi in ((2, 4), (4, 8)):
+        assert rows[hi].n_candidates >= rows[lo].n_candidates
+        assert rows[hi].n_hit >= rows[lo].n_hit
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_candidates, r.n_true)
+        if r.n_candidates:
+            assert r.precision_micro == (r.n_hit * 1_000_000) // r.n_candidates
+        if r.n_true:
+            assert r.recall_micro == (r.n_hit * 1_000_000) // r.n_true
+
+
+def test_dd12_recall_is_exact_on_a_constructed_corpus(spark):
+    """Two exact duplicates (J=1: every config must find the pair) plus
+    two unrelated docs (J=0 against everything): truth = 1 pair,
+    recall_micro = 1e6 and n_hit = 1 for every config."""
+    import tempfile
+
+    from com_danliris_service_etl_spark.operators.dedup import lsh_band_ablation
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    third = " ".join(f"qqq{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other), (4, third)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.bands: r
+            for r in lsh_band_ablation(
+                spark.read.parquet(f"{d}/documents.parquet")
+            ).collect()
+        }
+    for r in out.values():
+        assert r.n_true == 1
+        assert r.n_hit == 1
+        assert r.recall_micro == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# TXT21 — tokenizer fertility per slice
+# ---------------------------------------------------------------------------
+
+
+def test_txt21_aggregates_txt20_doc_accounting_exactly(spark):
+    """bpe_fertility's slice sums must equal txt20's per-doc accounting
+    re-aggregated by (lang, source) — same merges, same guards, one
+    fewer relation (no doc-grain join on the fertility path)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_doc = _q("txt20_bpe_encode")(spark, SF_DIR).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    expect = {
+        (r.lang, r.source): r
+        for r in per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    got = {
+        (r.lang, r.source): r
+        for r in _q("txt21_tokenizer_fertility")(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for k, g in got.items():
+        e = expect[k]
+        assert (g.n_docs, g.n_words, g.n_chars, g.n_tokens) == (
+            e.n_docs,
+            e.n_words,
+            e.n_chars,
+            e.n_tokens,
+        )
+        assert g.fertility_micro == (g.n_tokens * 1_000_000) // g.n_words
+        assert g.compression_micro == (g.n_tokens * 1_000_000) // g.n_chars
+
+
+def test_txt21_encode_is_shuffle_minimal(spark):
+    """The fertility plan's only exchanges are the slice aggregate (plus
+    the training pass's bounded vocab-grain aggregates, which never key
+    on doc_id): no doc-grain join, no window, no sort anywhere."""
+    plan = _plan(_q("txt21_tokenizer_fertility")(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # the encode is row-local; the slice aggregate is the ONLY exchange
+    # (training's bounded argmax collects run eagerly at plan-build time
+    # and never appear in this plan)
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning(lang" in plan, plan
