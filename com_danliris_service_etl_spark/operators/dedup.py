@@ -1452,42 +1452,58 @@ def lsh_band_ablation(
     (bands, pair) — here the pair sets are the OUTPUT being measured,
     so unlike minhash_lsh_pairs' first-colliding-band trick the dedup
     must span configs anyway; one shuffle of the union is the cost of
-    scoring all configs in a single pass."""
+    scoring all configs in a single pass.
+
+    All configs' band keys are emitted from ONE explode and bucketed by
+    ONE aggregation keyed (bands, band_idx, band_hash) — a per-config
+    branch would run |configs| separate shuffles (plus a checkpointed
+    signature materialization) for buckets that never interact across
+    configs; fused, each signature row is consumed exactly once and the
+    whole candidate side is scan → explode → one exchange. The query's
+    residual cost is dominated by the TRUTH side, i.e. the dd10
+    prefix-filter join it embeds (~2.3 of ~3.4 s at sf0.1)."""
     sig = minhash_signatures(docs, "text", "doc_id", n_perms, shingle_k).select(
         "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
-    ).localCheckpoint(eager=False)  # one signature pass feeds every config
+    )
 
-    per_config = []
+    all_structs = []
     for bands in band_configs:
-        grouped = (
-            sig.select(
-                "doc_id", F.explode(_band_structs(n_perms, bands)).alias("band")
+        if bands <= 0 or n_perms % bands != 0:
+            raise ValueError(
+                f"bands={bands} must divide n_perms={n_perms} "
+                "(rows_per_band must be a positive integer)"
             )
-            .select("doc_id", "band.band_idx", "band.band_hash")
-            .groupBy("band_idx", "band_hash")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")), 1, max_bucket
-                ).alias("ms")
+        rpb = n_perms // bands
+        for b in range(bands):
+            parts = [
+                F.col("sig")[p].cast("string")
+                for p in range(b * rpb, (b + 1) * rpb)
+            ]
+            all_structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
+                )
             )
-            .filter(F.size("ms") > 1)
+    grouped = (
+        sig.select("doc_id", F.explode(F.array(*all_structs)).alias("band"))
+        .select("doc_id", "band.bands", "band.band_idx", "band.band_hash")
+        .groupBy("bands", "band_idx", "band_hash")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, max_bucket
+            ).alias("ms")
         )
-        pairs = (
-            grouped.select("band_idx", F.posexplode("ms").alias("i", "m"), "ms")
-            .select("band_idx", "i", "m", F.posexplode("ms").alias("j", "n"))
-            .filter(F.col("i") < F.col("j"))
-            .select(
-                F.lit(bands).alias("bands"),
-                F.col("m").alias("doc_a"),
-                F.col("n").alias("doc_b"),
-            )
-        )
-        per_config.append(pairs)
-
-    cand = per_config[0]
-    for p in per_config[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.distinct()
+        .filter(F.size("ms") > 1)
+    )
+    cand = (
+        grouped.select("bands", F.posexplode("ms").alias("i", "m"), "ms")
+        .select("bands", "i", "m", F.posexplode("ms").alias("j", "n"))
+        .filter(F.col("i") < F.col("j"))
+        .select("bands", F.col("m").alias("doc_a"), F.col("n").alias("doc_b"))
+        .distinct()
+    )
 
     truth = (
         prefix_filter_join(docs, thresh_num, thresh_den, shingle_k)
