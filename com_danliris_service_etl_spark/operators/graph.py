@@ -504,3 +504,82 @@ def kcore_peel(
     return spark.createDataFrame(
         traj, "round int, n_nodes bigint, n_edges bigint"
     )
+
+
+def label_propagation(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, arXiv:0709.2938) over the co-occurrence graph, bounded to
+    ``rounds`` supersteps: every node starts labeled with itself; each
+    round it adopts the label MOST FREQUENT among its neighbors' labels
+    from the PREVIOUS round (ties broken by the smallest label — the
+    asynchronous random-order variant is not engine-reproducible, the
+    synchronous min-tiebreak one is exactly deterministic). Communities
+    differ from connected components (ops/dedup.py::dedup_clusters'
+    min-label propagation): CC merges everything reachable; LPA's
+    frequency vote finds DENSER-than-connectivity groups and is the
+    standard cheap community detector for co-purchase / co-occurrence
+    structure. Emits (node, label) after the final round.
+
+    Bounded rounds, not fixpoint, so the oracle unrolls as CTEs (the
+    g16/txt19 discipline) and synchronous LPA's known label-oscillation
+    pathology is irrelevant (a bounded trajectory is deterministic
+    whether or not it oscillates); production callers loop on a
+    label-change count scalar instead.
+
+    Scale shape: edges are built once from per-group arrays (the
+    g9/g16 double-explode shape, never fact×fact) and checkpointed;
+    each superstep is one broadcast join of the node-grain label
+    relation into the adjacency (the measured pagerank ladder:
+    broadcast the |V|-row side; swap to a shuffle join when |V| stops
+    fitting an executor) followed by two map-side-combinable hash
+    aggregates — (node, label) vote counts, then the per-node argmax
+    as min(struct(-cnt, label)), no window over the edge relation.
+    Labels are re-checkpointed per round to cut superstep lineage."""
+    per_group = (
+        df.groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+        .filter(F.size("__items") >= 2)
+    )
+    edges = (
+        per_group.select(F.explode("__items").alias("src"), "__items")
+        .select("src", F.explode("__items").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both adjacency directions
+    )
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    labels = (
+        adj.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                F.broadcast(labels.withColumnRenamed("node", "nbr")), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                )["lb"].alias("label")
+            )
+            .localCheckpoint(eager=False)  # cut superstep lineage
+        )
+    return labels.select("node", "label")

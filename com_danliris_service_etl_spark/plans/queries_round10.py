@@ -640,3 +640,52 @@ def txt21_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.text import bpe_fertility
 
     return bpe_fertility(_t(spark, sf_dir, "documents"), iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# G17 — synchronous label-propagation communities (bounded rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _g17_sql(rounds: int = _LPA_ROUNDS) -> str:
+    ctes = ["""
+d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+adj AS MATERIALIZED (SELECT src AS node, dst AS nbr FROM e
+       UNION ALL SELECT dst, src FROM e),
+l0 AS (SELECT DISTINCT node, node AS label FROM adj)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+c{r} AS (SELECT a.node, l.label, count(*)::BIGINT AS cnt
+         FROM adj a JOIN l{p} l ON l.node = a.nbr
+         GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT node, min(label) AS label
+  FROM (SELECT node, label, cnt,
+               max(cnt) OVER (PARTITION BY node) AS mc
+        FROM c{r})
+  WHERE cnt = mc GROUP BY node)""")
+    return f"WITH {','.join(ctes)}\nSELECT node, label FROM l{rounds}"
+
+
+@register("g17_label_propagation", _g17_sql())
+def g17_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities (ops/graph.py::label_propagation)
+    over the part co-purchase graph, 3 bounded supersteps with the
+    deterministic min-label tiebreak — the frequency-vote community
+    detector, distinct from connected components (llm12/dd6 merge
+    everything reachable; LPA finds denser-than-connectivity groups).
+    Iterative superstep family: the oracle unrolls as MATERIALIZED CTEs
+    (the g16 discipline) and, like the rest of that family, the
+    recursive single-node formulation grows super-linearly with scale
+    while the checkpointed superstep loop stays near-linear."""
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return label_propagation(li, "l_orderkey", "l_partkey", rounds=_LPA_ROUNDS)

@@ -445,3 +445,79 @@ def test_txt21_encode_is_shuffle_minimal(spark):
     # and never appear in this plan)
     assert plan.count("Exchange (") == 1, plan
     assert "hashpartitioning(lang" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# G17 — synchronous label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_stay_separate_communities(spark):
+    """Two disjoint triangles: LPA must converge each to its own min
+    label and NEVER merge them — the community structure CC would also
+    find, pinned as the base case before the density-sensitive ones."""
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    rows = [(0, 1), (0, 2), (0, 3), (1, 10), (1, 11), (1, 12)]
+    df = spark.createDataFrame(
+        [(g, x) for g, x in rows], "g long, item long"
+    )
+    out = {r.node: r.label for r in
+           label_propagation(df, "g", "item", rounds=3).collect()}
+    assert {out[1], out[2], out[3]} == {1}
+    assert {out[10], out[11], out[12]} == {10}
+
+
+def test_lpa_min_label_tiebreak_is_pinned(spark):
+    """A 3-path 1–2–3 after ONE synchronous round: the middle node sees
+    labels {1, 3} at count 1 each and must take the MINIMUM (1); the
+    endpoints see only the middle (2). Any other tiebreak or an
+    asynchronous update order would differ."""
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3)], "g long, item long"
+    )
+    out = {r.node: r.label for r in
+           label_propagation(df, "g", "item", rounds=1).collect()}
+    assert out == {1: 2, 2: 1, 3: 2}
+
+
+@_SETTINGS
+@given(
+    groups=st.lists(
+        st.lists(st.integers(0, 12), min_size=2, max_size=5, unique=True),
+        min_size=1,
+        max_size=8,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_lpa_matches_python_recompute(spark, groups, rounds):
+    """Random small co-occurrence graphs vs an independent synchronous
+    LPA in pure Python: per-node labels must match exactly after every
+    bounded round count."""
+    from collections import Counter, defaultdict
+
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    adj = defaultdict(set)
+    for items in groups:
+        s = sorted(set(items))
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+
+    rows = [(g, x) for g, items in enumerate(groups) for x in items]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {r.node: r.label for r in
+           label_propagation(df, "g", "item", rounds=rounds).collect()}
+    assert got == labels, (groups, rounds)
