@@ -1466,28 +1466,26 @@ def lsh_band_ablation(
         "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
     )
 
-    all_structs = []
-    for bands in band_configs:
-        if bands <= 0 or n_perms % bands != 0:
-            raise ValueError(
-                f"bands={bands} must divide n_perms={n_perms} "
-                "(rows_per_band must be a positive integer)"
-            )
-        rpb = n_perms // bands
-        for b in range(bands):
-            parts = [
-                F.col("sig")[p].cast("string")
-                for p in range(b * rpb, (b + 1) * rpb)
-            ]
-            all_structs.append(
-                F.struct(
-                    F.lit(bands).alias("bands"),
-                    F.lit(b).alias("band_idx"),
-                    F.md5(F.concat_ws(":", *parts)).alias("band_hash"),
-                )
-            )
+    # One source of truth for the band-key scheme: each config's structs
+    # come from the SAME _band_structs the production LSH path (dd2/dd7/
+    # dd11) banding uses — the ablation must measure the scheme it
+    # informs — with the config id tagged on per element.
+    def _tag(bands_val: int):
+        # nested factory, NOT a default-arg lambda: F.transform treats a
+        # two-parameter lambda as (element, index) and would silently
+        # bind the array index over the default
+        return lambda s: F.struct(
+            F.lit(bands_val).alias("bands"),
+            s["band_idx"].alias("band_idx"),
+            s["band_hash"].alias("band_hash"),
+        )
+
+    tagged = [
+        F.transform(_band_structs(n_perms, bands), _tag(bands))
+        for bands in band_configs
+    ]
     grouped = (
-        sig.select("doc_id", F.explode(F.array(*all_structs)).alias("band"))
+        sig.select("doc_id", F.explode(F.concat(*tagged)).alias("band"))
         .select("doc_id", "band.bands", "band.band_idx", "band.band_hash")
         .groupBy("bands", "band_idx", "band_hash")
         .agg(
