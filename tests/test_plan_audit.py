@@ -69,6 +69,17 @@ _GATED = [
     "sim10_ivf_pq_topk",
     "g15_last_touch_attribution",
     "txt18_source_divergence",
+    # round-10 heavyweights: the composed ablation (embeds the dd10
+    # truth join), the fused all-configs banding, and the new iterative
+    # drivers' final frames
+    "dd12_lsh_ablation",
+    "txt21_tokenizer_fertility",
+    "g16_kcore_peel",
+    "g17_label_propagation",
+    "txt20_bpe_encode",
+    "llm21_repetition_stats",
+    "sim11_rrf_hybrid",
+    "sim12_truncated_recall",
 ]
 
 
