@@ -30,6 +30,61 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def ensure_bucketed_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Return ``{sf_dir}/{table}.parquet`` as a managed table bucketed by
+    ``bucket_cols``, materializing the layout on first use per session —
+    the production layout for operators whose first exchange is a groupBy
+    on the fact's natural key (the co-occurrence family g11/g13: at 100 TB
+    the fact is bucketed by design, so the per-group aggregate plans ZERO
+    exchanges and the pair aggregation is the query's only shuffle;
+    measured in BASELINE.md's g13 trail).
+
+    The write is a one-time layout cost amortized over every query against
+    the layout (exactly like a real warehouse's CLUSTERED BY): steady-state
+    calls hit the session catalog and plan a bucketed scan. The table name
+    carries a fingerprint of (path, mtime, size, bucket spec) so coexisting
+    sf_dirs and regenerated fixtures can never alias each other's layout,
+    plus the session's applicationId so concurrent test sessions (separate
+    in-memory catalogs over one warehouse dir) never race on a path."""
+    import hashlib
+    import os
+    import shutil
+
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spec = "|".join(
+        [
+            src,
+            str(st.st_mtime_ns),
+            str(st.st_size),
+            ",".join(bucket_cols),
+            str(n_buckets),
+            ",".join(columns or []),
+            spark.sparkContext.applicationId,
+        ]
+    )
+    name = f"bkt_{table}_{hashlib.sha1(spec.encode()).hexdigest()[:12]}"
+    if not spark.catalog.tableExists(name):
+        # a prior session's leftover files (its in-memory catalog died with
+        # it) would fail the CREATE — reclaim the path first
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        df = spark.read.parquet(src)
+        if columns:
+            df = df.select(*columns)
+        write_bucketed(df, name, bucket_cols, n_buckets=n_buckets)
+    return spark.table(name)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: Sequence[str] | str,
     how: str = "inner",

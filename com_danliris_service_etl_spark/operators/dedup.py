@@ -1440,13 +1440,28 @@ def lsh_band_ablation(
 
     Scale shape: this is a DIAGNOSTIC an operator runs on a corpus
     sample, but nothing in the plan is sample-bound — signatures are
-    computed ONCE (shuffle-free projection, lazily checkpointed because
-    |configs| banding branches consume it), each config's candidates
-    come from the same bounded-bucket group-and-pair shape as
+    computed ONCE (a shuffle-free projection consumed exactly once by
+    the fused concat/explode below), each config's candidates come from
+    the same bounded-bucket group-and-pair shape as
     :func:`minhash_lsh_pairs` (never |D|^2), the ground truth comes
     from :func:`prefix_filter_join` (exact, candidates only), and the
     scoring join + per-config rollup shuffle only pair ids. The one
     scalar (|true pairs|) rides in via a broadcast 1-row aggregate.
+
+    ORACLE CAVEAT (inherited from minhash_lsh_pairs, and sharper here):
+    ``max_bucket`` truncates each band bucket to its ``max_bucket``
+    smallest member ids, and the dd12 DuckDB oracle does NOT mirror the
+    cap (its cand CTE self-joins all bands uncapped). For dd2 a
+    truncated bucket merely loses redundant duplicate pairs; here the
+    truncated counts feed n_candidates/n_hit, so a >max_bucket bucket
+    would bias precision/recall DIFFERENTLY per config and diverge from
+    the oracle. Engines agree exactly iff every (config, band) bucket
+    stays below ``max_bucket`` members — true of all in-repo fixtures
+    (largest sf0.1 bucket is orders of magnitude below 1024) and of any
+    corpus whose duplicate clusters the production cap is sized for;
+    an ablation run on a cap-exceeding corpus measures the CAPPED
+    pipeline (which is what production would execute) rather than the
+    textbook curve.
 
     Cross-band duplicate candidates are removed with one distinct on
     (bands, pair) — here the pair sets are the OUTPUT being measured,

@@ -511,6 +511,7 @@ def label_propagation(
     group_col: str,
     item_col: str,
     rounds: int = 3,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, arXiv:0709.2938) over the co-occurrence graph, bounded to
@@ -533,13 +534,17 @@ def label_propagation(
 
     Scale shape: edges are built once from per-group arrays (the
     g9/g16 double-explode shape, never fact×fact) and checkpointed;
-    each superstep is one broadcast join of the node-grain label
-    relation into the adjacency (the measured pagerank ladder:
-    broadcast the |V|-row side; swap to a shuffle join when |V| stops
-    fitting an executor) followed by two map-side-combinable hash
-    aggregates — (node, label) vote counts, then the per-node argmax
-    as min(struct(-cnt, label)), no window over the edge relation.
-    Labels are re-checkpointed per round to cut superstep lineage."""
+    each superstep is one join of the node-grain label relation into
+    the adjacency (the measured pagerank ladder: with
+    ``broadcast_labels=True``, the default, the |V|-row side rides a
+    broadcast — right while |V| fits an executor; pass
+    ``broadcast_labels=False`` when it stops fitting, degrading to a
+    plain equi-join that Catalyst plans as a shuffle join instead of
+    forcing a driver/executor-OOM-risk broadcast hint) followed by two
+    map-side-combinable hash aggregates — (node, label) vote counts,
+    then the per-node argmax as min(struct(-cnt, label)), no window
+    over the edge relation. Labels are re-checkpointed per round to cut
+    superstep lineage."""
     per_group = (
         df.groupBy(group_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
@@ -564,10 +569,11 @@ def label_propagation(
         .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
+        lbl_rel = labels.withColumnRenamed("node", "nbr")
+        if broadcast_labels:
+            lbl_rel = F.broadcast(lbl_rel)
         votes = (
-            adj.join(
-                F.broadcast(labels.withColumnRenamed("node", "nbr")), "nbr"
-            )
+            adj.join(lbl_rel, "nbr")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )

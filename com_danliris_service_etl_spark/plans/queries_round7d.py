@@ -59,8 +59,26 @@ def g13_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     |union of orders|, exact integers via inclusion-exclusion. Same
     in-array pair generation as g11 (one fact groupBy, never a
     fact×fact self-join); the oracle states the relation as the naive
-    equi-self-join, which is what the operator avoids at scale."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    equi-self-join, which is what the operator avoids at scale.
+
+    Runs over the PRODUCTION LAYOUT — the fact bucketed by the group key
+    (`ensure_bucketed_fact`; first call per session materializes it, the
+    layout cost a real warehouse pays once at load) — so the per-order
+    collect_set aggregate plans zero exchanges and the pair aggregation
+    is the only fact-scale shuffle. Promoted from a CI pin to the
+    registry path per VERDICT r10 task 1; the unbucketed form measured
+    3.56x vs the oracle at the sf10 decade, this layout 2.75x with an
+    identical result (BASELINE.md g13 trail; five alternative plans —
+    diagonal-fused degree, deg-from-base, deg-early struct arrays —
+    measured slower or OOM there, recorded in the same trail)."""
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
+
+    li = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
     return cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
 
 

@@ -342,6 +342,68 @@ def test_cooccurrence_on_bucketed_layout_single_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_cooc")
 
 
+def test_g13_registry_runs_on_bucketed_layout(spark):
+    """g13's REGISTRY path (VERDICT r10 task 1) runs over the production
+    bucketed layout: ensure_bucketed_fact materializes once per session
+    (second call returns the same catalog table, no rewrite), the scan is
+    bucketed, and the result is identical to the unbucketed operator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
+    from com_danliris_service_etl_spark.operators.graph import (
+        cooccurrence_jaccard,
+    )
+    from com_danliris_service_etl_spark.plans.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn, _sql = load_all()["g13_jaccard_neighbors"]
+    got = fn(spark, sf_dir)
+    # the operator's lazy checkpoints truncate the final visible plan
+    # (Scan ExistingRDD — the g16/g17 audit caveat), so audit the
+    # constituent: the layout table must exist and the per-group
+    # aggregate over it must plan ZERO exchanges (bucket distribution)
+    bkt = [t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_lineitem_")]
+    assert bkt, "registry path did not materialize the bucketed layout"
+    agg_plan = (
+        spark.table(bkt[0])
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    plain = cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    # idempotence: second materialization call is catalog-served
+    t1 = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    mtimes = {}
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in os.listdir(wh):
+        if name.startswith("bkt_lineitem_"):
+            mtimes[name] = os.path.getmtime(os.path.join(wh, name))
+    t2 = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    for name, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(wh, name)) == mt, "layout rewritten"
+    assert t1.schema == t2.schema
+    assert t1.count() == li.count()
+
+
 def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     """The broadcast sorted-array fast path must produce the same rows as
     the union-sort default across direction/exactness, including the

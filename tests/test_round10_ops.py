@@ -483,6 +483,42 @@ def test_lpa_min_label_tiebreak_is_pinned(spark):
     assert out == {1: 2, 2: 1, 3: 2}
 
 
+def test_lpa_shuffle_join_ladder_agrees_with_broadcast(spark):
+    """`broadcast_labels=False` — the pagerank-style degradation for a
+    |V|-row label relation that stops fitting an executor — must produce
+    identical labels, and its superstep vote frame must NOT carry a
+    forced broadcast hint (the OOM risk the r10 advice flagged)."""
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    rows = [(0, 1), (0, 2), (0, 3), (1, 10), (1, 11), (1, 12), (2, 3), (2, 10)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    bc = sorted(map(tuple, label_propagation(df, "g", "item", rounds=2).collect()))
+    sh = sorted(map(tuple, label_propagation(
+        df, "g", "item", rounds=2, broadcast_labels=False).collect()))
+    assert bc == sh
+
+
+def test_lpa_is_checkpoint_tailed(spark):
+    """The g17 PLAN_AUDIT entry is vacuous BY DESIGN: the returned frame
+    sits behind a localCheckpoint (Scan ExistingRDD), so the audit gate
+    cannot see a gained shuffle inside a superstep (the r10 advice).
+    This pin makes the vacuousness explicit and self-healing: if the
+    checkpoint is ever dropped, this assert fails AND PLAN_AUDIT's real
+    counts re-engage. The superstep's internal shape (broadcast label
+    join, two hash aggregates) is covered by the recompute law tests
+    above plus the broadcast/shuffle ladder equivalence."""
+    from com_danliris_service_etl_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (1, 3)], "g long, item long")
+    plan = (
+        label_propagation(df, "g", "item", rounds=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan, plan
+
+
 @_SETTINGS
 @given(
     groups=st.lists(
