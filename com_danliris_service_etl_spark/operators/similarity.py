@@ -1124,3 +1124,115 @@ def semdedup_prune(
         "centroid_sim",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
     )
+
+
+def truncated_recall_ablation(
+    embeddings: DataFrame,
+    n_queries: int,
+    dims: tuple[int, ...] = (32, 16),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused embedding-truncation ablation (sim12's plan, VERDICT r10
+    task 6): recall@k of brute-force search over the first d dimensions
+    against full-dimension search, for every d in ``dims``, in ONE
+    corpus pass — the dd12 fusion discipline applied to the similarity
+    family. The unfused composition (one `brute_force_topk` per space +
+    one `recall_at_k` join per d) streamed the corpus |dims|+1 times and
+    planned 10 shuffles; here every (corpus row x query) pair scores all
+    spaces at once (an exploded array of per-space structs — each dot is
+    its own left fold over the slice, bit-identical to the per-space
+    oracle), ONE window keyed (dim, query_id) takes every space's top-k,
+    and recall needs NO joins: group the union of top-k rows by (query,
+    neighbor) collecting the spaces that retrieved the pair, then count
+    per query the pairs retrieved by both the full space and d. Three
+    shuffles total, two of them on |Q|*k-bounded relations; the corpus
+    is touched exactly once and never shuffled (queries ride a
+    broadcast).
+
+    Matches the unfused composition row-for-row
+    (tests/test_round10_ops.py pins it): same 6dp score rounding, same
+    (score desc, neighbor_id) tiebreak, same zero-hit queries kept via
+    the full space's guaranteed top-k rows.
+    """
+    from pyspark.sql import Window
+
+    # 0 labels the full space internally (never a real truncation width)
+    spaces: list[tuple[int, int | None]] = [(0, None)] + [(d, d) for d in dims]
+
+    def side(df: DataFrame, role: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias(f"{role}_vec")]
+        for lbl, d in spaces:
+            arr = (
+                f"{role}_vec" if d is None
+                else f"slice({role}_vec, 1, {d})"
+            )
+            cols.append(F.expr(_NORM.format(a=arr)).alias(f"{role}_n{lbl}"))
+        return df.select(*cols)
+
+    q = side(embeddings.filter(F.col(id_col) < n_queries), "q")
+    c = side(embeddings, "c")
+
+    def space_struct(lbl: int, d: int | None):
+        qa = "q_vec" if d is None else f"slice(q_vec, 1, {d})"
+        ca = "c_vec" if d is None else f"slice(c_vec, 1, {d})"
+        dot = F.expr(_DOT.format(a=qa, b=ca))
+        return F.struct(
+            F.lit(lbl).alias("dim"),
+            F.round(
+                F.try_divide(dot, F.col(f"q_n{lbl}") * F.col(f"c_n{lbl}")), 6
+            ).alias("cos_sim"),
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.explode(
+                F.array(*[space_struct(lbl, d) for lbl, d in spaces])
+            ).alias("s"),
+        )
+        .select("query_id", "neighbor_id", "s.dim", "s.cos_sim")
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    pairsets = topk.groupBy("query_id", "neighbor_id").agg(
+        F.collect_set("dim").alias("ds")
+    )
+    hit_cols = [
+        F.sum(
+            F.when(
+                F.array_contains("ds", 0) & F.array_contains("ds", d), 1
+            ).otherwise(0)
+        ).cast("long").alias(f"__h{d}")
+        for d in dims
+    ]
+    per_query = pairsets.groupBy("query_id").agg(*hit_cols)
+    return (
+        per_query.select(
+            "query_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("dim"), F.col(f"__h{d}").alias("n_hits")
+                    )
+                    for d in dims
+                ])
+            ).alias("r"),
+        )
+        .select(
+            "r.dim",
+            "query_id",
+            "r.n_hits",
+            F.round(F.col("r.n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

@@ -395,41 +395,27 @@ def sim12_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality loss. Output (dim, query_id, n_hits, recall) — exact
     integers plus one rounded division.
 
-    Scale shape: one corpus stream per similarity space (full, d=32,
-    d=16 — inherent, they rank by different geometry), each the
-    broadcast-query brute-force shape (no corpus shuffle; swap in the
-    IVF/LSH variants for the same evaluation at index scale). The full
-    top-k is lazily checkpointed — it is |Q|·k rows but forked into one
-    recall join per dim, and without the checkpoint each fork would
-    re-run the full-dim corpus pass. recall_at_k joins are |Q|·k-sized
-    (ops/similarity.py::recall_at_k, the sim7 evaluator reused with a
-    different candidate system)."""
+    Scale shape (fused, VERDICT r10 task 6): ONE corpus pass scores all
+    three similarity spaces per (corpus row, query) pair — each space's
+    dot is its own left fold over the slice, bit-identical to the
+    per-space form — then ONE top-k window keyed (dim, query_id) and a
+    join-free recall: group top-k rows by (query, neighbor) collecting
+    which spaces retrieved the pair, count per query the pairs both the
+    full space and d retrieved. 10 shuffles -> 3 (two of them on
+    |Q|·k-bounded relations); the corpus is streamed once, never
+    shuffled (queries ride a broadcast). The unfused composition
+    (brute_force_topk per space + recall_at_k per dim) is
+    equivalence-pinned in tests/test_round10_ops.py."""
     from com_danliris_service_etl_spark.operators.similarity import (
-        brute_force_topk,
-        recall_at_k,
+        truncated_recall_ablation,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    full = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_RETR_K
-    ).localCheckpoint(eager=False)
-    parts = []
-    for d in _TRUNC_DIMS:
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        trunc = brute_force_topk(
-            sliced, sliced.filter(F.col("vec_id") < _N_QUERIES), k=_RETR_K
-        )
-        parts.append(
-            recall_at_k(full, trunc, _RETR_K).select(
-                F.lit(d).alias("dim"), "query_id", "n_hits", "recall"
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return truncated_recall_ablation(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        dims=_TRUNC_DIMS,
+        k=_RETR_K,
+    )
 
 
 # ---------------------------------------------------------------------------

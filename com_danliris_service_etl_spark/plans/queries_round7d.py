@@ -180,14 +180,65 @@ def q5_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dangling-foreign-key counts across the star schema's four FK
     relationships in one report — the referential-health profile a
     loader publishes alongside q1's pass/fail gate. Each relationship
-    is a broadcast LEFT ANTI join (parent key sets are dimension-scale
-    after distinct) reduced to one scalar row (allowlisted
+    is a broadcast membership probe against the deduped parent key set
+    (dimension-scale) reduced to one scalar row (allowlisted
     SinglePartition exchanges — one partial state per partition reaches
     the final task). The star schema is clean by construction, so the
     fourth row is a CANARY: keys shifted out of the customer range are
     ALL dangling by construction, pinning the detector's count equal to
     the child row count in-query — an all-zeros report can never hide a
-    broken anti-join (the sk1 accuracy-contract pattern)."""
+    broken detector (the sk1 accuracy-contract pattern).
+
+    Fusion (VERDICT r10 task 6): the two lineitem relationships share
+    ONE fact scan — both parent key sets ride broadcast LEFT joins with
+    presence markers and the orphan counts are conditional sums in one
+    aggregate (replacing two anti-join+count branches: one lineitem
+    scan and one scalar collapse instead of two of each; the markers
+    require the parents deduped, which the anti-join form also paid).
+    Child FK null semantics unchanged: a NULL FK is not an orphan."""
+
+    def marker(parent: DataFrame, pk: str, fk: str, mark: str) -> DataFrame:
+        return F.broadcast(
+            parent.select(F.col(pk).alias(fk)).distinct().withColumn(mark, F.lit(1))
+        )
+
+    def orphan_count(fk: str, mark: str):
+        return (
+            F.sum(
+                F.when(F.col(fk).isNotNull() & F.col(mark).isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    li_counts = (
+        li.select("l_orderkey", "l_partkey")
+        .join(marker(o, "o_orderkey", "l_orderkey", "__has_o"), "l_orderkey", "left")
+        .join(marker(p, "p_partkey", "l_partkey", "__has_p"), "l_partkey", "left")
+        .agg(
+            orphan_count("l_orderkey", "__has_o").alias("__n_o"),
+            orphan_count("l_partkey", "__has_p").alias("__n_p"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem->orders").alias("fk"),
+                        F.col("__n_o").alias("n_orphans"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem->part").alias("fk"),
+                        F.col("__n_p").alias("n_orphans"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.fk", "r.n_orphans")
+    )
 
     def orphans(label: str, child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFrame:
         dangling = child.filter(F.col(fk).isNotNull()).join(
@@ -199,23 +250,14 @@ def q5_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
         )
 
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    p = _t(spark, sf_dir, "part")
     canary = _events(spark, sf_dir).select(
         (F.col("user_id") + F.lit(2000000000)).alias("user_id")
     )
-    checks = [
-        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-        orphans("lineitem->part", li, "l_partkey", p, "p_partkey"),
-        orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
-        orphans("canary(all-dangling)", canary, "user_id", c, "c_custkey"),
-    ]
-    out = checks[0]
-    for ch in checks[1:]:
-        out = out.unionByName(ch)
-    return out
+    return li_counts.unionByName(
+        orphans("orders->customer", o, "o_custkey", c, "c_custkey")
+    ).unionByName(
+        orphans("canary(all-dangling)", canary, "user_id", c, "c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------

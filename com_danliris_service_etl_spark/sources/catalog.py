@@ -33,6 +33,42 @@ class JdbcSource:
     options: dict[str, str] = field(default_factory=dict)
 
 
+def mssql_source(
+    host: str,
+    database: str,
+    username: str,
+    password: str,
+    table: str,
+    encrypt: bool = True,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+) -> JdbcSource:
+    """SQL Server JdbcSource with the reference's connection contract
+    (`Connection/Purchasing/purchasing-connection.js:3-12`: host/database/
+    username/password from the environment, mssql dialect, encrypt=true).
+    Spark ships no tedious; the MS JDBC driver is the cluster-side
+    equivalent and takes the same options — `encrypt` maps to the JDBC
+    property of the same name, credentials ride as reader options so they
+    never appear in the URL (and never in plans/logs)."""
+    return JdbcSource(
+        url=f"jdbc:sqlserver://{host};databaseName={database}",
+        table=table,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        options={
+            "user": username,
+            "password": password,
+            "encrypt": "true" if encrypt else "false",
+            # Azure SQL's cert chains validate on a real deployment; a
+            # local smoke container usually has a self-signed cert
+            "trustServerCertificate": os.environ.get(
+                "SPARK_GRAFT_MSSQL_TRUST_CERT", "false"
+            ),
+            "driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        },
+    )
+
+
 @dataclass
 class MongoSource:
     """MongoDB source descriptor (S3 — the reference's MigrationLogFunc

@@ -136,7 +136,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt9_unigram_logprob": "vocabulary-total scalar",
     "sk6_quantile_rollup": "two 1-row global min/max bounds aggregates (binning grid + bracket width), each partial-aggregated and broadcast back",
     "q4_benford_digits": "global-share window over the 9-row digit aggregate — bounded by the digit alphabet, partial-aggregated before the exchange",
-    "q5_orphan_profile": "four scalar orphan-count aggregates unioned (the q1 shape) — each anti-join reduces to one partial count per partition before the exchange",
+    "q5_orphan_profile": "three scalar orphan-count aggregates unioned (the q1 shape; the two lineitem FK checks share one fused scan/collapse) — each membership probe reduces to one partial count per partition before the exchange",
     "a16_small_quantity_loss": "final 1-row loss aggregate (Q17 scalar output) — one partial state per partition of the brand slice",
     "a18_revenue_share_filter": "1-row global total/count over the per-part rollup (Q11 scalar threshold), partial-aggregated and broadcast back",
     "a19_dormant_balances": "1-row avg(c_acctbal) scalar (Q22 threshold), partial-aggregated and broadcast back via crossJoin",

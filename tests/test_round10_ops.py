@@ -180,6 +180,41 @@ def test_sim12_shape_and_consistency(spark):
         assert sorted(qids) == sorted(by_dim[32 if d == 16 else 16])
 
 
+def test_sim12_fused_equals_unfused_composition(spark):
+    """The fused single-corpus-pass ablation (ops/similarity.py::
+    truncated_recall_ablation, the r10 shuffle-fusion task) must match
+    the original composition — one brute_force_topk per similarity
+    space + one recall_at_k join per truncation — row for row. Both use
+    the same 6dp rounding and (score desc, id) tiebreak; any drift here
+    means the fused dots/norms are not the per-slice left folds the
+    oracle computes."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        brute_force_topk,
+        recall_at_k,
+        truncated_recall_ablation,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fused = sorted(
+        map(tuple, truncated_recall_ablation(emb, n_queries=10, dims=(32, 16), k=5).collect())
+    )
+
+    full = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    parts = []
+    for d in (32, 16):
+        sliced = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        trunc = brute_force_topk(sliced, sliced.filter(F.col("vec_id") < 10), k=5)
+        parts.append(
+            recall_at_k(full, trunc, 5).select(
+                F.lit(d).alias("dim"), "query_id", "n_hits", "recall"
+            )
+        )
+    unfused = sorted(map(tuple, parts[0].unionByName(parts[1]).collect()))
+    assert fused == unfused
+
+
 @_SETTINGS
 @given(
     docs=st.lists(

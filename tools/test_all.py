@@ -1,0 +1,104 @@
+"""Whole-suite runner: one command, green/red verdict, <10 min.
+
+The full pytest suite outgrew a single 10-minute local[32] invocation
+(VERDICT r10 task 3) because 37 files share ONE session-scoped
+SparkSession and run serially. This runner shards the test FILES across
+N concurrent pytest processes, each with its own small SparkSession
+(SPARK_GRAFT_CPUS per worker so N workers together saturate the box the
+way one local[32] session did). Files are assigned longest-first by a
+static weight (line count, with known-slow files boosted: streaming
+awaits wall-clock timeouts, hypothesis suites replay many examples), the
+classic LPT greedy bound.
+
+Safe to parallelize because test isolation is already per-process-ready:
+managed-table names are per-test or fingerprinted+applicationId-salted
+(ensure_bucketed_fact), Derby JDBC contracts use in-memory databases,
+streaming checkpoints live under pytest tmp_path, and the shared
+spark-warehouse dir is only ever written under distinct table names.
+
+Usage: python tools/test_all.py [workers]   (default 6)
+Exit 0 iff every shard is green; per-shard logs in .test_shards/.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG_DIR = os.path.join(ROOT, ".test_shards")
+
+# static weight boosts: wall-clock-bound suites that line counts undersell
+BOOST = {
+    "test_streaming.py": 4.0,  # awaitTermination / processAllAvailable waits
+    "test_properties.py": 2.5,  # hypothesis example replay
+    "test_plan_audit.py": 2.0,  # re-derives plans for the gated spread
+    "test_job_golden.py": 1.5,
+    "test_oracle_parity.py": 2.0,
+}
+
+
+def shards(files: list[str], n: int) -> list[list[str]]:
+    weights = {
+        f: os.path.getsize(os.path.join(ROOT, "tests", f))
+        * BOOST.get(f, 1.0)
+        for f in files
+    }
+    buckets: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for f in sorted(files, key=lambda f: -weights[f]):
+        i = min(range(n), key=lambda i: buckets[i][0])
+        buckets[i] = (buckets[i][0] + weights[f], buckets[i][1] + [f])
+    return [b[1] for b in buckets if b[1]]
+
+
+def main() -> int:
+    workers = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    files = sorted(
+        f for f in os.listdir(os.path.join(ROOT, "tests"))
+        if f.startswith("test_") and f.endswith(".py")
+    )
+    os.makedirs(LOG_DIR, exist_ok=True)
+    cpus = max(2, (os.cpu_count() or 8) // workers)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SHUFFLE="4",
+        PYTHONDONTWRITEBYTECODE="1",
+    )
+    t0 = time.time()
+    procs = []
+    for i, group in enumerate(shards(files, workers)):
+        log = open(os.path.join(LOG_DIR, f"shard{i}.log"), "w")
+        procs.append(
+            (
+                i,
+                group,
+                log,
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
+                    + [os.path.join("tests", f) for f in group],
+                    cwd=ROOT,
+                    env=env,
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                ),
+            )
+        )
+    rc = 0
+    for i, group, log, p in procs:
+        code = p.wait()
+        log.close()
+        with open(os.path.join(LOG_DIR, f"shard{i}.log")) as f:
+            tail = f.readlines()[-1].strip() if f.seekable() else ""
+        status = "green" if code in (0, 5) else "RED"  # 5 = no tests collected
+        if code not in (0, 5):
+            rc = 1
+        print(f"shard{i} [{status}] {tail}  ({len(group)} files)")
+    print(f"total wall: {time.time() - t0:.0f}s -> {'GREEN' if rc == 0 else 'RED'}")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
