@@ -1545,3 +1545,94 @@ def lsh_band_ablation(
             " ELSE (n_hit * 1000000) div n_true END"
         ).alias("recall_micro"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN profile over SLIDING k-token windows — the
+    relational core of exact-substring training-data dedup (Lee et al.
+    2022, arXiv:2107.06499: substrings repeated anywhere in the corpus
+    are memorization/contamination fuel; their suffix-array finds them
+    at byte grain, this finds every duplicated window of k tokens and
+    the LONGEST duplicated run per document, the statistic that decides
+    between dropping a span and dropping the document). Differs from
+    :func:`passage_dedup` (dd8) on both axes that matter: windows
+    OVERLAP (a duplicated substring is caught at every alignment, not
+    only when it lands on a fixed k-token boundary) and the output is a
+    span-structure profile (longest run), not a keep/rewrite plan.
+
+    Output, one row per document with at least one window (token count
+    >= k): (doc_id, n_windows, n_dup, longest_run, dup_micro) where
+    n_dup counts windows whose gram occurs >= 2 times corpus-wide
+    (including elsewhere in the SAME document — self-repetition is
+    memorization fuel too), longest_run is the longest streak of
+    consecutive duplicated window positions (0 when n_dup = 0), and
+    dup_micro = n_dup*1e6 div n_windows exactly.
+
+    Scale shape: windows explode row-locally inside the scan projection
+    (no shuffle; `_spread` first — the one-file-fixture guard); gram
+    ownership is ONE map-side-combinable count keyed on the gram's md5
+    (uniform; hot keys are exactly the boilerplate being measured, and
+    groupBy+join keeps partial aggregation on both sides where a
+    count-over-window would buffer the hottest gram in one task); the
+    dup flags join back on the same key; runs are gaps-and-islands —
+    row_number over (doc, pos-order) on DUP windows only, then two
+    aggregates that both reuse the window exchange's hash(doc)
+    partitioning (island key and per-doc max — zero extra exchanges).
+    Per-doc totals (n_windows) are ROW-LOCAL (token count - k + 1), so
+    the full window relation is never re-aggregated; the final attach is
+    one doc-keyed join of the (sparse) dup-stats relation."""
+    toks = _spread(docs).select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= k)
+    base = toks.select(
+        id_col, "t", (F.size("t") - F.lit(k - 1)).cast("long").alias("n_windows")
+    )
+    wins = base.select(
+        id_col,
+        "n_windows",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(size(t) AS INT) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
+            )
+        ).alias("pos", "__h"),
+    ).localCheckpoint(eager=False)  # feeds the ownership aggregate AND the
+    # dup semi-join — different exchange children defeat ReuseExchange, so
+    # without this the scan+explode+md5 pipeline runs twice (the dd8/txt5
+    # gap; passage_dedup pays the same checkpoint for the same fork)
+    owners = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    dup = wins.join(owners, "__h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    run_stats = (
+        islands.groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__run").cast("long").alias("n_dup"),
+            F.max("__run").cast("long").alias("longest_run"),
+        )
+    )
+    return (
+        base.select(id_col, "n_windows")
+        .join(run_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.coalesce(F.col("longest_run"), F.lit(0)).cast("long").alias("longest_run"),
+            F.expr("(coalesce(n_dup, 0) * 1000000) div n_windows").alias("dup_micro"),
+        )
+    )

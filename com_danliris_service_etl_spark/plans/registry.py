@@ -101,6 +101,7 @@ def load_all() -> dict[str, tuple[QueryFn, str | None]]:
         queries_round9,
         queries_round9b,
         queries_round10,
+        queries_round11,
         queries_scalars,
         queries_streaming,
     )
