@@ -90,12 +90,18 @@ def brute_force_topk(
     At 100 TB replace the final window with per-partition top-k + re-reduce
     (TakeOrdered semantics) — expressed here via the rank window which AQE
     keeps partitioned by query id."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(vec_col).alias("q_norm"),
     )
-    c = embeddings.select(
+    # _spread: a one-file corpus scans as ONE partition and the |Q|x|C|
+    # scoring fold would run single-threaded (measured: sim1 3.38x vs
+    # oracle at derived sf1 before, 4 cores idle); conditional, so a
+    # well-partitioned 100 TB corpus passes through untouched
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(vec_col).alias("c_norm"),
@@ -1147,9 +1153,10 @@ def truncated_recall_ablation(
     and recall needs NO joins: group the union of top-k rows by (query,
     neighbor) collecting the spaces that retrieved the pair, then count
     per query the pairs retrieved by both the full space and d. Three
-    shuffles total, two of them on |Q|*k-bounded relations; the corpus
-    is touched exactly once and never shuffled (queries ride a
-    broadcast).
+    shuffles total plus the conditional one-file-corpus `_spread`, two
+    of them on |Q|*k-bounded relations; the corpus is touched exactly
+    once and only re-partitioned when a single-file scan would leave
+    the scoring fold single-threaded (queries ride a broadcast).
 
     Matches the unfused composition row-for-row
     (tests/test_round10_ops.py pins it): same 6dp score rounding, same
@@ -1171,8 +1178,12 @@ def truncated_recall_ablation(
             cols.append(F.expr(_NORM.format(a=arr)).alias(f"{role}_n{lbl}"))
         return df.select(*cols)
 
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     q = side(embeddings.filter(F.col(id_col) < n_queries), "q")
-    c = side(embeddings, "c")
+    # same one-file-corpus guard as brute_force_topk: the fused
+    # three-space scoring is the hottest projection in the family
+    c = side(_spread(embeddings), "c")
 
     def space_struct(lbl: int, d: int | None):
         qa = "q_vec" if d is None else f"slice(q_vec, 1, {d})"

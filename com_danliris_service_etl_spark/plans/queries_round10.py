@@ -401,7 +401,8 @@ def sim12_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-space form — then ONE top-k window keyed (dim, query_id) and a
     join-free recall: group top-k rows by (query, neighbor) collecting
     which spaces retrieved the pair, count per query the pairs both the
-    full space and d retrieved. 10 shuffles -> 3 (two of them on
+    full space and d retrieved. 10 shuffles -> 3 + the conditional
+    one-file-corpus spread (two of the three on
     |Q|·k-bounded relations); the corpus is streamed once, never
     shuffled (queries ride a broadcast). The unfused composition
     (brute_force_topk per space + recall_at_k per dim) is
