@@ -453,12 +453,16 @@ def int8_topk(
 
     # Two-step projection so the scale lands in a column FIRST and the
     # codes lambda reads it as an outer reference — O(d), not O(d²), per row.
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.expr(_scale_sql(vec_col)).alias("q_scale"),
     ).withColumn("q_q", F.expr(_QUANT.format(v="q_vec", s="q_scale")))
-    c = embeddings.select(
+    # same one-file-corpus guard as brute_force_topk (sim1 3.38x -> 0.62x
+    # at sf1): quantize+score is the hot projection, keep it parallel
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.expr(_scale_sql(vec_col)).alias("c_scale"),

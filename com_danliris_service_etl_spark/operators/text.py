@@ -486,15 +486,24 @@ def window_language_profile(
     All counts integer; the agreement division is the only float,
     rounded before the threshold compare."""
     from pyspark.sql import Window
+
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     k = window_tokens
     langs = sorted(LANG_MARKERS)
 
-    wins = docs.select(
+    # _spread: the per-window marker argmax below is the hot projection
+    # and a one-file corpus would run it on ONE partition (the sim1
+    # lesson, r11); tokenize ONCE into a column — the previous inline
+    # form re-split the text twice per row (size + slice operands)
+    wins = _spread(docs).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+    ).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {k}.0) as int) - 1),"
-                f" i -> slice(split({text_col}, ' '), i * {k} + 1, {k}))"
+                f"transform(sequence(0, cast(ceil(size(t) / {k}.0) as int) - 1),"
+                f" i -> slice(t, i * {k} + 1, {k}))"
             )
         ).alias("w"),
     )
@@ -557,15 +566,21 @@ def boilerplate_ngram_stats(
     document's DISTINCT k-shingles; documents with < k tokens drop out
     (no shingles — mirrored in the oracle).
 
-    Scale shape: per-document distinctness is computed ROW-LOCALLY
-    (``array_distinct`` before the explode), so it costs no shuffle; the
-    document-frequency count is ONE map-side-combinable groupBy on the
-    shingle (only true boilerplate is hot, and those are exactly the
-    keys partial aggregation collapses hardest); the flag join reuses
-    the same shingle key (at real corpus scale the boilerplate SET —
-    ``__nd >= min_docs`` — is small enough to broadcast instead; AQE
-    makes that call from the measured size); the per-document report is
-    one aggregation bounded by the document's own shingle count."""
+    Scale shape (r11 rewrite, 4.76x -> measured below at derived sf1):
+    per-document distinctness AND the per-document total are ROW-LOCAL
+    (``array_distinct`` + ``size`` before the explode — the full
+    exploded relation is never re-joined or re-aggregated for totals);
+    the document-frequency count is ONE map-side-combinable groupBy on
+    the shingle (only true boilerplate is hot, and those are exactly
+    the keys partial aggregation collapses hardest); membership rides a
+    LEFT SEMI join against only the BOILERPLATE set (``__nd >=
+    min_docs`` — a tiny fraction of the vocabulary; AQE broadcasts it
+    from the measured size), so the per-doc boiler aggregate runs over
+    boiler hits only, not the whole phrase inventory; zero-hit
+    documents re-attach through the (doc-grain) left join against the
+    row-local base. The r10 form instead inner-joined the FULL exploded
+    relation to the FULL count relation and re-counted totals from it —
+    two fact-scale exchanges this shape never needed."""
     from com_danliris_service_etl_spark.operators.dedup import _spread
 
     idx = ", ".join(f"t[i+{j}]" for j in range(k))
@@ -573,27 +588,42 @@ def boilerplate_ngram_stats(
         f"array_distinct(transform(sequence(0, size(t)-{k}),"
         f" i -> concat_ws(' ', {idx})))"
     )
-    sh = (
+    base = (
         _spread(docs)
         .select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .filter(F.size("t") >= k)
-        .select(id_col, F.explode(sh_arr).alias("s"))
-        # referenced twice (count + flag join) with DIFFERENT exchange
-        # children, so ReuseExchange can't dedupe — without this the
-        # whole scan+split+distinct+explode pipeline runs twice
+        .select(id_col, sh_arr.alias("__sh"))
+        # referenced twice (per-doc totals + the exploded stream) with
+        # different exchange children, so ReuseExchange can't dedupe —
+        # without this the scan+split+distinct pipeline runs twice
         # (dedup_clusters' pairs-input lesson)
         .localCheckpoint(eager=False)
     )
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__nd"))
-    flagged = sh.join(df_counts, "s")
-    n_sh = F.count(F.lit(1)).cast("long")
-    n_boiler = F.sum((F.col("__nd") >= min_docs).cast("long"))
-    return flagged.groupBy(id_col).agg(
-        n_sh.alias("n_shingles"),
-        n_boiler.alias("n_boiler"),
-        F.round(n_boiler.cast("double") / n_sh.cast("double"), 6).alias(
-            "boiler_share"
-        ),
+    sh = base.select(id_col, F.explode("__sh").alias("s"))
+    boiler_set = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("s")
+    )
+    boiler_per_doc = (
+        sh.join(boiler_set, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    return (
+        base.select(id_col, F.size("__sh").cast("long").alias("n_shingles"))
+        .join(boiler_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("__nb"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("boiler_share"),
+        )
     )
 
 
@@ -890,7 +920,13 @@ def bigram_lm_scores(
     vocabulary-scale and does NOT broadcast (the fixture would allow it;
     the plan must not rely on it). Final per-doc mean is one more
     bounded aggregate. Returns (doc_id, n_bigrams, avg_nll)."""
-    toks = docs.select(
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread: both corpus passes below (bigram explode, vocab explode)
+    # are hot scan projections that a one-file corpus would run on ONE
+    # partition (the sim1 lesson, r11)
+    sd = _spread(docs)
+    toks = sd.select(
         id_col, F.split(F.col(text_col), " ").alias("__t")
     ).filter(F.size("__t") >= 2)
     big = (
@@ -909,7 +945,7 @@ def bigram_lm_scores(
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     ctx = bc.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        sd.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .agg(F.count_distinct("w").cast("double").alias("__v"))
     )
     model = (
