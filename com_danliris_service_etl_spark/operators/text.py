@@ -195,8 +195,18 @@ def _tf_rows(docs: DataFrame, text_col: str, id_expr: F.Column) -> DataFrame:
     and a sorted-run-length per-row tf (O(n log n)) still loses ~40% to
     this form — Spark's vectorized explode + partial hash aggregation
     beats per-row array sorting, and the exchange ships only the
-    map-side-combined (doc, term) partials, not raw tokens."""
-    base = docs.select(id_expr, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    map-side-combined (doc, term) partials, not raw tokens.
+
+    `_spread` first (r11): the explode AND the partial hash aggregation
+    run in the scan's stage, so a one-file corpus executed the whole tf
+    build on ONE partition (txt8 3.5x / txt9 3.4x vs oracle at derived
+    sf1 before; the sim1 lesson) — conditional, pass-through on
+    well-partitioned inputs."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    base = _spread(docs).select(
+        id_expr, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
     id_name = base.columns[0]
     return base.groupBy(id_name, "term").agg(F.count(F.lit(1)).alias("tf"))
 
@@ -648,6 +658,10 @@ def pmi_bigrams(
     because the bigram side is already aggregated, one row per pair).
     All-integer counts; the single ln() at the output boundary is the
     only float, computed from the same integers in any engine."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread both corpus passes (r11, the sim1 one-partition lesson)
+    docs = _spread(docs)
     toks = docs.select(F.split(F.col(text_col), " ").alias("t")).filter(
         F.size("t") >= 2
     )

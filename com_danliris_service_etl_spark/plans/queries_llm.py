@@ -502,7 +502,11 @@ def llm1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is individually verified by txt3 / txt2 / dd1
     (`exact_dedup_groups` stays the standalone dd1 operator); this
     query verifies their composition."""
-    docs = _t(spark, sf_dir, "documents")
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread: langid+quality+digest is the funnel's hot projection and a
+    # one-file corpus would run it on ONE partition (the sim1 lesson, r11)
+    docs = _spread(_t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "source",

@@ -286,7 +286,11 @@ def llm18_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |distinct rounded scores|, ~1e6 rows at any corpus size). The fact is
     scanned ONCE: kept counts/token mass are conditional sums over the
     histogram, not a second pass over documents."""
-    docs = _t(spark, sf_dir, "documents")
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread: the quality featurization is the hot projection and a
+    # one-file corpus would run it on ONE partition (the sim1 lesson, r11)
+    docs = _spread(_t(spark, sf_dir, "documents"))
     feat = docs.select(
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
