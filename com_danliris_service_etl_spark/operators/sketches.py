@@ -274,7 +274,9 @@ def binned_quantile_rollup(
         F.sum("__qcnt").over(wall).alias("__qn"),
     )
     est = F.col("__qlo") + (F.col("__qbin") + 1) * F.col("__qw")
-    aggs = [F.max("__qn").alias("n")]
+    # carry the bin width out so bracket-verification consumers (sk6)
+    # need no second raw-rows bounds scan — the state already knows it
+    aggs = [F.max("__qn").alias("n"), F.first("__qw").alias("__qw")]
     for q in qs:
         name = f"q_{str(q).replace('.', '_')}"
         aggs.append(

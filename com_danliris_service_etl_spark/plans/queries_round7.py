@@ -998,13 +998,9 @@ def sk6_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", ["l_returnflag", "l_linestatus"], n_bins
     )
     rolled = binned_quantile_rollup(state, ["l_returnflag"], [0.5, 0.95])
-    bounds = li.agg(
-        (
-            (F.max("l_extendedprice") - F.min("l_extendedprice"))
-            / F.lit(float(n_bins))
-        ).alias("__w")
-    )
-    est = F.broadcast(rolled.crossJoin(F.broadcast(bounds)))
+    # the rollup carries the bin width (__qw) out of the state — the r11
+    # fix that dropped sk6's separate full-scan bounds re-derivation
+    est = F.broadcast(rolled.withColumnRenamed("__qw", "__w"))
     x = F.col("l_extendedprice")
     # FP slack on the bracket's lower edge: binning computes
     # floor((x-lo)/w) while the check recomputes est-w; a boundary
