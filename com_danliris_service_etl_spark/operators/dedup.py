@@ -1589,22 +1589,21 @@ def duplicate_spans(
     toks = _spread(docs).select(
         id_col, F.split(F.col(text_col), " ").alias("t")
     ).filter(F.size("t") >= k)
-    base = toks.select(
-        id_col, "t", (F.size("t") - F.lit(k - 1)).cast("long").alias("n_windows")
-    )
-    wins = base.select(
+    wins = toks.select(
         id_col,
-        "n_windows",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, cast(size(t) AS INT) - {k}),"
                 f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
             )
         ).alias("pos", "__h"),
-    ).localCheckpoint(eager=False)  # feeds the ownership aggregate AND the
-    # dup semi-join — different exchange children defeat ReuseExchange, so
-    # without this the scan+explode+md5 pipeline runs twice (the dd8/txt5
-    # gap; passage_dedup pays the same checkpoint for the same fork)
+    ).localCheckpoint(eager=False)  # feeds the ownership aggregate, the
+    # dup semi-join, AND the per-doc totals — different exchange children
+    # defeat ReuseExchange, so without this the scan+explode+md5 pipeline
+    # runs once per reference (the dd8/txt5 gap; passage_dedup pays the
+    # same checkpoint for the same fork). Totals derive from THIS
+    # relation (count of positions per doc ≡ token count − k + 1), so
+    # the corpus text is scanned exactly once (r11 review item).
     owners = (
         wins.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1625,9 +1624,13 @@ def duplicate_spans(
             F.max("__run").cast("long").alias("longest_run"),
         )
     )
+    totals = wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    # both sides arrive hash(doc)-partitioned (totals' aggregate, the
+    # run window/aggregates), so the attach adds no exchange
     return (
-        base.select(id_col, "n_windows")
-        .join(run_stats, id_col, "left")
+        totals.join(run_stats, id_col, "left")
         .select(
             id_col,
             "n_windows",

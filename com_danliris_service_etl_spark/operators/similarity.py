@@ -1231,7 +1231,18 @@ def truncated_recall_ablation(
         ).cast("long").alias(f"__h{d}")
         for d in dims
     ]
-    per_query = pairsets.groupBy("query_id").agg(*hit_cols)
+    per_query = (
+        pairsets.groupBy("query_id")
+        .agg(
+            *hit_cols,
+            # recall_at_k's universe is queries present in the EXACT
+            # (full-space) top-k — a query whose full-dim cosine is NULL
+            # for every pair (NULL-element vectors) must emit NO rows
+            # even if a truncated slice scored (r11 review edge)
+            F.max(F.array_contains("ds", 0).cast("int")).alias("__in_full"),
+        )
+        .filter(F.col("__in_full") == 1)
+    )
     return (
         per_query.select(
             "query_id",

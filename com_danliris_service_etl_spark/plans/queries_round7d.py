@@ -203,12 +203,12 @@ def q5_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def orphan_count(fk: str, mark: str):
-        return (
-            F.sum(
-                F.when(F.col(fk).isNotNull() & F.col(mark).isNull(), 1).otherwise(0)
-            )
-            .cast("long")
-        )
+        # count(when(...)), not sum(when...otherwise 0): a global sum over
+        # ZERO rows is NULL while the oracle's count(*) is 0 — the empty /
+        # fully-filtered-child degenerate case must still report 0 orphans
+        return F.count(
+            F.when(F.col(fk).isNotNull() & F.col(mark).isNull(), 1)
+        ).cast("long")
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")

@@ -384,24 +384,67 @@ def test_g13_registry_runs_on_bucketed_layout(spark):
     plain = cooccurrence_jaccard(li, "l_orderkey", "l_partkey", min_common=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
 
-    # idempotence: second materialization call is catalog-served
+
+def test_ensure_bucketed_fact_idempotent_and_adoptable(spark, tmp_path):
+    """Layout lifecycle on an ISOLATED fixture copy (tmp_path — the
+    shared warehouse is touched by concurrent test shards, so mtime
+    assertions there would race): the second call must be
+    catalog-served (no rewrite), and after the catalog entry is dropped
+    (simulating a NEW session over the same warehouse) the call must
+    ADOPT the existing canonical directory — registering an external
+    CLUSTERED BY table over it, still planning bucketed scans — rather
+    than re-paying the write (the r11 review item on the appId-salted
+    scheme that could never reuse a layout)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
+
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet", tmp_path / "lineitem.parquet")
+    sf_dir = str(tmp_path)
     t1 = ensure_bucketed_fact(
         spark, sf_dir, "lineitem", ["l_orderkey"],
         columns=["l_orderkey", "l_partkey"],
     )
-    mtimes = {}
+    n1 = t1.count()
+    bkt = [t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_lineitem_")]
+    assert bkt
+    # find the canonical dir for THIS fixture: exactly one bkt_lineitem_*
+    # name both in the catalog and materialized since the copy above
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name in os.listdir(wh):
-        if name.startswith("bkt_lineitem_"):
-            mtimes[name] = os.path.getmtime(os.path.join(wh, name))
+    dirs = {n: os.path.getmtime(os.path.join(wh, n)) for n in bkt
+            if os.path.isdir(os.path.join(wh, n))}
     t2 = ensure_bucketed_fact(
         spark, sf_dir, "lineitem", ["l_orderkey"],
         columns=["l_orderkey", "l_partkey"],
     )
-    for name, mt in mtimes.items():
-        assert os.path.getmtime(os.path.join(wh, name)) == mt, "layout rewritten"
-    assert t1.schema == t2.schema
-    assert t1.count() == li.count()
+    for n, mt in dirs.items():
+        assert os.path.getmtime(os.path.join(wh, n)) == mt, "layout rewritten"
+    assert t2.count() == n1
+
+    # adoption path: a fresh session's empty catalog over the same
+    # warehouse — simulate by dropping the entries (external tables:
+    # files survive the drop)
+    for n in bkt:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    t3 = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
+    for n, mt in dirs.items():
+        assert os.path.getmtime(os.path.join(wh, n)) == mt, "adoption rewrote the layout"
+    assert t3.count() == n1
+    agg_plan = (
+        t3.groupBy("l_orderkey").agg(F.collect_set("l_partkey"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    for n in [t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_lineitem_")]:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
 def test_asof_join_broadcast_strategy_agrees_with_sort(spark):

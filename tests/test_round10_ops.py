@@ -215,6 +215,31 @@ def test_sim12_fused_equals_unfused_composition(spark):
     assert fused == unfused
 
 
+def test_sim12_fused_query_universe_excludes_full_null_queries(spark):
+    """A query vector whose FULL-dim cosine is NULL against every corpus
+    row (a NULL element past the truncation widths) is scorable in the
+    truncated spaces but absent from the exact top-k — recall_at_k's
+    universe — so the fused form must emit NO rows for it (the r11
+    review edge: pairsets alone would fabricate zero-hit rows)."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        truncated_recall_ablation,
+    )
+
+    def vec(seed, poison_tail):
+        v = [float((seed * 31 + i) % 7) - 3.0 for i in range(64)]
+        if poison_tail:
+            v[40] = None
+        return v
+
+    rows = [(0, vec(1, True))] + [(i, vec(i, False)) for i in range(1, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = truncated_recall_ablation(emb, n_queries=2, dims=(32, 16), k=2)
+    got = {(r.dim, r.query_id) for r in out.collect()}
+    assert got == {(32, 1), (16, 1)}, got
+
+
 @_SETTINGS
 @given(
     docs=st.lists(

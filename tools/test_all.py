@@ -91,7 +91,10 @@ def main() -> int:
         code = p.wait()
         log.close()
         with open(os.path.join(LOG_DIR, f"shard{i}.log")) as f:
-            tail = f.readlines()[-1].strip() if f.seekable() else ""
+            lines = f.readlines()
+        # an OOM-killed / failed-to-launch shard leaves an empty log —
+        # report it red, never crash the verdict loop
+        tail = lines[-1].strip() if lines else "(no output)"
         status = "green" if code in (0, 5) else "RED"  # 5 = no tests collected
         if code not in (0, 5):
             rc = 1
