@@ -668,12 +668,26 @@ def g11_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     One groupBy of the fact into per-order arrays + in-array pair
     generation (the g9 shape) — never a fact×fact self-join. Scores are
     sums of a handful of 1/ln terms, rounded 6dp for order-insensitive
-    cross-engine comparison."""
+    cross-engine comparison.
+
+    Runs over the SAME canonical bucketed layout as g13 (identical
+    fingerprint — table, key, columns, bucket count — so the two
+    queries share ONE materialized directory and the per-order
+    aggregate plans zero exchanges; the whole plan carries exactly one
+    shuffle, the CI-pinned claim in
+    test_cooccurrence_on_bucketed_layout_single_exchange, measured
+    1.31× vs the oracle at sf10 against 1.55× unbucketed)."""
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
     from com_danliris_service_etl_spark.operators.graph import (
         cooccurrence_adamic_adar,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
     return cooccurrence_adamic_adar(li, "l_orderkey", "l_partkey", min_common=2)
 
 
