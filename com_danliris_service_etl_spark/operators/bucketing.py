@@ -65,10 +65,20 @@ def ensure_bucketed_fact(
     canonical path — rename fails if another writer already installed
     it, in which case the loser discards its copy and adopts the
     winner's. Readers only ever see a complete directory (the rename is
-    atomic and the temp dir carries _SUCCESS before the move)."""
+    atomic and the temp dir carries _SUCCESS before the move).
+
+    Lifecycle: layouts for a REGENERATED fixture (same source path, new
+    mtime/size ⇒ new spec hash) are garbage-collected at materialization
+    time — the name embeds a separate hash of the source PATH, so only
+    true siblings (same table, same source file, stale spec) are
+    removed; a different fixture copy of the same table (e.g. a test's
+    tmp_path clone) hashes to a different path segment and is never
+    touched. An unwritable/uncreatable warehouse degrades to the plain
+    unbucketed select of the source parquet (correctness over layout)."""
     import hashlib
     import os
     import shutil
+    import warnings
 
     src = f"{sf_dir}/{table}.parquet"
     st = os.stat(src)
@@ -84,46 +94,83 @@ def ensure_bucketed_fact(
             ",".join(columns or []),
         ]
     )
-    name = f"bkt_{table}_{hashlib.sha1(spec.encode()).hexdigest()[:12]}"
+    srctag = hashlib.sha1(src.encode()).hexdigest()[:6]
+    name = f"bkt_{table}_{srctag}_{hashlib.sha1(spec.encode()).hexdigest()[:12]}"
+
+    def _fallback(reason: str) -> DataFrame:
+        warnings.warn(
+            f"ensure_bucketed_fact: falling back to unbucketed scan of {src}: "
+            f"{reason}", RuntimeWarning, stacklevel=2,
+        )
+        df = spark.read.parquet(src)
+        return df.select(*columns) if columns else df
+
     if spark.catalog.tableExists(name):
         return spark.table(name)
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = os.path.join(wh, name)
-
-    def _adopt() -> DataFrame:
-        # register an EXTERNAL bucketed table over the completed files —
-        # Spark's bucketed writer encodes the bucket id in each file
-        # name, so a CLUSTERED BY table over them plans bucketed scans
-        df = spark.read.parquet(path)
-        cols_ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {name} ({cols_ddl}) USING parquet "
-            f"CLUSTERED BY ({', '.join(bucket_cols)}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-        return spark.table(name)
-
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return _adopt()
-
-    tmp = f"{name}__w{os.getpid()}"
-    shutil.rmtree(os.path.join(wh, tmp), ignore_errors=True)
-    df = spark.read.parquet(src)
-    if columns:
-        df = df.select(*columns)
-    write_bucketed(df, tmp, bucket_cols, n_buckets=n_buckets)
-    # detach the temp catalog entry from its files BEFORE dropping it
-    # (DROP TABLE on a managed table deletes its directory)
     try:
-        os.rename(os.path.join(wh, tmp), path)
-    except OSError:
-        # another writer installed the canonical dir first; discard ours
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        path = os.path.join(wh, name)
+
+        def _adopt() -> DataFrame:
+            # register an EXTERNAL bucketed table over the completed files —
+            # Spark's bucketed writer encodes the bucket id in each file
+            # name, so a CLUSTERED BY table over them plans bucketed scans
+            df = spark.read.parquet(path)
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {name} ({cols_ddl}) USING parquet "
+                f"CLUSTERED BY ({', '.join(bucket_cols)}) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return spark.table(name)
+
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return _adopt()
+
+        # GC stale siblings: same table AND same source path (srctag) but a
+        # different spec hash means the fixture file was regenerated — the
+        # old layout can never be adopted again (its fingerprint is dead),
+        # so reclaim the disk before paying the new write. Layouts built
+        # from other source paths share only the table prefix and are
+        # deliberately skipped.
+        stale_prefix = f"bkt_{table}_{srctag}_"
+        if os.path.isdir(wh):
+            for entry in os.listdir(wh):
+                if entry.startswith(stale_prefix) and entry != name:
+                    shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+                    spark.sql(f"DROP TABLE IF EXISTS {entry}")
+
+        tmp = f"{name}__w{os.getpid()}"
         shutil.rmtree(os.path.join(wh, tmp), ignore_errors=True)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    return _adopt()
+        df = spark.read.parquet(src)
+        if columns:
+            df = df.select(*columns)
+        write_bucketed(df, tmp, bucket_cols, n_buckets=n_buckets)
+        # detach the temp catalog entry from its files BEFORE dropping it
+        # (DROP TABLE on a managed table deletes its directory)
+        try:
+            os.rename(os.path.join(wh, tmp), path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                # rename failed for a real reason (permissions, EXDEV, …),
+                # NOT because another writer won the race — clean up the
+                # orphan (DROP on the still-managed tmp reclaims its dir)
+                # and surface it via the degradation path rather than
+                # letting _adopt() raise a confusing path-not-found later
+                spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+                raise
+            # another writer installed the canonical dir first; discard ours
+            shutil.rmtree(os.path.join(wh, tmp), ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        return _adopt()
+    except Exception as exc:  # noqa: BLE001 — uncreatable warehouse raises
+        # JVM-side AnalysisException, read-only FS raises OSError; either
+        # way the layout is a performance lever, never a correctness
+        # dependency, so degrade to the plain scan and say so
+        return _fallback(f"{type(exc).__name__}: {exc}")
 
 
 def bucketed_join(

@@ -1585,7 +1585,14 @@ def duplicate_spans(
     partitioning (island key and per-doc max — zero extra exchanges).
     Per-doc totals (n_windows) are ROW-LOCAL (token count - k + 1), so
     the full window relation is never re-aggregated; the final attach is
-    one doc-keyed join of the (sparse) dup-stats relation."""
+    one doc-keyed join of the (sparse) dup-stats relation.
+
+    ORACLE CAVEAT (same class as lsh_band_ablation's): gram ownership is
+    keyed on md5(gram) while the dd13 DuckDB oracle groups the raw gram
+    strings — engine/oracle agreement assumes md5 collision-freedom over
+    the corpus's distinct k-gram set (~2^-64 per pair at these
+    cardinalities; at 100 TB switch the key to xxhash64(gram)||length or
+    the raw string if collision-freedom must be unconditional)."""
     toks = _spread(docs).select(
         id_col, F.split(F.col(text_col), " ").alias("t")
     ).filter(F.size("t") >= k)
