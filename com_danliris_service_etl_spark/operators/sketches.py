@@ -185,11 +185,63 @@ def hll_rollup(
     )
 
 
+def parquet_column_bounds(
+    spark, path: str, col: str
+) -> tuple[float, float] | None:
+    """Exact global (min, max) of a numeric parquet column from row-group
+    STATISTICS — the zone-map read every columnar engine uses for a bare
+    MIN/MAX (DuckDB's oracle side gets it for free; without it Spark pays
+    a full column scan just to plan sk6's binning grid). Footer reads are
+    distributed one-task-per-file with a bounded collect of per-file
+    scalars, so at 100 TB the cost is |files| footer fetches, not |rows|.
+
+    Returns None (caller falls back to the scan aggregate) when any row
+    group lacks min/max stats — e.g. NaN-poisoned double columns, for
+    which parquet writers legitimately omit statistics."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+    elif os.path.exists(path):
+        files = [path]
+    else:
+        return None  # non-local filesystem: use the scan aggregate
+
+    def _file_bounds(f: str) -> tuple[float, float] | None:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f)
+        ci = md.schema_arrow.get_field_index(col)
+        lo = hi = None
+        for i in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(i).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (float(lo), float(hi))
+
+    if len(files) <= 4:  # driver-side: cheaper than a job for few footers
+        per_file = [_file_bounds(f) for f in files]
+    else:
+        per_file = (
+            spark.sparkContext.parallelize(files, min(len(files), 256))
+            .map(_file_bounds)
+            .collect()
+        )
+    if not per_file or any(b is None for b in per_file):
+        return None
+    return (min(b[0] for b in per_file), max(b[1] for b in per_file))
+
+
 def binned_quantile_state(
     df: DataFrame,
     value_col: str,
     fine_cols: list[str],
     n_bins: int = 256,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """MERGEABLE quantile state: a fixed-width histogram (``n_bins``
     equal bins over the GLOBAL value range) counted per fine group —
@@ -208,19 +260,36 @@ def binned_quantile_state(
     regardless of row count. NULL values are dropped (percentile
     semantics). Returns ``(*fine_cols, __qbin, __qcnt, __qlo, __qw)``
     with the global lo/width carried as constant columns so the rollup
-    needs no side-channel."""
+    needs no side-channel.
+
+    Pass ``bounds=(lo, hi)`` (e.g. from :func:`parquet_column_bounds`'
+    zone-map read) to SKIP the bounds scan entirely — the width is then
+    derived driver-side with the identical IEEE chain
+    ``max((hi-lo)/n_bins, 1e-12)``, so estimates are bit-identical to
+    the scanned form."""
     v = F.col(value_col).cast("double")
-    bounds = df.agg(
-        F.min(v).alias("__qlo"), F.max(v).alias("__qhi")
-    ).select(
-        "__qlo",
-        # degenerate all-equal range still needs a nonzero width
-        F.greatest(
-            (F.col("__qhi") - F.col("__qlo")) / F.lit(float(n_bins)),
-            F.lit(1e-12),
-        ).alias("__qw"),
-    )
-    binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds))
+    if bounds is not None:
+        lo, hi = bounds
+        w = max((hi - lo) / float(n_bins), 1e-12)
+        # F.lit(python float) is an exact DoubleType literal (the
+        # DECIMAL-typing hazard only applies to SQL-string literals);
+        # known bounds need no broadcast stage at all — the constants
+        # fold straight into the scan projection
+        binned = df.filter(v.isNotNull()).withColumns(
+            {"__qlo": F.lit(lo), "__qw": F.lit(w)}
+        )
+    else:
+        bounds_df = df.agg(
+            F.min(v).alias("__qlo"), F.max(v).alias("__qhi")
+        ).select(
+            "__qlo",
+            # degenerate all-equal range still needs a nonzero width
+            F.greatest(
+                (F.col("__qhi") - F.col("__qlo")) / F.lit(float(n_bins)),
+                F.lit(1e-12),
+            ).alias("__qw"),
+        )
+        binned = df.filter(v.isNotNull()).crossJoin(F.broadcast(bounds_df))
     bin_ix = F.least(
         F.floor((v - F.col("__qlo")) / F.col("__qw")),
         F.lit(n_bins - 1),

@@ -969,22 +969,47 @@ def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Histogram state at (returnflag, linestatus) grain, merged to
-# returnflag-grain quantiles. Estimates are resolution-bounded, not
-# cross-engine-comparable, so the sk1 contract applies: emit EXACT
-# continuous quantiles (hash-comparable, percentile ≡ quantile_cont)
-# plus booleans verifying the estimate's true guarantee — the k-th
-# order statistic (k = ceil(q·n)) lies in [est − width, est], checked
-# with two conditional counts — and pin the booleans TRUE in the
-# oracle. (|est − quantile_cont| is NOT width-bounded: interpolation
-# at a data gap crosses empty bins; see binned_quantile_rollup.)
+# returnflag-grain quantile ESTIMATES. The estimates ARE cross-engine
+# hash-comparable: every number on the path is a single IEEE op over
+# deterministic inputs (lo = min, w = greatest((max-min)/256.0, 1e-12),
+# bin = least(floor((x-lo)/w), 255), est = lo + (bin+1)*w), so DuckDB
+# replicating the identical expressions reproduces them bit-exactly —
+# a full value check, stronger than the old pinned-TRUE booleans. The
+# order-statistic bracket proof (os_k ∈ [est − w, est], k = ceil(q·n))
+# that previously rode INSIDE this query as two extra percentile()
+# aggregates + a join-back scan was evidence a deployment never pays
+# (it reads the state table, not raw rows) — r11 VERDICT task 2 moved
+# it to tests/test_round7_ops.py::test_sk6_bracket_contract,
+# so the benched query is exactly the deployable state→rollup path.
 _SK6_SQL = """
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo,
+         greatest((max(l_extendedprice) - min(l_extendedprice)) / 256.0,
+                  1e-12) AS w
+  FROM lineitem),
+state AS (
+  SELECT l_returnflag, l_linestatus,
+         least(floor((l_extendedprice - lo) / w), 255)::INT AS qbin,
+         count(*)::BIGINT AS cnt
+  FROM lineitem, b
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2, 3),
+merged AS (
+  SELECT l_returnflag, qbin, sum(cnt)::BIGINT AS cnt
+  FROM state GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, qbin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qbin)::BIGINT
+           AS qcum,
+         sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS qn
+  FROM merged)
 SELECT l_returnflag,
-       count(*)::BIGINT AS n,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
-       TRUE AS p50_ok,
-       TRUE AS p95_ok
-FROM lineitem GROUP BY l_returnflag
+       max(qn)::BIGINT AS n,
+       min(CASE WHEN qcum::DOUBLE >= qn::DOUBLE * 0.5
+                THEN lo + (qbin + 1) * w END) AS q_0_5,
+       min(CASE WHEN qcum::DOUBLE >= qn::DOUBLE * 0.95
+                THEN lo + (qbin + 1) * w END) AS q_0_95
+FROM cum, b GROUP BY l_returnflag
 """
 
 
@@ -995,58 +1020,33 @@ def sk6_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram state at the fine grain — the quantile analogue of
     sk4/sk5's bitmap/HLL partial state (t-digest state isn't SQL-
     mergeable across grains; binned counts are) — merged to coarse-
-    grain p50/p95. Flags verify the order-statistic bracket
-    (os_k ∈ [est − w, est], k = ceil(q·n)) by joining the 3-row rolled
-    frame back to the scan (broadcast) and counting values ≤ est and
-    < est − w — map-side-combinable, no sort; the extra scan is
-    evidence-only (a deployment reads the state table, not the raw
-    rows). Exact quantiles ride percentile() ≡ quantile_cont (a7)."""
+    grain p50/p95 estimates. This is the DEPLOYABLE path alone: one
+    1-row bounds aggregate (broadcast back), one map-side-combinable
+    histogram groupBy, one bounded ≤256-rows-per-group window. The
+    estimates hash-match the oracle because the whole arithmetic chain
+    is deterministic single IEEE ops (see _SK6_SQL note); the
+    order-statistic bracket guarantee is pinned in
+    tests/test_round7_ops.py::test_sk6_bracket_contract."""
     from com_danliris_service_etl_spark.operators.sketches import (
         binned_quantile_rollup,
         binned_quantile_state,
+        parquet_column_bounds,
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    n_bins = 256
+    # zone-map bounds: the binning grid needs only global min/max, which
+    # parquet row-group statistics already hold exactly — skipping the
+    # full bounds scan DuckDB's stats-backed min/max never pays either
+    # (None → NaN-poisoned/absent stats → the in-engine scan fallback)
+    bounds = parquet_column_bounds(
+        spark, f"{sf_dir}/lineitem.parquet", "l_extendedprice"
+    )
     state = binned_quantile_state(
-        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], n_bins
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], 256,
+        bounds=bounds,
     )
     rolled = binned_quantile_rollup(state, ["l_returnflag"], [0.5, 0.95])
-    # the rollup carries the bin width (__qw) out of the state — the r11
-    # fix that dropped sk6's separate full-scan bounds re-derivation
-    est = F.broadcast(rolled.withColumnRenamed("__qw", "__w"))
-    x = F.col("l_extendedprice")
-    # FP slack on the bracket's lower edge: binning computes
-    # floor((x-lo)/w) while the check recomputes est-w; a boundary
-    # value can land on either side of the subtraction's rounding.
-    eps = F.lit(1e-9) * F.greatest(F.abs(F.col("q_0_95")), F.lit(1.0))
-    chk = (
-        li.join(est, "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_e"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_e"),
-            F.count(F.when(x <= F.col("q_0_5"), 1)).alias("le50"),
-            F.count(
-                F.when(x < F.col("q_0_5") - F.col("__w") - eps, 1)
-            ).alias("lt50lo"),
-            F.count(F.when(x <= F.col("q_0_95"), 1)).alias("le95"),
-            F.count(
-                F.when(x < F.col("q_0_95") - F.col("__w") - eps, 1)
-            ).alias("lt95lo"),
-        )
-    )
-    k50 = F.ceil(F.col("n_exact") * F.lit(0.5))
-    k95 = F.ceil(F.col("n_exact") * F.lit(0.95))
-    return chk.select(
-        "l_returnflag",
-        F.col("n_exact").alias("n"),
-        F.round("p50_e", 4).alias("p50_exact"),
-        F.round("p95_e", 4).alias("p95_exact"),
-        ((F.col("le50") >= k50) & (F.col("lt50lo") < k50)).alias("p50_ok"),
-        ((F.col("le95") >= k95) & (F.col("lt95lo") < k95)).alias("p95_ok"),
-    )
+    return rolled.select("l_returnflag", "n", "q_0_5", "q_0_95")
 
 
 # ---------------------------------------------------------------------------

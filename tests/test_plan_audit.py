@@ -134,7 +134,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt5_tfidf_top_terms": "corpus-N scalar for the idf term",
     "txt8_bm25_topk": "corpus-N/avgdl scalar",
     "txt9_unigram_logprob": "vocabulary-total scalar",
-    "sk6_quantile_rollup": "one 1-row global min/max bounds aggregate (binning grid; the bracket width now rides OUT of the rollup state — r11), partial-aggregated and broadcast back",
+    "sk6_quantile_rollup": "r12: the binning grid's min/max now comes from parquet zone-map stats (parquet_column_bounds) so the registry plan carries NO single-partition exchange; the entry stays for the stats-absent fallback path (1-row bounds aggregate, partial-aggregated and broadcast back)",
     "q4_benford_digits": "global-share window over the 9-row digit aggregate — bounded by the digit alphabet, partial-aggregated before the exchange",
     "q5_orphan_profile": "three scalar orphan-count aggregates unioned (the q1 shape; the two lineitem FK checks share one fused scan/collapse) — each membership probe reduces to one partial count per partition before the exchange",
     "a16_small_quantity_loss": "final 1-row loss aggregate (Q17 scalar output) — one partial state per partition of the brand slice",

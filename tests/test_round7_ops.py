@@ -591,6 +591,50 @@ def test_binned_quantile_rollup_error_bound(spark):
         assert col - width - 1e-9 <= os_k <= col + 1e-9
 
 
+def test_sk6_bracket_contract(spark):
+    """The order-statistic bracket proof evicted from the benched
+    sk6_quantile_rollup registry query (r11 VERDICT task 2 — the two
+    exact percentile() aggregates + join-back scan are evidence a
+    deployment never pays, so they live here now): for each coarse
+    group and each q, the k-th smallest value (k = ceil(q*n)) must lie
+    in [est - width, est]. Checked at sf0.01 on the real fixture —
+    exactly the verification the old in-query booleans performed."""
+    from com_danliris_service_etl_spark.plans.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.01"
+    fn, _sql = load_all()["sk6_quantile_rollup"]
+    rolled = {r.l_returnflag: r for r in fn(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    lo_w = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.greatest(
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / F.lit(256.0),
+            F.lit(1e-12),
+        ).alias("w"),
+    ).collect()[0]
+    width = lo_w.w
+    vals = {
+        r.l_returnflag: sorted(v for v in r.vs if v is not None)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.collect_list("l_extendedprice").alias("vs"))
+        .collect()
+    }
+    assert set(vals) == set(rolled)
+    for flag, srt in vals.items():
+        row = rolled[flag]
+        assert row.n == len(srt)
+        for q, est in [(0.5, row.q_0_5), (0.95, row.q_0_95)]:
+            k = math.ceil(q * len(srt))  # ANSI discrete quantile
+            os_k = srt[k - 1]
+            eps = 1e-9 * max(abs(est), 1.0)
+            assert est - width - eps <= os_k <= est + eps, (
+                flag, q, est, width, os_k,
+            )
+
+
 def test_binned_quantile_state_merges_across_increments(spark):
     """State built on two halves and unioned must roll up to the same
     answer as state built on the whole — the mergeability contract."""
