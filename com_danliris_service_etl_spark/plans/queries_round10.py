@@ -467,9 +467,17 @@ def g16_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expressible as an unrolled CTE chain (the txt19 discipline) —
     production loops the same superstep to fixpoint on the survivor
     scalar."""
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
     from com_danliris_service_etl_spark.operators.graph import kcore_peel
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # shared canonical layout (g9/g11/g13/g17 fingerprint): the edge
+    # build's per-order collect_set plans zero exchanges (r12 task 4)
+    li = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
     return kcore_peel(
         li, "l_orderkey", "l_partkey", k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
@@ -672,7 +680,15 @@ def g17_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the g16 discipline) and, like the rest of that family, the
     recursive single-node formulation grows super-linearly with scale
     while the checkpointed superstep loop stays near-linear."""
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
     from com_danliris_service_etl_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # shared canonical layout (g9/g11/g13/g16 fingerprint): the edge
+    # build's per-order collect_set plans zero exchanges (r12 task 4)
+    li = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
     return label_propagation(li, "l_orderkey", "l_partkey", rounds=_LPA_ROUNDS)

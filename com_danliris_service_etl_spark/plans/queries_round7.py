@@ -109,30 +109,32 @@ def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degrees O(√m) — the compact-forward bound that survives hub
     nodes at 100 TB, where orienting by raw id would square the hottest
     part's full degree."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Runs over the PRODUCTION LAYOUT shared with g11/g13/g16/g17 —
+    # lineitem bucketed by the order key (same fingerprint → same
+    # materialized directory), so the per-order collect_set plans ZERO
+    # exchanges and the edge build's first shuffle disappears (r12,
+    # VERDICT task 4: the iterative/graph family's setup was measured to
+    # dominate its runtime).
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
+
+    li = ensure_bucketed_fact(
+        spark, sf_dir, "lineitem", ["l_orderkey"],
+        columns=["l_orderkey", "l_partkey"],
+    )
     # Per-order pair generation in-array (the LSH-bucket trick): ONE
-    # groupBy shuffle of the fact instead of a fact×fact self-join that
-    # shuffles it twice; collect_set state is bounded by the order's line
-    # count. sort_array ⇒ pairs come out src < dst for free.
-    sc = spark.sparkContext
+    # groupBy of the fact — exchange-free on the bucketed layout —
+    # instead of a fact×fact self-join; collect_set state is bounded by
+    # the order's line count. sort_array ⇒ pairs come out src < dst for
+    # free. double-explode pair generation: ~40% faster end-to-end than
+    # the nested transform(slice(...)) HOF at sf1 (r9 A/B: 2.14 s vs
+    # 1.43 s for this edge build) — the HOF allocates a struct array per
+    # element; the chained explodes + src<dst filter stay in one
+    # whole-stage-codegen span (operators/graph.py same rationale).
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    # the pair explode + distinct partial-agg is CPU-bound and sits at
-    # the configured shuffle width — spread to cluster parallelism when
-    # that width under-uses the cores (same rationale as the operator's
-    # internal intersection spread)
-    try:
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        shuffle_n = sc.defaultParallelism
-    if shuffle_n < sc.defaultParallelism:
-        per_order = per_order.repartition(sc.defaultParallelism)
-    # double-explode pair generation: ~40% faster end-to-end than the
-    # nested transform(slice(...)) HOF at sf1 (r9 A/B: 2.14 s vs 1.43 s
-    # for this edge build) — the HOF allocates a struct array per
-    # element; the chained explodes + src<dst filter stay in one
-    # whole-stage-codegen span (operators/graph.py same rationale).
     edges = (
         per_order.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
