@@ -121,6 +121,7 @@ def asof_join(
     tiebreak: str | None = None,
     allow_exact_match: bool = True,
     strategy: str = "sort",
+    segment_width: int | float | None = None,
 ) -> DataFrame:
     """J7 — point-in-time join: for each left row, the single right row
     nearest in time (backward: greatest ``right_on`` <= ``left_on``),
@@ -147,11 +148,27 @@ def asof_join(
       dimension): right is aggregated to one sorted array per key and
       broadcast; each left row picks its row by array lookup. Zero extra
       shuffle on the fact side.
+    - ``strategy="segmented"`` (hot-key clickstreams; backward only,
+      numeric times, requires ``segment_width``): the sort strategy's
+      window partitions on the by-key alone, so ONE key owning 10% of a
+      100 TB stream serializes 10% of the data through one sort task —
+      the straggler salting exists for. Segmenting the time axis
+      (seg = floor(ts / segment_width)) turns it into (key, seg)
+      partitions: the within-segment running-last is the same window at
+      1/segments the task size, and correctness across the boundary is
+      restored by a segment-grain carry — per (key, seg) the last right
+      payload, cumulated per key over the (bounded, seg-grain) segment
+      relation and joined back. Every right row in an earlier segment
+      has strictly smaller time than any row in a later one, so the
+      carry needs no tag/exact-match logic; exact-time subtleties stay
+      within a segment where the tag ordering already handles them.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if strategy not in ("sort", "broadcast"):
-        raise ValueError(f"strategy must be sort|broadcast, got {strategy!r}")
+    if strategy not in ("sort", "broadcast", "segmented"):
+        raise ValueError(
+            f"strategy must be sort|broadcast|segmented, got {strategy!r}"
+        )
     pairs = list(by or [])
 
     # Rename right columns that collide with left ones.
@@ -176,6 +193,22 @@ def asof_join(
         return _asof_broadcast(
             left, r, left_on, r_on, l_keys, r_keys, r_vals, r_tiebreak,
             direction, allow_exact_match,
+        )
+    if strategy == "segmented":
+        if direction != "backward":
+            raise ValueError(
+                "segmented as-of supports direction='backward' only (the "
+                "clickstream/rate-lookup case); mirror the time axis for "
+                "forward semantics"
+            )
+        if segment_width is None or segment_width <= 0:
+            raise ValueError(
+                "segmented as-of requires a positive segment_width (time "
+                "units per segment, e.g. one day of epoch-micros)"
+            )
+        return _asof_segmented(
+            left, r, left_on, r_on, l_keys, r_keys, r_vals, r_tiebreak,
+            allow_exact_match, segment_width,
         )
     return _asof_union_sort(
         left, r, left_on, r_on, l_keys, r_keys, r_vals, r_tiebreak,
@@ -249,6 +282,119 @@ def _asof_union_sort(
     return (
         u.withColumn("__asof_m", matched)
         .filter(F.col("__asof_tag") == l_tag)
+        .select(F.col("__asof_l.*"), F.col("__asof_m.*"))
+    )
+
+
+def _asof_segmented(
+    left: DataFrame,
+    r: DataFrame,
+    left_on: str,
+    r_on: str,
+    l_keys: list[str],
+    r_keys: list[str],
+    r_vals: list[str],
+    r_tiebreak: str | None,
+    allow_exact_match: bool,
+    segment_width: int | float,
+) -> DataFrame:
+    """Skew-salted backward as-of: the union-sort plan with the time axis
+    cut into ``segment_width``-wide segments, so a hot key's window work
+    spreads across (key, segment) tasks instead of serializing through
+    one. Three pieces, all bounded:
+
+    1. within-segment running-last — the `_asof_union_sort` window, just
+       partitioned on (key, seg);
+    2. a segment-grain carry: per (key, seg) the last right payload
+       (max of a (ts, tb, payload) struct over right rows — order-
+       insensitive, no sort), cumulated per key over segments STRICTLY
+       BEFORE the current one (rows-between .. -1). The carry relation
+       has one row per (key, active segment) — seg-grain, never
+       row-grain;
+    3. a (key, seg) equi-join of the carry back onto the unioned rows —
+       the union side arrives hash(key, seg)-partitioned from the
+       window, so only the seg-grain side reshuffles.
+
+    coalesce(within, carry) is exact because segments partition the time
+    axis: every right row of an earlier segment precedes every row of a
+    later one, so cross-segment visibility is unconditional and the
+    exact-match/tag ordering only ever decides WITHIN a segment."""
+    from pyspark.sql import types as T
+
+    l_struct_t = T.StructType([left.schema[c] for c in left.columns])
+    r_struct_t = T.StructType([r.schema[c] for c in r_vals])
+    tb_t = r.schema[r_tiebreak].dataType if r_tiebreak else T.IntegerType()
+    r_tag, l_tag = (0, 1) if allow_exact_match else (1, 0)
+
+    seg = F.floor(F.col("__asof_ts") / F.lit(segment_width)).cast("long")
+    keys = [f"__asof_k{i}" for i in range(len(l_keys))]
+    lu = left.select(
+        *[F.col(lk).alias(k) for lk, k in zip(l_keys, keys)],
+        F.col(left_on).alias("__asof_ts"),
+        F.lit(l_tag).alias("__asof_tag"),
+        F.lit(None).cast(tb_t).alias("__asof_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_l"),
+        F.lit(None).cast(r_struct_t).alias("__asof_r"),
+    )
+    ru = r.select(
+        *[F.col(rk).alias(k) for rk, k in zip(r_keys, keys)],
+        F.col(r_on).alias("__asof_ts"),
+        F.lit(r_tag).alias("__asof_tag"),
+        (F.col(r_tiebreak) if r_tiebreak else F.lit(0)).cast(tb_t).alias("__asof_tb"),
+        F.lit(None).cast(l_struct_t).alias("__asof_l"),
+        F.struct(*[F.col(c) for c in r_vals]).alias("__asof_r"),
+    )
+    u = lu.unionByName(ru).withColumn("__asof_seg", seg)
+
+    w_seg = (
+        Window.partitionBy(*keys, "__asof_seg")
+        .orderBy(
+            F.col("__asof_ts").asc(),
+            F.col("__asof_tag").asc(),
+            F.col("__asof_tb").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cond = F.col("__asof_ts").isNotNull()
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
+    within = u.withColumn(
+        "__asof_w", F.last("__asof_r", ignorenulls=True).over(w_seg)
+    )
+
+    # segment-grain boundary: max over right rows of (ts, tb, payload) —
+    # max() skips the NULL left-row entries, struct comparison encodes
+    # the same (time, tiebreak) winner rule as the window ordering
+    seg_b = u.groupBy(*keys, "__asof_seg").agg(
+        F.max(
+            F.when(
+                F.col("__asof_tag") == F.lit(r_tag),
+                F.struct(
+                    F.col("__asof_ts").alias("ts"),
+                    F.col("__asof_tb").alias("tb"),
+                    F.col("__asof_r").alias("v"),
+                ),
+            )
+        ).alias("__b")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_seg").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = seg_b.select(
+        *keys,
+        "__asof_seg",
+        F.last("__b", ignorenulls=True).over(w_carry)["v"].alias("__asof_c"),
+    )
+
+    return (
+        within.filter(F.col("__asof_tag") == l_tag)
+        .join(carry, [*keys, "__asof_seg"], "left")
+        .withColumn(
+            "__asof_m",
+            F.when(cond, F.coalesce(F.col("__asof_w"), F.col("__asof_c"))),
+        )
         .select(F.col("__asof_l.*"), F.col("__asof_m.*"))
     )
 

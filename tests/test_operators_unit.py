@@ -499,6 +499,68 @@ def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     assert back[2] is None  # before the first rate
 
 
+def test_asof_join_segmented_strategy_agrees_with_sort(spark):
+    """The skew-salted segmented strategy must reproduce the union-sort
+    default exactly: cross-segment carry (a probe whose latest right row
+    sits many segments back), segments containing only left rows, equal-
+    timestamp highest-tiebreak ties, exact-match on/off, null keys and
+    null event times — on a randomized stream with one deliberately hot
+    key, at several segment widths (width 1 makes every row its own
+    segment = pure carry; a huge width collapses to one segment = the
+    plain window)."""
+    import random
+
+    rng = random.Random(12)
+    keys = ["hot"] + [f"k{i}" for i in range(5)] + [None]
+    left_rows, right_rows = [], []
+    for i in range(400):
+        k = "hot" if rng.random() < 0.5 else rng.choice(keys)
+        ts = rng.choice([None, rng.randrange(0, 1000)])
+        left_rows.append((i, k, ts))
+    for j in range(300):
+        k = "hot" if rng.random() < 0.5 else rng.choice(keys)
+        ts = rng.choice([None] + [rng.randrange(0, 500)] * 9)  # right rows
+        # cluster right times in [0, 500) so probes in [500, 1000) must
+        # carry across many empty segments; tb = j keeps (ts, tiebreak)
+        # unique per key — the operator's documented determinism contract
+        # (equal-(ts,tb) full ties are partition-order dependent in the
+        # sort strategy and payload-max in the segmented one)
+        right_rows.append((k, ts, j, f"p{j}"))
+    left = spark.createDataFrame(left_rows, "id long, key string, ts long")
+    right = spark.createDataFrame(
+        right_rows, "key string, rts long, tb long, payload string"
+    )
+    for exact in (True, False):
+        kw = dict(
+            left_on="ts", right_on="rts", by=[("key", "key")],
+            direction="backward", tiebreak="tb", allow_exact_match=exact,
+        )
+        want = {
+            r["id"]: (r["payload"], r["tb"])
+            for r in asof_join(left, right, **kw).collect()
+        }
+        for width in (1, 7, 100, 10_000):
+            got = {
+                r["id"]: (r["payload"], r["tb"])
+                for r in asof_join(
+                    left, right, strategy="segmented",
+                    segment_width=width, **kw,
+                ).collect()
+            }
+            assert got == want, (exact, width)
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, left_on="ts", right_on="rts",
+            by=[("key", "key")], direction="forward",
+            strategy="segmented", segment_width=10,
+        )
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, left_on="ts", right_on="rts",
+            by=[("key", "key")], strategy="segmented",
+        )
+
+
 def test_minhash_lsh_degenerate_corpus_capped(spark):
     """dd2 worst case, capped in code: an all-identical corpus collapses
     into ONE LSH bucket per band. max_bucket truncates each bucket to its

@@ -102,7 +102,8 @@ def main() -> int:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE") or 32),
     )
 
-    def spark_attr(path: str) -> int:
+    def spark_attr(path: str, strategy: str = "sort",
+                   segment_width: int | None = None) -> int:
         ev = spark.read.parquet(path)
         purchases = ev.filter(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts_us", "value"
@@ -118,7 +119,8 @@ def main() -> int:
             left_on="ts_us", right_on="touch_ts_us",
             by=[("user_id", "user_id")],
             direction="backward", tiebreak="touch_event_id",
-            allow_exact_match=True, strategy="sort",
+            allow_exact_match=True, strategy=strategy,
+            segment_width=segment_width,
         )
         in_window = F.col("touch_channel").isNotNull() & (
             F.col("touch_ts_us") >= F.col("ts_us") - F.lit(7 * DAY_US)
@@ -143,17 +145,34 @@ def main() -> int:
             t0 = time.perf_counter()
             spark_attr(path)
             s_times.append(time.perf_counter() - t0)
-        con = duckdb.connect()
-        con.execute(f"CREATE VIEW ev AS SELECT * FROM '{path}'")
-        con.execute(ORACLE_SQL).fetchall()
-        d_times = []
+        # salted arm (VERDICT r11 task 8): the segmented strategy splits
+        # the hot user's single window task across time segments; width =
+        # one day of epoch-micros, the natural clickstream grain. The two
+        # arms are result-identical (pinned in
+        # test_asof_join_segmented_strategy_agrees_with_sort).
+        spark_attr(path, strategy="segmented", segment_width=DAY_US)  # warm
+        seg_times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
+            spark_attr(path, strategy="segmented", segment_width=DAY_US)
+            seg_times.append(time.perf_counter() - t0)
+        # the oracle is the QUADRATIC candidate-join form — it DNF'd at
+        # 80k hot events (BASELINE.md); skip it for the Spark-vs-Spark
+        # salting A/B where only the two window strategies are compared
+        d_times = [float("nan")]
+        if not os.environ.get("BENCH_SKEW_NO_ORACLE"):
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW ev AS SELECT * FROM '{path}'")
             con.execute(ORACLE_SQL).fetchall()
-            d_times.append(time.perf_counter() - t0)
-        con.close()
+            d_times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                con.execute(ORACLE_SQL).fetchall()
+                d_times.append(time.perf_counter() - t0)
+            con.close()
         out[hot] = {
             "spark_sec": round(min(s_times), 3),
+            "spark_segmented_sec": round(min(seg_times), 3),
             "duckdb_sec": round(min(d_times), 3),
         }
         print(hot, out[hot], file=sys.stderr, flush=True)
