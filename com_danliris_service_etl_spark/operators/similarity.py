@@ -194,6 +194,61 @@ def multiprobe_lsh_topk(
     return _rank_topk(scored, k)
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k (the "filtered vector search" every
+    production vector store ships): each query retrieves only among
+    corpus vectors whose ``filter_col`` equals its own — the
+    tenant/language/source-scoped retrieval shape, where post-filtering
+    an unfiltered ANN result is wrong (k survivors are not guaranteed)
+    and pre-filtering is exactly an equi-join.
+
+    Scale shape: the filter IS the join key, so the candidate set is the
+    query's own partition of the corpus, never the whole corpus: one
+    broadcast equi-join on ``filter_col`` (queries are the small side),
+    per-match dot products, one top-k window keyed by query. Corpus-side
+    scan projects only (id, vec, filter) — norms are computed post-join
+    on matched rows (the sim2 lesson: with a small probe set most corpus
+    rows match few/no queries). A skewed filter value (one tenant owning
+    the corpus) degrades to sim1's brute-force cost FOR THAT QUERY only;
+    bucket that tenant through the LSH/IVF families instead."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_norm"),
+        F.col(filter_col).alias("__f"),
+    )
+    c = _spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(filter_col).alias("__f"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__f")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    F.expr(_DOT.format(a="q_vec", b="c_vec")),
+                    F.col("q_norm") * norm("c_vec"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def build_centroid_array(
     centroids: DataFrame,
     cent_id_col: str = "vec_id",

@@ -208,6 +208,41 @@ def sim3_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.multiprobe_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=8)
 
 
+_SIM13_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD_DOT.format(a="q.qv", b="c.cv")}
+               / (sqrt({_FOLD_DOT.format(a="q.qv", b="q.qv")})
+                  * sqrt({_FOLD_DOT.format(a="c.cv", b="c.cv")})), 6)
+           AS cos_sim
+  FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("sim13_filtered_topk", _SIM13_SQL)
+def sim13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact top-5 (operators/similarity.py
+    `filtered_topk`): each query vector retrieves only among corpus
+    vectors sharing its label — tenant/language-scoped retrieval, where
+    post-filtering an unfiltered ANN result under-fills k and
+    pre-filtering IS an equi-join on the metadata key. The filter is the
+    join key, so the candidate set per query is its own label partition,
+    never the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.filtered_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, filter_col="label"
+    )
+
+
 _IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as centroids
 
 

@@ -553,3 +553,33 @@ def test_english_prose_with_we_not_chinese(spark):
     )
     out = detect_language(docs).collect()[0]
     assert out.lang_pred == "en"  # 'we' must not score as a zh marker
+
+
+def test_filtered_topk_label_isolation_and_rank(spark):
+    """sim13's operator contract: retrieval NEVER crosses the filter
+    value (the reason post-filtering an unfiltered ANN is wrong — a
+    cross-label near-neighbor must not consume a rank slot), self is
+    excluded, and within a label ranks follow (cos desc, id asc)."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    rows = [
+        # label A: 0 and 1 identical direction, 2 orthogonal
+        (0, [1.0, 0.0], "A"), (1, [2.0, 0.0], "A"), (2, [0.0, 1.0], "A"),
+        # label B: 3's nearest is 4; 5 is opposite
+        (3, [1.0, 1.0], "B"), (4, [2.0, 2.0], "B"), (5, [-1.0, -1.0], "B"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {}
+    for r in filtered_topk(emb, emb, k=2, filter_col="label").collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    for q, hits in got.items():
+        q_label = rows[q][2]
+        assert all(rows[n][2] == q_label for _, n, _ in hits), (q, hits)
+        assert all(n != q for _, n, _ in hits)
+    assert [n for _, n, _ in sorted(got[0])] == [1, 2]  # same-dir first
+    assert sorted(got[3])[0][1] == 4
+    assert sorted(got[5])[0][2] < 0  # best available is still opposite
