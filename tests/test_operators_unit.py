@@ -499,6 +499,46 @@ def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     assert back[2] is None  # before the first rate
 
 
+def test_ensure_bucketed_fact_unwritable_warehouse_degrades(spark, tmp_path, monkeypatch):
+    """r12 advice: an unwritable/uncreatable warehouse must DEGRADE the
+    layout to a plain unbucketed scan (correctness over performance),
+    with a warning — not fail the query. Simulated by making the
+    bucketed write raise (the failure point a read-only checkout hits);
+    rows must still come back, and nothing may be registered."""
+    import shutil
+    import warnings
+
+    from com_danliris_service_etl_spark.operators import bucketing
+
+    shutil.copy(
+        "/root/testdata/sf0.001/lineitem.parquet", tmp_path / "lineitem.parquet"
+    )
+
+    def boom(*a, **k):
+        raise OSError("read-only file system (simulated)")
+
+    monkeypatch.setattr(bucketing, "write_bucketed", boom)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = bucketing.ensure_bucketed_fact(
+            spark, str(tmp_path), "lineitem", ["l_orderkey"],
+            columns=["l_orderkey", "l_partkey"],
+        )
+        n = df.count()
+    assert n == spark.read.parquet(str(tmp_path / "lineitem.parquet")).count()
+    assert df.columns == ["l_orderkey", "l_partkey"]
+    assert any("falling back to unbucketed" in str(x.message) for x in w)
+    # degraded path must not leave a catalog entry that a later call
+    # would mistake for a completed layout
+    import hashlib
+
+    srctag = hashlib.sha1(f"{tmp_path}/lineitem.parquet".encode()).hexdigest()[:6]
+    assert not [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("bkt_lineitem_") and f"_{srctag}_" in t.name
+    ]
+
+
 def test_asof_join_segmented_strategy_agrees_with_sort(spark):
     """The skew-salted segmented strategy must reproduce the union-sort
     default exactly: cross-segment carry (a probe whose latest right row
