@@ -249,6 +249,140 @@ def filtered_topk(
     return _rank_topk(scored, k)
 
 
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results from each query's exact top-``pool``
+    candidates, step j maximizing
+    ``lam·cos(q, c) − (1−lam)·max_{s∈selected} cos(c, s)`` — the
+    standard diversified-retrieval tail that stops a RAG context window
+    filling with near-duplicates of one passage. Ties break on the
+    smallest neighbor id; scores are rounded to 6 dp (inputs already
+    are) so selection is engine-deterministic.
+
+    Scale shape: the only corpus-scale work is the candidate pool (the
+    sim1 broadcast-queries-over-spread-corpus plan, plus ONE more
+    broadcast semi-pass attaching the ≤ |Q|·pool candidate vectors);
+    everything after — pairwise sims within each pool (≤ pool² rows per
+    query) and the k−1 greedy updates — runs on |Q|·pool-bounded
+    relations, so k and pool bound the tail no matter the corpus size.
+    The greedy loop is k−1 UNROLLED dataframe steps (the g16/txt19
+    bounded-iterations discipline), not a driver fixpoint."""
+    if not 1 <= k <= pool:
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    from pyspark.sql import Window
+
+    topk = brute_force_topk(embeddings, queries, k=pool,
+                            id_col=id_col, vec_col=vec_col)
+    # attach candidate vectors: ONE broadcast pass over the corpus — only
+    # the ≤|Q|·pool pool members survive the join
+    pool_rel = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+        )
+        .join(F.broadcast(topk.select("query_id", "neighbor_id", "cos_sim")),
+              "neighbor_id")
+        .localCheckpoint(eager=False)  # feeds pairs AND the greedy loop
+    )
+    a = pool_rel.select(
+        "query_id", F.col("neighbor_id").alias("__a"), F.col("__v").alias("__va")
+    )
+    b = pool_rel.select(
+        "query_id", F.col("neighbor_id").alias("__b"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "query_id", "__a", "__b",
+            F.round(
+                F.try_divide(
+                    F.expr(_DOT.format(a="__va", b="__vb")),
+                    F.expr(_NORM.format(a="__va"))
+                    * F.expr(_NORM.format(a="__vb")),
+                ),
+                6,
+            ).alias("__sab"),
+        )
+        .localCheckpoint(eager=False)  # reused by every greedy step
+    )
+
+    cand = pool_rel.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.lit(None).cast("double").alias("__ms"),
+    )
+    w = Window.partitionBy("query_id")
+    # INTEGER scoring (the sim9 exact-cross-engine recipe): cos_sim/__ms
+    # are 6dp-quantized, so round(x*1e6) recovers their exact integer
+    # micro-units on any engine; lam quantizes to micro-units once; the
+    # score is then pure BIGINT arithmetic — no float multiply-subtract
+    # that an engine may fuse (FMA) into a differently-rounded double
+    # (measured: DuckDB's a*b - c*d diverged by 1 ulp on 4/30 rows).
+    # score_units == score * 1e12; the final emitted double is one exact
+    # division of identical ints (< 2^53) by 1e12.
+    lam_u = round(lam * 1_000_000)
+    ci = F.round(F.col("cos_sim") * F.lit(1e6)).cast("long")
+    mi = F.round(F.coalesce(F.col("__ms"), F.lit(0.0)) * F.lit(1e6)).cast("long")
+    score = F.lit(lam_u) * ci - F.lit(1_000_000 - lam_u) * mi
+    picked = []
+    for step in range(1, k + 1):
+        scored = cand.withColumn("__sc", score)
+        best = F.min(
+            F.struct(
+                (-F.col("__sc")).alias("ns"),
+                F.col("neighbor_id").alias("nid"),
+            )
+        ).over(w)
+        scored = scored.withColumn("__best", best)
+        sel = scored.filter(
+            (F.col("__sc") == -F.col("__best.ns"))
+            & (F.col("neighbor_id") == F.col("__best.nid"))
+        ).select(
+            "query_id", "neighbor_id",
+            (F.col("__sc").cast("double") / F.lit(1e12)).alias("mmr_score"),
+            F.lit(step).alias("mmr_rank"),
+        )
+        picked.append(sel)
+        if step == k:
+            break
+        sel_key = sel.select(
+            "query_id", F.col("neighbor_id").alias("__sel")
+        )
+        cand = (
+            cand.join(F.broadcast(sel_key), "query_id")
+            .filter(F.col("neighbor_id") != F.col("__sel"))
+            .join(
+                pairs.select(
+                    "query_id",
+                    F.col("__a").alias("neighbor_id"),
+                    F.col("__b").alias("__sel"),
+                    "__sab",
+                ),
+                ["query_id", "neighbor_id", "__sel"],
+                "left",
+            )
+            # max over the selected set so far: greatest() skips NULLs in
+            # Spark, so a first update seeds __ms with __sab directly
+            .select(
+                "query_id", "neighbor_id", "cos_sim",
+                F.greatest(F.col("__ms"), F.col("__sab")).alias("__ms"),
+            )
+            .localCheckpoint(eager=False)  # cut per-step lineage
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+
+
 def build_centroid_array(
     centroids: DataFrame,
     cent_id_col: str = "vec_id",

@@ -243,6 +243,106 @@ def sim13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR score in exact INTEGER micro-units (the sim9 recipe): a float
+# "0.7*cos - 0.3*ms" is NOT cross-engine-safe even on identical inputs —
+# DuckDB fuses the multiply-subtract (FMA) into a differently-rounded
+# double (1 ulp off on 4/30 rows), and re-rounding to 6dp lands on exact
+# half-microunit ties the engines break differently. cos_sim/ms are
+# 6dp-quantized, so round(x*1e6) recovers exact integers on any engine;
+# the score is then pure BIGINT arithmetic, and the emitted double is
+# one exact division of identical ints (< 2^53) by 1e12.
+_MMR_POOL = 10
+_MMR_SCORE = (
+    "(700000 * CAST(round(cos_sim * 1000000.0) AS BIGINT)"
+    " - 300000 * CAST(round(coalesce(ms, 0.0) * 1000000.0) AS BIGINT))"
+)
+
+_SIM14_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD_DOT.format(a="q.qv", b="c.cv")}
+               / (sqrt({_FOLD_DOT.format(a="q.qv", b="q.qv")})
+                  * sqrt({_FOLD_DOT.format(a="c.cv", b="c.cv")})), 6)
+           AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id),
+pool AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {_MMR_POOL}),
+pv AS (SELECT p.query_id, p.neighbor_id, p.cos_sim,
+              e.embedding::DOUBLE[] AS v
+       FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id),
+pp AS (SELECT a.query_id, a.neighbor_id AS pa, b.neighbor_id AS pb,
+              round({_FOLD_DOT.format(a="a.v", b="b.v")}
+                    / (sqrt({_FOLD_DOT.format(a="a.v", b="a.v")})
+                       * sqrt({_FOLD_DOT.format(a="b.v", b="b.v")})), 6)
+                AS sab
+       FROM pv a JOIN pv b ON a.query_id = b.query_id
+                          AND a.neighbor_id <> b.neighbor_id),
+st1 AS (SELECT query_id, neighbor_id, cos_sim,
+               CAST(NULL AS DOUBLE) AS ms FROM pool),
+s1 AS (SELECT query_id, neighbor_id, sc FROM (
+         SELECT query_id, neighbor_id, {_MMR_SCORE} AS sc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY {_MMR_SCORE} DESC, neighbor_id)
+                  AS rn
+         FROM st1) WHERE rn = 1),
+st2 AS (SELECT p.query_id, p.neighbor_id, p.cos_sim, pp.sab AS ms
+        FROM pool p
+        JOIN s1 ON p.query_id = s1.query_id
+               AND p.neighbor_id <> s1.neighbor_id
+        LEFT JOIN pp ON pp.query_id = p.query_id
+                    AND pp.pa = p.neighbor_id AND pp.pb = s1.neighbor_id),
+s2 AS (SELECT query_id, neighbor_id, sc FROM (
+         SELECT query_id, neighbor_id, {_MMR_SCORE} AS sc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY {_MMR_SCORE} DESC, neighbor_id)
+                  AS rn
+         FROM st2) WHERE rn = 1),
+st3 AS (SELECT u.query_id, u.neighbor_id, u.cos_sim,
+               greatest(u.ms, pp.sab) AS ms
+        FROM st2 u
+        JOIN s2 ON u.query_id = s2.query_id
+               AND u.neighbor_id <> s2.neighbor_id
+        LEFT JOIN pp ON pp.query_id = u.query_id
+                    AND pp.pa = u.neighbor_id AND pp.pb = s2.neighbor_id),
+s3 AS (SELECT query_id, neighbor_id, sc FROM (
+         SELECT query_id, neighbor_id, {_MMR_SCORE} AS sc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY {_MMR_SCORE} DESC, neighbor_id)
+                  AS rn
+         FROM st3) WHERE rn = 1)
+SELECT query_id, neighbor_id, 1 AS mmr_rank,
+       sc::DOUBLE / 1000000000000.0 AS mmr_score FROM s1
+UNION ALL
+SELECT query_id, neighbor_id, 2 AS mmr_rank,
+       sc::DOUBLE / 1000000000000.0 AS mmr_score FROM s2
+UNION ALL
+SELECT query_id, neighbor_id, 3 AS mmr_rank,
+       sc::DOUBLE / 1000000000000.0 AS mmr_score FROM s3
+"""
+
+
+@register("sim14_mmr_rerank", _SIM14_SQL)
+def sim14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank (operators/similarity.py `mmr_rerank`):
+    greedy top-3 from each query's exact top-10 pool maximizing
+    0.7·cos(q,c) − 0.3·max cos(c, selected) — the anti-redundancy tail
+    that stops a RAG context filling with near-duplicates of one
+    passage. Corpus-scale work is only the candidate pool; the greedy
+    steps run on |Q|·pool-bounded relations, unrolled (the g16/txt19
+    bounded-iterations discipline) so the oracle states them as CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, pool=_MMR_POOL, lam=0.7
+    )
+
+
 _IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as centroids
 
 

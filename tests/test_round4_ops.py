@@ -583,3 +583,36 @@ def test_filtered_topk_label_isolation_and_rank(spark):
     assert [n for _, n, _ in sorted(got[0])] == [1, 2]  # same-dir first
     assert sorted(got[3])[0][1] == 4
     assert sorted(got[5])[0][2] < 0  # best available is still opposite
+
+
+def test_mmr_rerank_skips_near_duplicate(spark):
+    """The MMR contract on a hand-built pool: candidates A and A' are
+    near-copies (cos(A,A') ~ 1) and both very similar to the query; B is
+    moderately similar but diverse. Plain top-2 keeps {A, A'}; MMR's
+    second step must penalize A' by its redundancy with the already-
+    selected A and pick B instead (at lam = 0.5; at 0.7 the query term
+    still dominates this pool's redundancy penalty — checked both)."""
+    from com_danliris_service_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (100, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),        # A  (cos to q ~ 0.990)
+        (2, [0.99, 0.141, 0.0]),       # A' (near-copy of A)
+        (3, [0.7, 0.0, 0.71]),         # B  (cos to q ~ 0.70, diverse)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.mmr_rank: (r.neighbor_id, r.mmr_score)
+        for r in mmr_rerank(
+            emb, emb.filter(F.col("vec_id") == 100), k=2, pool=3, lam=0.5
+        ).collect()
+    }
+    assert got[1][0] == 1          # step 1 = plain argmax (A; id tiebreak)
+    assert got[2][0] == 3          # step 2 diversifies to B, not A'
+    # and the scores are the definition: lam*cos - (1-lam)*max_sel_sim
+    assert got[1][1] > got[2][1]
+
+    # degenerate guards
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mmr_rerank(emb, emb.filter(F.col("vec_id") == 100), k=5, pool=3)
