@@ -635,6 +635,48 @@ def test_sk6_bracket_contract(spark):
             )
 
 
+def test_binned_quantile_bounds_param_and_stats_probe(spark, tmp_path):
+    """r12 zone-map path: (a) binned_quantile_state(bounds=...) is
+    bit-identical to the in-engine bounds scan (the width derivation is
+    the same IEEE chain driver-side); (b) parquet_column_bounds returns
+    the exact min/max for a clean column and None for a NaN-poisoned one
+    (parquet writers omit min/max stats there), which routes callers to
+    the scan fallback."""
+    import math
+
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.operators.sketches import (
+        binned_quantile_rollup,
+        binned_quantile_state,
+        parquet_column_bounds,
+    )
+
+    rows = [("g" + str(i % 3), float(i * 7 % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    scanned = binned_quantile_rollup(
+        binned_quantile_state(df, "v", ["g"], 64), ["g"], [0.5, 0.95]
+    ).collect()
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    given = binned_quantile_rollup(
+        binned_quantile_state(df, "v", ["g"], 64, bounds=(lo, hi)),
+        ["g"], [0.5, 0.95],
+    ).collect()
+    assert sorted(map(tuple, scanned)) == sorted(map(tuple, given))
+
+    clean = tmp_path / "clean.parquet"
+    pd.DataFrame({"v": [3.5, -1.25, 9.0]}).to_parquet(clean)
+    assert parquet_column_bounds(spark, str(clean), "v") == (-1.25, 9.0)
+    poisoned = tmp_path / "nan.parquet"
+    pd.DataFrame({"v": [1.0, float("nan"), 2.0]}).to_parquet(poisoned)
+    b = parquet_column_bounds(spark, str(poisoned), "v")
+    # pyarrow may either omit stats (None -> scan fallback) or write
+    # NaN-free min/max; both are safe — what must NEVER come back is NaN
+    assert b is None or not any(math.isnan(x) for x in b)
+    assert parquet_column_bounds(spark, str(tmp_path / "missing.parquet"), "v") is None
+
+
 def test_binned_quantile_state_merges_across_increments(spark):
     """State built on two halves and unioned must roll up to the same
     answer as state built on the whole — the mergeability contract."""
