@@ -385,14 +385,22 @@ def test_asof_join_matches_bruteforce_model(spark, left, right, direction, exact
         return max(v for rt, v in cands if rt == best_rt)
 
     want = {i: model(k, t) for i, (k, t) in enumerate(left)}
-    for strategy in ("sort", "broadcast"):
+    strategies = [("sort", {}), ("broadcast", {})]
+    if direction == "backward":
+        # the skew-salted strategy is backward-only; width 1 forces the
+        # pure segment-carry path, width 3 mixes within-segment and carry
+        strategies += [
+            ("segmented", {"segment_width": 1}),
+            ("segmented", {"segment_width": 3}),
+        ]
+    for strategy, extra in strategies:
         out = asof_join(
             ldf, rdf, "lt", "rt", by=[("k", "k")],
             direction=direction, tiebreak="val",
-            allow_exact_match=exact, strategy=strategy,
+            allow_exact_match=exact, strategy=strategy, **extra,
         )
         got = {r["id"]: r["val"] for r in out.collect()}
-        assert got == want, (strategy, direction, exact)
+        assert got == want, (strategy, extra, direction, exact)
 
 
 @SETTINGS
