@@ -95,7 +95,20 @@ def ensure_bucketed_fact(
         ]
     )
     srctag = hashlib.sha1(src.encode()).hexdigest()[:6]
-    name = f"bkt_{table}_{srctag}_{hashlib.sha1(spec.encode()).hexdigest()[:12]}"
+    # stattag identifies the source file CONTENT (mtime+size): two specs
+    # over the same live file (e.g. the bench session's 8-bucket layout
+    # and the test sessions' 32-bucket one) carry the same stattag and
+    # must COEXIST — only a regenerated file (new stattag) orphans its
+    # old layouts. GCing on the full spec hash instead would make
+    # alternating sessions delete each other's layouts and re-pay the
+    # write every cycle.
+    stattag = hashlib.sha1(
+        f"{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:6]
+    name = (
+        f"bkt_{table}_{srctag}_{stattag}_"
+        f"{hashlib.sha1(spec.encode()).hexdigest()[:10]}"
+    )
 
     def _fallback(reason: str) -> DataFrame:
         warnings.warn(
@@ -130,16 +143,20 @@ def ensure_bucketed_fact(
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             return _adopt()
 
-        # GC stale siblings: same table AND same source path (srctag) but a
-        # different spec hash means the fixture file was regenerated — the
-        # old layout can never be adopted again (its fingerprint is dead),
-        # so reclaim the disk before paying the new write. Layouts built
-        # from other source paths share only the table prefix and are
-        # deliberately skipped.
+        # GC stale siblings: same table AND same source path (srctag) but
+        # a DIFFERENT stattag means the fixture file was regenerated — no
+        # session can ever adopt those layouts again (their fingerprints
+        # are dead), so reclaim the disk before paying the new write.
+        # Same-stattag siblings (other bucket counts / column subsets
+        # over the live file) coexist; other source paths share only the
+        # table prefix and are skipped.
+        keep_prefix = f"bkt_{table}_{srctag}_{stattag}_"
         stale_prefix = f"bkt_{table}_{srctag}_"
         if os.path.isdir(wh):
             for entry in os.listdir(wh):
-                if entry.startswith(stale_prefix) and entry != name:
+                if entry.startswith(stale_prefix) and not entry.startswith(
+                    keep_prefix
+                ):
                     shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
                     spark.sql(f"DROP TABLE IF EXISTS {entry}")
 

@@ -499,6 +499,57 @@ def test_asof_join_broadcast_strategy_agrees_with_sort(spark):
     assert back[2] is None  # before the first rate
 
 
+def test_ensure_bucketed_fact_gc_scope(spark, tmp_path):
+    """GC boundary (r12): two DIFFERENT specs over the same live source
+    file (bench's 8-bucket layout vs the tests' 32-bucket one) must
+    COEXIST — GCing on the spec hash would make alternating sessions
+    delete each other's layouts and re-pay the write every cycle — while
+    REGENERATING the source file (new mtime) must reclaim every layout
+    of the old file version on the next materialization."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from com_danliris_service_etl_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+    )
+
+    src = tmp_path / "lineitem.parquet"
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet", src)
+    sf_dir = str(tmp_path)
+    srctag = hashlib.sha1(str(src).encode()).hexdigest()[:6]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def mine() -> set[str]:
+        return {
+            d for d in os.listdir(wh)
+            if d.startswith(f"bkt_lineitem_{srctag}_") and "__w" not in d
+        }
+
+    try:
+        ensure_bucketed_fact(spark, sf_dir, "lineitem", ["l_orderkey"],
+                             n_buckets=8, columns=["l_orderkey", "l_partkey"])
+        ensure_bucketed_fact(spark, sf_dir, "lineitem", ["l_orderkey"],
+                             n_buckets=4, columns=["l_orderkey", "l_partkey"])
+        assert len(mine()) == 2, mine()  # same file: specs coexist
+
+        # regenerate the fixture (content-identical, new mtime suffices)
+        time.sleep(0.01)
+        os.utime(src)
+        t = ensure_bucketed_fact(spark, sf_dir, "lineitem", ["l_orderkey"],
+                                 n_buckets=8, columns=["l_orderkey", "l_partkey"])
+        assert t.count() > 0
+        survivors = mine()
+        assert len(survivors) == 1, survivors  # both old-version layouts GC'd
+    finally:
+        for n in [t.name for t in spark.catalog.listTables()
+                  if t.name.startswith(f"bkt_lineitem_{srctag}_")]:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        for d in mine():
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
 def test_ensure_bucketed_fact_unwritable_warehouse_degrades(spark, tmp_path, monkeypatch):
     """r12 advice: an unwritable/uncreatable warehouse must DEGRADE the
     layout to a plain unbucketed scan (correctness over performance),
