@@ -13,6 +13,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Stale-sibling GC defers entries younger than this: a parallel session
+# that adopted the layout just before the fixture regenerated may still
+# be scanning it (see ensure_bucketed_fact's GC pass).
+_GC_MIN_AGE_SECONDS = 300.0
+
 
 def write_bucketed(
     df: DataFrame,
@@ -78,6 +83,7 @@ def ensure_bucketed_fact(
     import hashlib
     import os
     import shutil
+    import time
     import warnings
 
     src = f"{sf_dir}/{table}.parquet"
@@ -157,6 +163,20 @@ def ensure_bucketed_fact(
                 if entry.startswith(stale_prefix) and not entry.startswith(
                     keep_prefix
                 ):
+                    # Age gate: a parallel session that adopted the stale
+                    # layout BEFORE the fixture was regenerated may still
+                    # be mid-scan; deleting under it fails its query. A
+                    # recently-touched sibling is deferred to a later
+                    # session's GC pass (its fingerprint is dead either
+                    # way, so it can never be re-adopted — only reclaimed).
+                    try:
+                        age = time.time() - os.path.getmtime(
+                            os.path.join(wh, entry)
+                        )
+                    except OSError:
+                        continue  # vanished under us: another GC won
+                    if age < _GC_MIN_AGE_SECONDS:
+                        continue
                     shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
                     spark.sql(f"DROP TABLE IF EXISTS {entry}")
 

@@ -63,7 +63,18 @@ def _spread(df: DataFrame) -> DataFrame:
         return df
     par = sc.defaultParallelism
     try:
-        size = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+        # FilePartition planning splits the RELATION'S raw bytes, but the
+        # ROOT's sizeInBytes is scaled through Project/Filter by the basic
+        # stats visitor (a narrow projection over a wide scan can
+        # underestimate 10x and trigger a spurious repartition of an
+        # already well-split input) — so read the LEAF relation's own
+        # stats, which for a scan-rooted plan IS the file-index size the
+        # split planner sees.
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        size = sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
         conf = df.sparkSession.conf
 
         def _bytes(key: str, default: int) -> int:

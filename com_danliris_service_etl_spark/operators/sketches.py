@@ -214,6 +214,8 @@ def parquet_column_bounds(
 
         md = pq.ParquetFile(f)
         ci = md.schema_arrow.get_field_index(col)
+        if ci < 0:  # missing/misnamed column: -1 would index the LAST
+            return None  # column's stats — take the documented scan fallback
         lo = hi = None
         for i in range(md.metadata.num_row_groups):
             st = md.metadata.row_group(i).column(ci).statistics

@@ -392,12 +392,16 @@ def bm25_topk(
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
-    # sum_dl == total corpus tokens == the global sum(tf) — a 1-row
+    # sum_dl == total corpus tokens == the global sum(tf); n_docs counts
+    # only docs that YIELD tokens (a NULL text splits to NULL and explode
+    # drops it, so it never reaches tf — counting docs.id would inflate
+    # n_docs/avgdl relative to the tf-derived stats). Both are one 1-row
     # aggregate over the already-materialized tf rows, NOT a second
     # tokenization pass over the raw text (measured 2.9x at sf1 when
-    # stats re-split the corpus); n_docs reads only the id column
-    stats = tf.agg(F.sum("tf").alias("sum_dl")).crossJoin(
-        F.broadcast(docs.agg(F.count(id_col).alias("n_docs")))
+    # stats re-split the corpus).
+    stats = tf.agg(
+        F.sum("tf").alias("sum_dl"),
+        F.countDistinct("doc").alias("n_docs"),
     )
     top_terms = (
         df_.orderBy(F.col("cf").desc(), F.col("term")).limit(n_terms)

@@ -537,11 +537,25 @@ def test_ensure_bucketed_fact_gc_scope(spark, tmp_path):
         # regenerate the fixture (content-identical, new mtime suffices)
         time.sleep(0.01)
         os.utime(src)
+        stale = mine()
         t = ensure_bucketed_fact(spark, sf_dir, "lineitem", ["l_orderkey"],
                                  n_buckets=8, columns=["l_orderkey", "l_partkey"])
         assert t.count() > 0
+        # r12-advice age gate: the dead-fingerprint siblings are YOUNG (a
+        # parallel session that adopted them pre-regeneration could still
+        # be mid-scan), so this pass DEFERS them instead of deleting
+        assert stale <= mine(), (stale, mine())
+        # back-date them past the gate; the next materialization reclaims
+        from com_danliris_service_etl_spark.operators import bucketing as _bkt
+
+        old_ts = time.time() - 2 * _bkt._GC_MIN_AGE_SECONDS
+        for d in stale:
+            os.utime(os.path.join(wh, d), (old_ts, old_ts))
+        ensure_bucketed_fact(spark, sf_dir, "lineitem", ["l_orderkey"],
+                             n_buckets=2, columns=["l_orderkey", "l_partkey"])
         survivors = mine()
-        assert len(survivors) == 1, survivors  # both old-version layouts GC'd
+        assert stale.isdisjoint(survivors), survivors  # old-version GC'd
+        assert len(survivors) == 2, survivors  # the two live-version specs
     finally:
         for n in [t.name for t in spark.catalog.listTables()
                   if t.name.startswith(f"bkt_lineitem_{srctag}_")]:
@@ -1284,6 +1298,47 @@ def test_spread_skips_probe_on_composed_frames(spark):
         out.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_spread_probe_uses_leaf_not_projected_stats(spark, tmp_path):
+    """r12 advice: the analyzed ROOT's sizeInBytes is scaled through
+    Project by the basic stats visitor, so a narrow projection over a
+    wide, already well-split scan would under-estimate and trigger a
+    spurious repartition (extra shuffle). The probe must read the LEAF
+    relation's stats — the raw file bytes FilePartition planning splits —
+    so the narrow select of a big input passes through untouched."""
+    import pandas as pd
+
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # one wide file: a fat payload column plus a tiny key column; sized so
+    # leaf-bytes/split >= parallelism but (key-only root stats)/split < it
+    n = 2000
+    pd.DataFrame(
+        {"k": range(n), "payload": ["x" * 512 for _ in range(n)]}
+    ).to_parquet(tmp_path / "wide.parquet")
+    df = spark.read.parquet(str(tmp_path / "wide.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    leaf_size = int(
+        df._jdf.queryExecution().analyzed().stats().sizeInBytes()
+    )
+    narrow = df.select("k")
+    root_size = int(
+        narrow._jdf.queryExecution().analyzed().stats().sizeInBytes()
+    )
+    assert root_size < leaf_size  # the projection scaling the advice cites
+    # openCost = leaf/par puts the probe in the openCost-dominated regime
+    # (the one the advice hits at defaults: small-ish scan, 4MB openCost):
+    # leaf estimate = ceil(leaf/oc) >= par -> pass-through, while the old
+    # root-stats estimate = ceil(root/oc) << par -> spurious repartition
+    oc = max(1, -(-leaf_size // par))
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", str(oc))
+        assert -(-root_size // oc) < par  # fixture really distinguishes
+        assert _spread(narrow) is narrow
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
 
 
 def test_is_scan_rooted_self_check_fails_loudly_on_drift(spark, monkeypatch):

@@ -32,6 +32,24 @@ def test_bm25_hand_computed_scores(spark):
     assert all(r.term == "y" for r in rows.values())
 
 
+def test_bm25_null_text_doc_does_not_inflate_stats(spark):
+    """r12 advice: a NULL-text doc yields no tokens (split(NULL)→NULL,
+    explode drops it) so it must not count toward n_docs/avgdl — the
+    oracle derives stats from the tokenized relation. Scores with the
+    NULL doc present must equal scores computed without it."""
+    base = [(1, "x x y"), (2, "x z"), (3, "y y y y")]
+    clean = bm25_topk(
+        spark.createDataFrame(base, _DOC_SCHEMA), n_terms=1, k=10
+    ).collect()
+    with_null = bm25_topk(
+        spark.createDataFrame(base + [(4, None)], _DOC_SCHEMA),
+        n_terms=1, k=10,
+    ).collect()
+    key = lambda r: (r.term, r.doc)  # noqa: E731
+    assert sorted(map(tuple, clean)) == sorted(map(tuple, with_null))
+    assert {r.doc for r in with_null} == {1, 3}
+
+
 def test_bm25_rank_ties_break_on_doc_id(spark):
     # identical docs → identical rounded scores → rank follows doc id
     docs = spark.createDataFrame([(i, "a b") for i in range(4)], _DOC_SCHEMA)

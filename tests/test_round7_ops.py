@@ -675,6 +675,9 @@ def test_binned_quantile_bounds_param_and_stats_probe(spark, tmp_path):
     # NaN-free min/max; both are safe — what must NEVER come back is NaN
     assert b is None or not any(math.isnan(x) for x in b)
     assert parquet_column_bounds(spark, str(tmp_path / "missing.parquet"), "v") is None
+    # r12 advice: a MISSING/misnamed column must take the documented
+    # None -> scan fallback, not index the last column's stats via -1
+    assert parquet_column_bounds(spark, str(clean), "no_such_col") is None
 
 
 def test_binned_quantile_state_merges_across_increments(spark):
