@@ -249,6 +249,74 @@ def filtered_topk(
     return _rank_topk(scored, k)
 
 
+def filtered_multiprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The documented ESCAPE for `filtered_topk`'s dense-label regime
+    (one tenant owning a corpus-scale share of rows): candidates must
+    share the query's ``filter_col`` AND lie within Hamming distance 1
+    of its sign-bit LSH bucket — i.e. the in-label multi-probe family,
+    joined on the COMPOSITE key (filter, bucket) so per-query work drops
+    from |label partition| to |label partition| / 2^n_bits × (n_bits+1).
+
+    Exactness contract: approximate (recall measured by `recall_at_k`
+    against `filtered_topk`; meaningful only when the embedding space
+    has cluster structure — on uniform random vectors NO LSH family can
+    retrieve, the sim2 fixture-density caveat). Same determinism rules
+    as the exact form: 6dp-rounded scores, id tiebreaks.
+
+    Scale shape: probes are generated query-side (n_bits+1 rows per
+    query, broadcast); the corpus scan projects only (id, vec, filter,
+    8 sign tests) and is never exploded; norms are computed post-join on
+    the ~|part|/2^n_bits matched rows (the sim2 lesson)."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    probes = F.array(
+        F.col("__b"), *[F.expr(f"__b ^ {1 << d}") for d in range(n_bits)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("q_norm"),
+            F.col(filter_col).alias("__f"),
+            signbit_bucket(vec_col, n_bits).alias("__b"),
+        )
+        .select(
+            "query_id", "q_vec", "q_norm", "__f",
+            F.explode(probes).alias("__bkt"),
+        )
+    )
+    c = _spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(filter_col).alias("__f"),
+        signbit_bucket(vec_col, n_bits).alias("__bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__f", "__bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    F.expr(_DOT.format(a="q_vec", b="c_vec")),
+                    F.col("q_norm") * norm("c_vec"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -257,6 +325,7 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "unrolled",
 ) -> DataFrame:
     """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
     greedily pick ``k`` results from each query's exact top-``pool``
@@ -274,9 +343,21 @@ def mmr_rerank(
     query) and the k−1 greedy updates — runs on |Q|·pool-bounded
     relations, so k and pool bound the tail no matter the corpus size.
     The greedy loop is k−1 UNROLLED dataframe steps (the g16/txt19
-    bounded-iterations discipline), not a driver fixpoint."""
+    bounded-iterations discipline), not a driver fixpoint.
+
+    ``strategy``: "unrolled" (default) runs the greedy tail as k−1
+    dataframe steps — ~2 bounded jobs per step, fine at small k but a
+    job-count tax at k=20 (a realistic rerank depth). "fused" folds the
+    whole greedy loop into ONE Arrow-batched `applyInPandas` over each
+    query's pool (pool·(pool−1) rows per group by construction — one
+    Arrow batch), reusing the SAME Spark-computed pool and pairwise
+    sims, with the greedy arithmetic in exact integer micro-units so the
+    two strategies are row-for-row identical (equivalence test-pinned;
+    curve in BASELINE.md r13)."""
     if not 1 <= k <= pool:
         raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    if strategy not in ("unrolled", "fused"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     from pyspark.sql import Window
 
     topk = brute_force_topk(embeddings, queries, k=pool,
@@ -315,6 +396,10 @@ def mmr_rerank(
         .localCheckpoint(eager=False)  # reused by every greedy step
     )
 
+    lam_u = round(lam * 1_000_000)
+    if strategy == "fused":
+        return _mmr_greedy_fused(pool_rel, pairs, k, lam_u)
+
     cand = pool_rel.select(
         "query_id", "neighbor_id", "cos_sim",
         F.lit(None).cast("double").alias("__ms"),
@@ -328,7 +413,6 @@ def mmr_rerank(
     # (measured: DuckDB's a*b - c*d diverged by 1 ulp on 4/30 rows).
     # score_units == score * 1e12; the final emitted double is one exact
     # division of identical ints (< 2^53) by 1e12.
-    lam_u = round(lam * 1_000_000)
     ci = F.round(F.col("cos_sim") * F.lit(1e6)).cast("long")
     mi = F.round(F.coalesce(F.col("__ms"), F.lit(0.0)) * F.lit(1e6)).cast("long")
     score = F.lit(lam_u) * ci - F.lit(1_000_000 - lam_u) * mi
@@ -381,6 +465,81 @@ def mmr_rerank(
     for p in picked[1:]:
         out = out.unionByName(p)
     return out.select("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+
+
+def _mmr_greedy_fused(
+    pool_rel: DataFrame, pairs: DataFrame, k: int, lam_u: int
+) -> DataFrame:
+    """The fused greedy tail: one `applyInPandas` per query-pool instead of
+    k−1 unrolled dataframe steps. The pool AND the pairwise sims are the
+    SAME Spark-computed relations the unrolled path uses (so fold order /
+    6dp rounding are identical by construction); only the greedy
+    selection moves into Python, in exact integer micro-units —
+    score_units = lam_u·round(cos·1e6) − (1e6−lam_u)·round(ms·1e6), all
+    Python ints, ties on min neighbor_id — so the two strategies emit
+    row-for-row identical results. Each group is pool·(pool−1) rows (one
+    Arrow batch by construction); the Python boundary is paid once, not
+    per step, which is the whole point at k=20."""
+    import math
+
+    import pandas as pd
+
+    rel = (
+        pool_rel.select("query_id", "neighbor_id", "cos_sim")
+        .join(
+            pairs.select(
+                "query_id",
+                F.col("__a").alias("neighbor_id"),
+                F.col("__b").alias("other_id"),
+                F.col("__sab").alias("sab"),
+            ),
+            ["query_id", "neighbor_id"],
+            "left",  # pool==1: the lone candidate has no pairs
+        )
+    )
+
+    def units(x: float) -> int:
+        # Spark F.round(x*1e6): inputs are already 6dp-quantized, so
+        # x*1e6 is within 1 ulp of an integer — floor(+0.5) recovers it
+        # exactly for either sign; never near a true .5 boundary, so
+        # HALF_UP vs banker's cannot diverge here.
+        return int(math.floor(x * 1e6 + 0.5))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        ci: dict = {}
+        sab: dict = {}
+        for r in pdf.itertuples(index=False):
+            ci[r.neighbor_id] = units(r.cos_sim)
+            if pd.notna(r.other_id):
+                sab[(r.neighbor_id, int(r.other_id))] = units(r.sab)
+        msu: dict = dict.fromkeys(ci)  # None = nothing selected yet
+        remaining = sorted(ci)
+        rows = []
+        mu = 1_000_000 - lam_u
+        for step in range(1, k + 1):
+            if not remaining:
+                break  # pool smaller than k: emit what exists (as unrolled)
+            best = None
+            for n in remaining:
+                sc = lam_u * ci[n] - mu * (msu[n] or 0)
+                if best is None or (-sc, n) < best[0]:
+                    best = ((-sc, n), sc)
+            (_, nid), sc = best
+            rows.append((qid, nid, step, sc / 1e12))
+            remaining.remove(nid)
+            for n in remaining:
+                s = sab.get((n, nid))
+                if s is not None and (msu[n] is None or s > msu[n]):
+                    msu[n] = s
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+        )
+
+    return rel.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )
 
 
 def build_centroid_array(

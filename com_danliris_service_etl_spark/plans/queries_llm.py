@@ -243,6 +243,46 @@ def sim13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM15_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_FOLD_DOT.format(a="q.qv", b="c.cv")}
+               / (sqrt({_FOLD_DOT.format(a="q.qv", b="q.qv")})
+                  * sqrt({_FOLD_DOT.format(a="c.cv", b="c.cv")})), 6)
+           AS cos_sim
+  FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id
+   AND bit_count(xor(CAST({_BUCKET_SQL.format(v="q.qv")} AS BIGINT),
+                     CAST({_BUCKET_SQL.format(v="c.cv")} AS BIGINT))) <= 1)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("sim15_filtered_lsh_topk", _SIM15_SQL)
+def sim15_filtered_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-label multi-probe LSH top-5 (operators/similarity.py
+    `filtered_multiprobe_topk`): sim13's documented dense-label escape —
+    when one label owns a corpus-scale share of rows, exact in-label
+    retrieval degenerates to per-label brute force, so candidates are
+    additionally restricted to Hamming-distance-≤1 sign-bit buckets
+    WITHIN the label, a composite (label, bucket) equi-join. The oracle
+    states the equivalent bit_count(xor) <= 1 predicate. Recall of this
+    escape on CLUSTERED data is measured by tools/bench_sim13_clustered.py
+    (BASELINE.md r13)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.filtered_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        filter_col="label", n_bits=8,
+    )
+
+
 # MMR score in exact INTEGER micro-units (the sim9 recipe): a float
 # "0.7*cos - 0.3*ms" is NOT cross-engine-safe even on identical inputs —
 # DuckDB fuses the multiply-subtract (FMA) into a differently-rounded
@@ -335,11 +375,16 @@ def sim14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.7·cos(q,c) − 0.3·max cos(c, selected) — the anti-redundancy tail
     that stops a RAG context filling with near-duplicates of one
     passage. Corpus-scale work is only the candidate pool; the greedy
-    steps run on |Q|·pool-bounded relations, unrolled (the g16/txt19
-    bounded-iterations discipline) so the oracle states them as CTEs."""
+    tail runs FUSED — one Arrow applyInPandas per query-pool (integer
+    micro-unit arithmetic, equivalence-pinned against the unrolled
+    dataframe-steps form) — after the r13 k-curve measured the unrolled
+    job-barrier tax: 1.09 vs 0.83 s at this k=3/pool=10 shape, 39.4 vs
+    1.14 s at k=20/pool=40 (BASELINE.md r13). The oracle states the
+    greedy steps as CTEs."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.mmr_rerank(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, pool=_MMR_POOL, lam=0.7
+        emb, emb.filter(F.col("vec_id") < 10), k=3, pool=_MMR_POOL, lam=0.7,
+        strategy="fused",
     )
 
 

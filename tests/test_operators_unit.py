@@ -712,6 +712,84 @@ def test_multiprobe_dominates_single_probe(spark):
             assert multi[(qid, 1)] >= sim_s
 
 
+def test_filtered_multiprobe_respects_filter_and_buckets(spark):
+    """sim15 (sim13's dense-label escape): every returned neighbor must
+    share the query's label AND sit within Hamming distance 1 of its
+    sign-bit bucket; on clustered data (tight perturbations of a center)
+    it must recover the exact in-label top-k (recall 1.0 — the property
+    the r12 uniform fixture could not show)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        filtered_multiprobe_topk,
+        filtered_topk,
+        recall_at_k,
+    )
+
+    rng = random.Random(13)
+    centers = [
+        [rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(6)
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):  # tight cluster around each center
+            rows.append(
+                (vid, [x + rng.uniform(-0.01, 0.01) for x in c], ci % 2)
+            )
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id").isin([0, 20, 40]))
+    exact = filtered_topk(emb, q, k=5, filter_col="label")
+    approx = filtered_multiprobe_topk(emb, q, k=5, filter_col="label",
+                                      n_bits=8)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in approx.collect():
+        assert labels[r.query_id] == labels[r.neighbor_id]
+    # clusters are far tighter than cross-center distance: the escape
+    # must find the same top-5 (its cluster siblings) as exact retrieval
+    rec = recall_at_k(exact, approx, k=5).collect()
+    assert all(r.recall == 1.0 for r in rec), rec
+
+
+def test_mmr_fused_strategy_equals_unrolled(spark):
+    """sim14 fused tail (r13): the applyInPandas greedy loop must emit
+    row-for-row identical (query, neighbor, rank, score) to the unrolled
+    dataframe-steps form — same Spark-computed pool and pairwise sims,
+    greedy arithmetic in the same integer micro-units — across k/pool/lam
+    shapes including k == pool (full drain) and a sub-pool-sized corpus
+    slice (pool smaller than requested)."""
+    from com_danliris_service_etl_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 6)
+    for k, pool, lam in ((3, 10, 0.7), (7, 7, 0.7), (5, 12, 0.3)):
+        a = sorted(
+            map(tuple, mmr_rerank(emb, q, k=k, pool=pool, lam=lam).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                mmr_rerank(
+                    emb, q, k=k, pool=pool, lam=lam, strategy="fused"
+                ).collect(),
+            )
+        )
+        assert a == b, (k, pool, lam, a[:3], b[:3])
+        assert len(a) == 6 * k
+    # pool==1 edge: single candidate, no pairs relation rows (left join
+    # nulls) — both strategies emit exactly the rank-1 row per query
+    a1 = sorted(map(tuple, mmr_rerank(emb, q, k=1, pool=1).collect()))
+    b1 = sorted(
+        map(tuple, mmr_rerank(emb, q, k=1, pool=1, strategy="fused").collect())
+    )
+    assert a1 == b1 and len(a1) == 6
+
+
 def test_ivf_cells_partition_corpus(spark):
     """sim4 structure: every vector lands in exactly one cell, and the cell
     is one of the centroid ids."""

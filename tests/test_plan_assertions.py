@@ -114,6 +114,23 @@ def test_multiprobe_corpus_not_exploded(spark):
     assert plan.count("Generate (") == 1, plan
 
 
+def test_filtered_multiprobe_corpus_not_exploded(spark):
+    """sim15: same discipline as sim3 — probes generated query-side, the
+    corpus scan feeds the composite (label, bucket) equi-join directly
+    (BroadcastHashJoin, never a pairwise predicate) with no explode."""
+    from com_danliris_service_etl_spark.operators.similarity import (
+        filtered_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(
+        filtered_multiprobe_topk(emb, emb.filter(emb.vec_id < 3), k=3)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("Generate (") == 1, plan
+
+
 def test_rollup_is_one_expand_one_exchange(spark):
     """g1: all rollup grains come from a single Expand + hash aggregate —
     one shuffle for every grain, never one query per grain."""
