@@ -134,6 +134,19 @@ def merge_upsert(
             "Install delta-spark + jars, or restore the environment."
         )
 
+    # Quiet-night short-circuit (r13, measured in PIPELINE_BENCH.json):
+    # an EMPTY batch into an EXISTING committed fact is a no-op by
+    # definition — the anti-join keeps every row and the union adds none
+    # — yet the parquet emulation would still pay a full fact
+    # read→rewrite→swap (and Delta a merge transaction) for it. Skipping
+    # is exact; it runs only past the fresh-target branch above, so a
+    # first-night empty extract still CREATES the fact (otherwise the
+    # empty-fact⇒full-extract fallback would re-extract every night).
+    # The probe is one limit-1 job on the caller's already-persisted
+    # increment.
+    if updates.isEmpty():
+        return
+
     if has_delta_log:
         from delta.tables import DeltaTable  # type: ignore
 

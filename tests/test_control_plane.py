@@ -261,8 +261,22 @@ def test_merge_upsert_empty_increments(spark, tmp_path):
     assert spark.read.parquet(target).count() == 0
     data = spark.createDataFrame([(1, "a")], "id long, v string")
     merge_upsert(spark, target, data, keys=["id"])
+    import os
+
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in os.listdir(target)
+    }
     merge_upsert(spark, target, empty, keys=["id"])
     assert [(r.id, r.v) for r in spark.read.parquet(target).collect()] == [(1, "a")]
+    # r13 quiet-night short-circuit: the empty no-op must not REWRITE
+    # the fact (PIPELINE_BENCH measured a full read->rewrite->swap per
+    # job per quiet night without it) — same files, same mtimes
+    after = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in os.listdir(target)
+    }
+    assert after == before
 
 
 def test_mongo_source_contract(spark):
