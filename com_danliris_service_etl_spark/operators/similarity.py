@@ -631,6 +631,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: F.Column | None = None,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """IVF(nprobe=1) top-k: corpus and queries are both coarse-quantized to
     their nearest centroid's cell; each query scores only its own cell's
@@ -638,6 +639,14 @@ def ivf_topk(
     shuffle-partitionable, skew split by AQE — instead of a cross product.
     Raising recall = probing more cells (rank<=nprobe in the assignment
     window), the standard IVF knob.
+
+    ``filter_col`` makes this the IVF arm of the dense-label escape
+    family (`filtered_multiprobe_topk` is the LSH arm): candidates must
+    additionally share the query's metadata value, so the join key
+    becomes the composite (filter, cell) — per-query work drops from the
+    label partition to that partition's cell, and the filter is enforced
+    BEFORE retrieval (post-filtering an unfiltered ANN result under-fills
+    k).
 
     ``query_filter`` is the queries-⊆-corpus fast path (self-recall
     evaluation, dedup-style all-vs-all probing): one predicate over the
@@ -649,28 +658,35 @@ def ivf_topk(
     query batch."""
     from pyspark.sql import Window
 
+    join_keys = ["cell"] if filter_col is None else ["cell", "__f"]
     if query_filter is not None:
+        proj = [
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            query_filter.alias("__is_q"),
+        ]
+        if filter_col is not None:
+            proj.append(F.col(filter_col).alias("__f"))
         assigned = ivf_assign_cells(
-            embeddings.select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__vec"),
-                query_filter.alias("__is_q"),
-            ),
+            embeddings.select(*proj),
             id_col="__id",
             vec_col="__vec",
             cent_arr=build_centroid_array(centroids),
         ).withColumn("__norm", norm("__vec")).localCheckpoint()
+        keep = join_keys[1:]  # __f rides along when filtering
         c = assigned.select(
             F.col("__id").alias("neighbor_id"),
             F.col("__vec").alias("c_vec"),
             F.col("__norm").alias("c_norm"),
             "cell",
+            *keep,
         )
         q = assigned.filter(F.col("__is_q")).select(
             F.col("__id").alias("query_id"),
             F.col("__vec").alias("q_vec"),
             F.col("__norm").alias("q_norm"),
             "cell",
+            *keep,
         )
     else:
         # One centroid aggregation for BOTH quantization passes: the
@@ -679,9 +695,14 @@ def ivf_topk(
         # assignments reuse it instead of re-running the centroid
         # scan+collect_list per side.
         cent_arr = build_centroid_array(centroids).localCheckpoint()
+        extra_c = (
+            [] if filter_col is None else [F.col(filter_col).alias("__f")]
+        )
         c = ivf_assign_cells(
             embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                *extra_c,
             ),
             id_col="neighbor_id",
             vec_col="c_vec",
@@ -689,14 +710,16 @@ def ivf_topk(
         ).withColumn("c_norm", norm("c_vec"))
         q = ivf_assign_cells(
             queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                *extra_c,
             ),
             id_col="query_id",
             vec_col="q_vec",
             cent_arr=cent_arr,
         ).withColumn("q_norm", norm("q_vec"))
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q), join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -426,6 +426,60 @@ def _ivf_sql(n_cells: int = _IVF_CELLS) -> str:
     """
 
 
+def _ivf_filtered_sql(n_cells: int = _IVF_CELLS) -> str:
+    dot_ec = _FOLD_DOT.format(a="v.e", b="c.cv")
+    n_e = _FOLD_DOT.format(a="v.e", b="v.e")
+    n_c = _FOLD_DOT.format(a="c.cv", b="c.cv")
+    dot_qn = _FOLD_DOT.format(a="q.qv", b="n.nv")
+    n_q = _FOLD_DOT.format(a="q.qv", b="q.qv")
+    n_n = _FOLD_DOT.format(a="n.nv", b="n.nv")
+    return f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < {n_cells}),
+    assign AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rk
+      FROM (SELECT v.vec_id, c.cent_id,
+                   {dot_ec} / (sqrt({n_e}) * sqrt({n_c})) AS sim
+            FROM v CROSS JOIN cent c)),
+    cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rk = 1),
+    q AS (SELECT v.vec_id AS query_id, v.label, v.e AS qv, cells.cell
+          FROM v JOIN cells USING (vec_id) WHERE v.vec_id < 10),
+    n AS (SELECT v.vec_id AS neighbor_id, v.label, v.e AS nv, cells.cell
+          FROM v JOIN cells USING (vec_id)),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({dot_qn} / (sqrt({n_q}) * sqrt({n_n})), 6) AS cos_sim
+      FROM q JOIN n ON q.cell = n.cell AND q.label = n.label
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("sim16_filtered_ivf_topk", _ivf_filtered_sql())
+def sim16_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-label IVF(nprobe=1) top-5 — the IVF arm of the dense-label
+    escape family (sim15 is the LSH arm): candidates must share the
+    query's label AND its coarse-quantizer cell, a composite
+    (label, cell) equi-join, so one tenant owning a corpus-scale share
+    of rows still retrieves against |tenant|/C-sized inverted lists.
+    The filter is enforced before retrieval (post-filtering an
+    unfiltered ANN result under-fills k). Same deterministic centroid
+    contract as sim4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_CELLS)
+    return sim.ivf_topk(
+        emb, None, cent, k=5,
+        query_filter=F.col("vec_id") < 10, filter_col="label",
+    )
+
+
 @register("sim4_ivf_topk", _ivf_sql())
 def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF(nprobe=1) top-5: corpus + queries coarse-quantized to their

@@ -756,6 +756,35 @@ def test_filtered_multiprobe_respects_filter_and_buckets(spark):
     assert all(r.recall == 1.0 for r in rec), rec
 
 
+def test_filtered_ivf_respects_filter_and_cells(spark):
+    """sim16 (the IVF arm of the dense-label escape): every neighbor must
+    share the query's label, and the candidate set is the (label, cell)
+    intersection — a same-label vector in a DIFFERENT cell never appears
+    even if it is the true nearest."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = emb.filter(F.col("vec_id") < 4)
+    out = ivf_topk(
+        emb, None, cent, k=5,
+        query_filter=F.col("vec_id") < 10, filter_col="label",
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_cells(emb, cent).select("vec_id", "cell").collect()
+    }
+    assert out, "queries must retrieve something at sf0.01"
+    for r in out:
+        assert labels[r.query_id] == labels[r.neighbor_id]
+        assert cells[r.query_id] == cells[r.neighbor_id]
+
+
 def test_mmr_fused_strategy_equals_unrolled(spark):
     """sim14 fused tail (r13): the applyInPandas greedy loop must emit
     row-for-row identical (query, neighbor, rank, score) to the unrolled
