@@ -202,6 +202,19 @@ def generate() -> None:
 def main() -> int:
     generate()
 
+    # Decade fixtures (x100+) stream pair-grain relations that overflow
+    # the default 8g driver heap into GCLocker thrash — r13 measured g11
+    # at 14.2 s (2.34x) on 8g vs 8.4 s (1.29x) on 24g, SAME binary. A
+    # pairing recorded off the wrong heap is a protocol error, not a
+    # regression; refuse to silently produce one.
+    if REPLICAS >= 100 and not os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        print(
+            "WARNING: REPLICAS >= 100 without SPARK_GRAFT_DRIVER_MEM set; "
+            "decade pairings need 24g (see BASELINE.md r13 g11 "
+            "adjudication) — export SPARK_GRAFT_DRIVER_MEM=24g",
+            file=sys.stderr,
+        )
+
     from com_danliris_service_etl_spark.plans.registry import load_all
     from com_danliris_service_etl_spark.session import get_session
 
