@@ -905,3 +905,99 @@ def interval_overlap_join(
         .drop(lf["__bin"])
         .drop(rf["__bin"])
     )
+
+
+def interval_overlap_stats(
+    intervals: DataFrame,
+    lo: str,
+    hi: str,
+    by: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group OVERLAP-PAIR AGGREGATES — ``n_pairs`` (count of
+    unordered interval pairs with ``a.lo < b.hi AND b.lo < a.hi``) and
+    ``overlap_days`` (Σ over those pairs of ``least(a.hi, b.hi) −
+    greatest(a.lo, b.lo)``) — WITHOUT materializing the pairs.
+
+    This is the sweep-line identity, not a join: at any instant t the
+    number of overlapping pairs covering t is C(k_t, 2) where k_t is
+    the count of open intervals, so
+      overlap_days = Σ_gaps C(k, 2) · gap_length      (k constant
+        between consecutive event positions), and
+      n_pairs = Σ over starts of (#intervals open just before the
+        start) — every unordered overlapping pair is counted exactly
+        once, at the LATER start (equal starts: once per total order,
+        = C(m, 2) within the tie group, order-invariant).
+    Cost is O(n log n) per group (window sorts over the 2n-row event
+    stream; the groupBy reuses the outer window's hash partitioning —
+    superset rule) versus the bin-bucketed pair join's O(candidate
+    pairs): a hot group with k concurrent intervals costs arithmetic
+    here, k² materialized rows there. Boundary convention matches
+    `interval_overlap_join`: half-open, ends sort BEFORE starts at the
+    same position (typ 0 < 1), so touching intervals never pair. All
+    arithmetic is exact BIGINT (k·(k−1) is always even, so the /2 is
+    an exact integer). Groups whose every interval is disjoint emit
+    n_pairs = 0 and are FILTERED (the pair-join form never emits them).
+
+    ``tiebreak``: the interval's IDENTITY columns. Pairs require
+    strictly ordered DISTINCT identities — rows sharing (by, tiebreak)
+    (the fixture's duplicate (orderkey, linenumber) lineitems) never
+    pair with EACH OTHER, exactly like the pair join's strict
+    lexicographic tiebreak, while still pairing with every other row.
+    Implemented as a second, finer sweep (partition by + identity)
+    whose C(k,2) terms are subtracted from the group-wide ones; with
+    no tiebreak given, every row is its own identity and the
+    correction vanishes (kept for window-order determinism anyway)."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    tiebreak = list(tiebreak)
+    ev = intervals.select(
+        *by,
+        *tiebreak,
+        F.explode(
+            F.array(
+                F.struct(F.col(lo).alias("pos"), F.lit(1).alias("typ")),
+                F.struct(F.col(hi).alias("pos"), F.lit(0).alias("typ")),
+            )
+        ).alias("__e"),
+    ).select(*by, *tiebreak, "__e.pos", "__e.typ")
+    order = [F.col("pos"), F.col("typ"), *[F.col(t) for t in tiebreak]]
+
+    def sweep_cols(partition: list):
+        wc = (
+            Window.partitionBy(*partition)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wl = Window.partitionBy(*partition).orderBy(*order)
+        cs = F.sum("typ").over(wc)
+        ce = F.sum(1 - F.col("typ")).over(wc)
+        k = (cs - ce).cast("long")
+        gap = F.coalesce(F.lead("pos").over(wl) - F.col("pos"), F.lit(0))
+        # k·(k−1) is even: the double division is an exact integer < 2^53
+        c2 = ((k * (k - F.lit(1))) / F.lit(2)).cast("long")
+        open_before = (cs - 1 - ce).cast("long")  # at a start row: self excluded
+        return open_before, (c2 * gap.cast("long"))
+
+    open_by, c2gap_by = sweep_cols(by)
+    if tiebreak:
+        open_key, c2gap_key = sweep_cols(by + tiebreak)
+    else:
+        open_key, c2gap_key = F.lit(0).cast("long"), F.lit(0).cast("long")
+    scored = ev.select(
+        *by,
+        F.when(F.col("typ") == 1, open_by - open_key)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__new_pairs"),
+        (c2gap_by - c2gap_key).alias("__c2gap"),
+    )
+    return (
+        scored.groupBy(*by)
+        .agg(
+            F.sum("__new_pairs").alias("n_pairs"),
+            F.sum("__c2gap").alias("overlap_days"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

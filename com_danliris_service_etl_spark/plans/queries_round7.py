@@ -914,14 +914,19 @@ GROUP BY a.l_suppkey
 
 @register("j14_interval_overlap", _J14_SQL)
 def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval overlap join (operators/joins.py::
-    `interval_overlap_join`): per-supplier concurrent-shipment pairs.
-    Both sides bin-bucket (width 8 ≈ the 1–14-day interval lengths →
-    ~2× replication); the pair survives only in the bin of the LATER
-    start, so no distinct pass; the join is a plain hash equi-join on
-    (suppkey, bin) — O(Σ len/width), never |L|·|R|."""
+    """Per-supplier concurrent-shipment pair aggregates via the
+    SWEEP-LINE identity (operators/joins.py::`interval_overlap_stats`):
+    overlap_days = Σ_t C(k_t, 2) and n_pairs = Σ_starts(open-before),
+    computed in window passes over the 2n-row event stream — the pairs
+    are never materialized. Replaced the bin-bucketed pair join in r13
+    after an interleaved A/B (3.4–3.6 s → 1.25 s at sf0.1, exact
+    equivalence pinned incl. the fixture's duplicate-identity rows);
+    at 100 TB a hot supplier's k concurrent shipments cost arithmetic
+    here versus k² materialized pair rows. The pair-PRODUCING operator
+    (`interval_overlap_join`) remains for consumers that need the rows;
+    the oracle stays the naive per-supplier theta join."""
     from com_danliris_service_etl_spark.operators.joins import (
-        interval_overlap_join,
+        interval_overlap_stats,
     )
 
     li = _t(spark, sf_dir, "lineitem")
@@ -935,34 +940,9 @@ def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.alias("lo"),
         (day + 1 + F.col("l_partkey") % 14).alias("hi"),
     )
-    right = (
-        iv.withColumnRenamed("l_suppkey", "r_suppkey")
-        .withColumnRenamed("l_orderkey", "r_orderkey")
-        .withColumnRenamed("l_linenumber", "r_linenumber")
-        .withColumnRenamed("lo", "r_lo")
-        .withColumnRenamed("hi", "r_hi")
-    )
-    pairs = interval_overlap_join(
-        iv,
-        right,
-        "lo",
-        "hi",
-        "r_lo",
-        "r_hi",
-        equi_keys=[("l_suppkey", "r_suppkey")],
-        bin_width=8,
-    ).filter(
-        (F.col("l_orderkey") < F.col("r_orderkey"))
-        | (
-            (F.col("l_orderkey") == F.col("r_orderkey"))
-            & (F.col("l_linenumber") < F.col("r_linenumber"))
-        )
-    )
-    return pairs.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            F.least("hi", "r_hi") - F.greatest("lo", "r_lo")
-        ).alias("overlap_days"),
+    return interval_overlap_stats(
+        iv, "lo", "hi", ["l_suppkey"],
+        tiebreak=["l_orderkey", "l_linenumber"],
     )
 
 

@@ -542,6 +542,105 @@ def test_interval_overlap_join_matches_bruteforce(spark, bin_width):
     assert got == want
 
 
+def test_interval_overlap_stats_matches_pair_bruteforce(spark):
+    """r13 sweep-line aggregate: n_pairs / overlap_days must equal the
+    brute-force pair enumeration with the strict identity tiebreak —
+    including touching intervals (no pair), duplicate-identity rows
+    (never pair with each other, still pair with everyone else),
+    nested/identical intervals, negative coordinates, and a group with
+    no overlaps at all (filtered from the output)."""
+    import itertools
+
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_stats,
+    )
+
+    rows = [
+        # (group, lo, hi, ok, ln)
+        (1, 0, 5, 1, 1), (1, 4, 7, 2, 1), (1, -10, 30, 3, 1),
+        (1, 4, 4, 4, 1),  # empty interval: pairs with nothing
+        (2, 2, 3, 1, 1), (2, 3, 4, 2, 1),  # touching only: group filtered
+        (3, 0, 4, 7, 1), (3, 0, 4, 7, 1), (3, 1, 2, 8, 1),  # dup identity
+        (4, -4, -1, 1, 1), (4, -3, -2, 2, 2),  # negative coords, nested
+    ]
+
+    def ref():
+        out = {}
+        for g, grp in itertools.groupby(sorted(rows), key=lambda r: r[0]):
+            grp = list(grp)
+            n = days = 0
+            for i, a in enumerate(grp):
+                for b in grp[i + 1:]:
+                    if (a[3], a[4]) == (b[3], b[4]):
+                        continue  # identical identity: strict order excludes
+                    if a[1] < b[2] and b[1] < a[2]:
+                        n += 1
+                        days += min(a[2], b[2]) - max(a[1], b[1])
+            if n:
+                out[g] = (n, days)
+        return out
+
+    df = spark.createDataFrame(rows, "g long, lo long, hi long, ok long, ln long")
+    got = {
+        r.g: (r.n_pairs, r.overlap_days)
+        for r in interval_overlap_stats(
+            df, "lo", "hi", ["g"], tiebreak=["ok", "ln"]
+        ).collect()
+    }
+    assert got == ref(), (got, ref())
+
+
+def test_interval_overlap_stats_equals_join_aggregate_on_fixture(spark):
+    """The registry j14 shape: sweep aggregates == the r12 bin-bucketed
+    pair join's aggregates over real sf0.001 lineitem intervals."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_join,
+        interval_overlap_stats,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    iv = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        day.alias("lo"), (day + 1 + F.col("l_partkey") % 14).alias("hi"),
+    )
+    right = (
+        iv.withColumnRenamed("l_suppkey", "r_suppkey")
+        .withColumnRenamed("l_orderkey", "r_orderkey")
+        .withColumnRenamed("l_linenumber", "r_linenumber")
+        .withColumnRenamed("lo", "r_lo").withColumnRenamed("hi", "r_hi")
+    )
+    pairs = interval_overlap_join(
+        iv, right, "lo", "hi", "r_lo", "r_hi",
+        equi_keys=[("l_suppkey", "r_suppkey")], bin_width=8,
+    ).filter(
+        (F.col("l_orderkey") < F.col("r_orderkey"))
+        | ((F.col("l_orderkey") == F.col("r_orderkey"))
+           & (F.col("l_linenumber") < F.col("r_linenumber")))
+    )
+    want = {
+        r.l_suppkey: (r.n_pairs, r.overlap_days)
+        for r in pairs.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.least("hi", "r_hi") - F.greatest("lo", "r_lo")).alias(
+                "overlap_days"
+            ),
+        ).collect()
+    }
+    got = {
+        r.l_suppkey: (r.n_pairs, r.overlap_days)
+        for r in interval_overlap_stats(
+            iv, "lo", "hi", ["l_suppkey"],
+            tiebreak=["l_orderkey", "l_linenumber"],
+        ).collect()
+    }
+    assert got == want
+
+
 def test_interval_overlap_join_no_dedup_needed(spark):
     """A pair sharing MANY bins must still appear exactly once."""
     from com_danliris_service_etl_spark.operators.joins import (
