@@ -690,3 +690,49 @@ def test_sole_late_supplier_window_form_matches_model(spark, rows):
         if len(supps[o]) >= 2 and len(late_supps[o]) == 1
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r13: sweep-line overlap aggregates vs brute-force pair enumeration
+# ---------------------------------------------------------------------------
+
+_ivl = st.tuples(
+    st.integers(0, 2),            # group
+    st.integers(-20, 20),         # lo
+    st.integers(0, 15),           # length (0 = empty interval)
+    st.integers(0, 3),            # identity a
+    st.integers(0, 1),            # identity b
+)
+
+
+@SETTINGS
+@given(ivs=st.lists(_ivl, min_size=1, max_size=14))
+def test_interval_overlap_stats_model(spark, ivs):
+    """`interval_overlap_stats` must equal the brute-force model —
+    unordered pairs of distinct-identity same-group intervals with
+    a.lo < b.hi AND b.lo < a.hi, days = min(hi)−max(lo) — over arbitrary
+    interval sets including empty intervals, duplicate identities with
+    DIFFERENT spans, and groups with no overlaps (absent from output)."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_stats,
+    )
+
+    rows = [(g, lo, lo + ln, a, b) for g, lo, ln, a, b in ivs]
+    want: dict = {}
+    for i, x in enumerate(rows):
+        for y in rows[i + 1:]:
+            if x[0] != y[0] or (x[3], x[4]) == (y[3], y[4]):
+                continue
+            if x[1] < y[2] and y[1] < x[2]:
+                n, d = want.get(x[0], (0, 0))
+                want[x[0]] = (n + 1, d + min(x[2], y[2]) - max(x[1], y[1]))
+    df = spark.createDataFrame(
+        rows, "g long, lo long, hi long, ida long, idb long"
+    )
+    got = {
+        r.g: (r.n_pairs, r.overlap_days)
+        for r in interval_overlap_stats(
+            df, "lo", "hi", ["g"], tiebreak=["ida", "idb"]
+        ).collect()
+    }
+    assert got == want, (got, want, rows)
