@@ -939,6 +939,14 @@ def interval_overlap_stats(
     an exact integer). Groups whose every interval is disjoint emit
     n_pairs = 0 and are FILTERED (the pair-join form never emits them).
 
+    Precondition: ``lo <= hi`` per row (same as the bin form, whose
+    `sequence(floor(lo/w), floor(hi/w))` would otherwise DESCEND).
+    A reversed interval here would close before it opens, driving the
+    sweep's k negative and C(k, 2) positive — garbage, not an error.
+    Empty intervals (lo == hi) are valid and behave exactly like the
+    pair join: never open, but they PAIR (0 days) with any interval
+    strictly straddling their position — property-tested.
+
     ``tiebreak``: the interval's IDENTITY columns. Pairs require
     strictly ordered DISTINCT identities — rows sharing (by, tiebreak)
     (the fixture's duplicate (orderkey, linenumber) lineitems) never
