@@ -454,11 +454,22 @@ def weighted_median_twophase(
     weight_col: str,
     out_col: str = "weighted_median",
     n_buckets: int = 1024,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Fact-scale form of :func:`weighted_median` — identical output
     (pinned by `test_weighted_median_twophase_equals_simple`) without
     the single form's per-group sort of the WHOLE distinct-value
     domain, which serializes a hot group through one WindowExec task.
+
+    ``bounds``: optional GLOBAL (lo, hi) for the binning grid — e.g.
+    parquet zone-map stats via `sketches.py::parquet_column_bounds`
+    (the sk6 pattern). Any monotone binning partitions the value axis,
+    so global bounds are as correct as per-group ones; supplying them
+    removes BOTH the bounds scan (one full pass of three) and the
+    per-row broadcast bounds join on the two remaining passes
+    (r13: 9.4 → 6.1 s at sf10). Per-group bins are tighter (smaller
+    crossing-bin re-scan) — prefer them only when no cheap bounds
+    source exists AND group ranges differ wildly.
 
     Two-phase exact selection (the distributed order-statistic
     pattern): (1) bucket values into ``n_buckets`` equal-width bins per
@@ -479,19 +490,31 @@ def weighted_median_twophase(
     groups = list(group_cols)
     v, w = F.col(value_col), F.col(weight_col).cast("long")
     fact = df.filter(v.isNotNull()).select(*groups, value_col, w.alias("__w"))
-    bounds = fact.groupBy(*groups).agg(
-        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
-    )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
-    binned = fact.join(F.broadcast(bounds), groups).withColumn(
-        "__bkt",
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-            F.least(
-                F.floor((v - F.col("__lo")) / width).cast("int"),
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        if hi > lo:
+            g_width = (hi - lo) / n_buckets
+            bkt = F.least(
+                F.floor((v - F.lit(lo)) / F.lit(g_width)).cast("int"),
                 F.lit(n_buckets),
             )
-        ),
-    )
+        else:  # degenerate global domain: one bin
+            bkt = F.lit(0)
+        binned = fact.withColumn("__bkt", bkt)
+    else:
+        grp_bounds = fact.groupBy(*groups).agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+        binned = fact.join(F.broadcast(grp_bounds), groups).withColumn(
+            "__bkt",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((v - F.col("__lo")) / width).cast("int"),
+                    F.lit(n_buckets),
+                )
+            ),
+        )
     per_bin = binned.groupBy(*groups, "__bkt").agg(F.sum("__w").alias("__bw"))
     w_cum = (
         Window.partitionBy(*groups)

@@ -4,8 +4,9 @@ stats, and business-day arithmetic.
 
 - a11_grouped_mode — per-group most-frequent value with a deterministic
   tiebreak (operators/windows.py `grouped_mode`).
-- a12_weighted_median — exact per-group weighted median via integer
-  cumulative weights (operators/quality.py `weighted_median`).
+- a12_weighted_median — exact per-group weighted median via two-phase
+  distributed selection (operators/quality.py `weighted_median_twophase`,
+  zone-map binning bounds).
 - w9_running_distinct — cumulative distinct users per day via the
   first-seen (debut) decomposition (operators/windows.py
   `running_distinct`).
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 
 from com_danliris_service_etl_spark.functions.dates import business_day_prefix
 from com_danliris_service_etl_spark.operators.quality import (
-    weighted_median,
+    weighted_median_twophase,
     winsorized_stats,
 )
 from com_danliris_service_etl_spark.operators.skew import salted_broadcast_join
@@ -96,22 +97,31 @@ FROM cum WHERE 2 * cw >= tw GROUP BY 1
 @register("a12_weighted_median", _A12_SQL)
 def a12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag
-    (operators/quality.py `weighted_median`): the lower weighted median
-    as an exact order statistic over integer cumulative weights — the
-    crossing test never touches float summation order. l_quantity is
-    integral by construction; the BIGINT cast makes that assumption
-    explicit on both engines. ``pre_aggregate=False`` is the cost-based
-    choice for THIS column: extended prices are ~99% distinct, so
-    collapsing first would shuffle the whole fact to shrink the window
-    input by 1% (measured −40% skipping it; identical result — the
-    crossing depends only on run-end cumulative sums, and the
-    equivalence is unit-pinned)."""
-    return weighted_median(
+    (operators/quality.py `weighted_median_twophase`): exact two-phase
+    distributed selection — per-bin integer cumulative weights find the
+    crossing bin, one bounded re-scan finds the crossing value — with
+    the binning grid fed from parquet zone-map stats (the sk6 pattern)
+    so phase 1 costs footer reads, not a scan. Switched from the
+    single-window form in r13 after the sf1 trail exposed its scale
+    wall: 3 groups ⇒ the window sorts the WHOLE fact in 3 tasks
+    (22× at sf1, 35 s at sf10 vs twophase+bounds 6 s; the small-scale
+    −40% that once favored it is the toy-regime side of the trade).
+    All crossing tests are exact BIGINT comparisons on either path, so
+    the result is engine-identical to the oracle's pre-aggregated
+    window form."""
+    from com_danliris_service_etl_spark.operators.sketches import (
+        parquet_column_bounds,
+    )
+
+    b = parquet_column_bounds(
+        spark, f"{sf_dir}/lineitem.parquet", "l_extendedprice"
+    )
+    return weighted_median_twophase(
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag"],
         "l_extendedprice",
         "l_quantity",
-        pre_aggregate=False,
+        bounds=b,
     )
 
 
@@ -343,10 +353,14 @@ def d9_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, no calendar UDF, no per-day explode. Oracle
     mirrors the identical formula, so the parity check pins the
     arithmetic itself. Each side's prefix is projected BEFORE the join
-    (fn/dates.py `business_day_prefix`): the broadcast build side
-    carries one long instead of a timestamp and the date arithmetic
-    runs once per source row, not once per joined row — measured −22%
-    vs the join-then-compute form at sf0.1."""
+    (fn/dates.py `business_day_prefix`): the build side carries one
+    long instead of a timestamp and the date arithmetic runs once per
+    source row, not once per joined row — measured −22% vs the
+    join-then-compute form at sf0.1. NO broadcast hint (r13): orders
+    is a FACT, not a dim — at sf0.1 the auto-broadcast threshold picks
+    the same broadcast plan anyway, while at sf10 the forced 15M-row
+    broadcast build measured 8.8 s vs 3.4 s letting AQE choose the
+    shuffled join; hint only what stays dimension-sized at 1000×."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -355,7 +369,7 @@ def d9_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", business_day_prefix("l_shipdate").alias("ps")
     )
-    j = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).withColumn(
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
         "bd", F.col("ps") - F.col("po")
     )
     return j.groupBy("o_orderpriority").agg(

@@ -286,6 +286,21 @@ def test_weighted_median_twophase_equals_simple(spark):
     simple = {r.g: r.weighted_median for r in weighted_median(df, ["g"], "v", "w").collect()}
     two = {r.g: r.weighted_median for r in weighted_median_twophase(df, ["g"], "v", "w").collect()}
     assert two == simple
+    # r13 global-bounds path (zone-map feed): any monotone binning is
+    # correct, so GLOBAL bounds — even padded ones — must give the same
+    # crossing values as the per-group grids; also the degenerate
+    # hi == lo global domain (single-bin branch)
+    for b in ((1.0, 199.0), (-500.0, 500.0)):
+        g = {
+            r.g: r.weighted_median
+            for r in weighted_median_twophase(df, ["g"], "v", "w", bounds=b).collect()
+        }
+        assert g == simple, b
+    only_e = df.filter(df.g == "e")
+    ge = weighted_median_twophase(
+        only_e, ["g"], "v", "w", bounds=(7.0, 7.0)
+    ).collect()
+    assert {r.g: r.weighted_median for r in ge} == {"e": 7.0}
 
 
 def test_weighted_median_twophase_on_lineitem(spark):
