@@ -115,6 +115,17 @@ def main() -> int:
             filter_col="label", n_bits=8,
         )
 
+    def spark_escape_ivf():
+        # the IVF arm (sim16 shape): centroids = the 16 organic replica-0
+        # vectors with vec_id < 16 — cluster centers by construction here,
+        # the deterministic-codebook contract sim4/sim16 document
+        emb = spark.read.parquet(emb_path)
+        cent = emb.filter(F.col("vec_id") < 16)
+        return sim.ivf_topk(
+            emb, None, cent, k=5,
+            query_filter=F.col("vec_id") < 10, filter_col="label",
+        )
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'"
@@ -129,6 +140,10 @@ def main() -> int:
             "src": SRC,
         }
     }
+    # The IVF arm is measured for RECALL only: its O(n·C·d) assignment
+    # pass is an INDEX BUILD amortized across query batches (ivf_topk
+    # docstring) — a one-shot build+query wall-clock pairing would
+    # charge the whole build to 10 queries and mismeasure the design.
     for name, fresh, sql in (
         ("exact_filtered_topk", spark_exact, _SIM13_SQL),
         ("escape_filtered_lsh", spark_escape, _SIM15_SQL),
@@ -152,14 +167,19 @@ def main() -> int:
         }
         print(name, out[name], file=sys.stderr, flush=True)
 
-    rec = sim.recall_at_k(spark_exact(), spark_escape(), k=5).collect()
-    recalls = sorted(float(r["recall"]) for r in rec)
-    out["escape_recall_at_5"] = {
-        "mean": round(sum(recalls) / len(recalls), 4),
-        "min": round(recalls[0], 4),
-        "per_query": recalls,
-    }
-    print("recall", out["escape_recall_at_5"], file=sys.stderr, flush=True)
+    exact = spark_exact().localCheckpoint()
+    for label, approx in (
+        ("escape_recall_at_5", spark_escape()),
+        ("escape_ivf_recall_at_5", spark_escape_ivf()),
+    ):
+        rec = sim.recall_at_k(exact, approx, k=5).collect()
+        recalls = sorted(float(r["recall"]) for r in rec)
+        out[label] = {
+            "mean": round(sum(recalls) / len(recalls), 4),
+            "min": round(recalls[0], 4),
+            "per_query": recalls,
+        }
+        print(label, out[label], file=sys.stderr, flush=True)
     print(json.dumps(out))
     return 0
 
