@@ -90,8 +90,11 @@ def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join map-side; one groupBy shuffle per superstep remains)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # no broadcast hint on orders (r13): it is a FACT side — at sf0.1 the
+    # auto threshold broadcasts it anyway; at scale AQE picks the shuffled
+    # join instead of an OOM-bound forced build (the d9 lesson)
     pairs = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             (F.col("l_suppkey") * 2).alias("s"),
             (F.col("o_custkey") * 2 + 1).alias("c"),

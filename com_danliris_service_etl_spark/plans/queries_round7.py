@@ -188,8 +188,9 @@ def g10_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     projects display strings only on the final result."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # no broadcast hint on orders: fact side (the d9/g8 r13 discipline)
     pairs = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
             (F.col("l_suppkey") * 2).alias("s"),
             (F.col("o_custkey") * 2 + 1).alias("c"),

@@ -61,8 +61,11 @@ def a14_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # the filtered-customer DIM broadcasts; the orders side does NOT (a
+    # date-banded fact is still a fact at 1000x) — AQE re-broadcasts the
+    # joined build side at runtime when it measures small (r13)
     j = li.join(
-        F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
         li["l_orderkey"] == o["o_orderkey"],
     )
     return (
@@ -122,8 +125,10 @@ def a15_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # dims broadcast; the date-banded orders side does NOT (fact at
+    # 1000x) — AQE upgrades to broadcast at runtime when it fits (r13)
     j = li.join(
-        F.broadcast(o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])),
+        o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"]),
         li["l_orderkey"] == o["o_orderkey"],
     )
     return j.groupBy("n_name").agg(
