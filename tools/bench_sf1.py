@@ -84,7 +84,7 @@ def generate() -> None:
     if all(
         os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
         for t in ("lineitem", "documents", "events", "orders", "supplier",
-                  "embeddings")
+                  "embeddings", "customer", "part", "nation", "region")
     ):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -139,6 +139,37 @@ def generate() -> None:
         ) TO '{SF1_DIR}/supplier.parquet' (FORMAT parquet)
         """
     )
+    # customer strides c_custkey by the SAME sc as orders.o_custkey (FK
+    # consistency per replica); part strides p_partkey by lineitem's sp.
+    # nationkeys stay in the base range (fixed-cardinality dims, copied
+    # verbatim) — same discipline as supplier above. (r13: these four
+    # tables complete the derivation so the a14/a15/j20-class TPC-H
+    # shapes can be decade-trailed too.)
+    con.execute(
+        f"""
+        COPY (
+          SELECT c_custkey + r.r * {sc} AS c_custkey,
+                 c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SRC}/customer.parquet'
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/customer.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT p_partkey + r.r * {sp} AS p_partkey,
+                 p_name, p_brand, p_type, p_size, p_retailprice
+          FROM '{SRC}/part.parquet'
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{SF1_DIR}/part.parquet' (FORMAT parquet)
+        """
+    )
+    for dim in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
+            f"TO '{SF1_DIR}/{dim}.parquet' (FORMAT parquet)"
+        )
     con.execute(f"CREATE VIEW e AS SELECT * FROM '{SRC}/events.parquet'")
     se, su = con.execute(
         "SELECT max(event_id) + 1, max(user_id) + 1 FROM e"
@@ -231,7 +262,7 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in ("lineitem", "documents", "events", "orders", "supplier",
-              "embeddings"):
+              "embeddings", "customer", "part", "nation", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'")
 
     out: dict[str, dict] = {}
