@@ -736,3 +736,43 @@ def test_interval_overlap_stats_model(spark, ivs):
         ).collect()
     }
     assert got == want, (got, want, rows)
+
+
+_wmrow = st.tuples(
+    st.integers(0, 2),                 # group
+    st.integers(-30, 30),              # value (duplicates likely)
+    st.integers(1, 9),                 # weight
+)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(_wmrow, min_size=1, max_size=20),
+    pad=st.integers(0, 50),
+)
+def test_weighted_median_twophase_bounds_model(spark, rows, pad):
+    """r13 zone-map-bounds path: for arbitrary integer-weighted
+    multisets and arbitrarily PADDED global bounds, twophase(bounds=)
+    must equal the single-window form — any monotone binning partitions
+    the value axis, so grid placement can never move the crossing."""
+    from com_danliris_service_etl_spark.operators.quality import (
+        weighted_median,
+        weighted_median_twophase,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), w) for g, v, w in rows], "g long, v double, w long"
+    )
+    want = {
+        r.g: r.weighted_median
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+    vals = [v for _, v, _ in rows]
+    b = (float(min(vals) - pad), float(max(vals) + pad))
+    got = {
+        r.g: r.weighted_median
+        for r in weighted_median_twophase(
+            df, ["g"], "v", "w", n_buckets=7, bounds=b
+        ).collect()
+    }
+    assert got == want, (b, got, want)
