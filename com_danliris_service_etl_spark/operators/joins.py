@@ -944,8 +944,19 @@ def interval_overlap_stats(
     A reversed interval here would close before it opens, driving the
     sweep's k negative and C(k, 2) positive — garbage, not an error.
     Empty intervals (lo == hi) are valid and behave exactly like the
-    pair join: never open, but they PAIR (0 days) with any interval
-    strictly straddling their position — property-tested.
+    pair join: they PAIR (0 days) with any interval strictly
+    straddling their position and with nothing else. They are NOT
+    encoded as an open/close event pair — a zero-length interval's end
+    would sort before its own start (typ order), leaving a phantom −1
+    in the running count that the pair join has no counterpart for
+    (and that two same-position empties of DISTINCT identity turn into
+    an uncancelled miscount even under the fine-sweep correction).
+    Instead each empty emits a single PROBE event ordered between the
+    ends and the starts at its position: it reads k without changing
+    it, so `#ends ≤ p` are already out (hi == p doesn't straddle) and
+    `#starts = p` not yet in (lo == p doesn't straddle) — strict
+    containment falls out of the event order. Property-tested on BOTH
+    tiebreak paths, including same-position distinct-identity empties.
 
     ``tiebreak``: the interval's IDENTITY columns. Pairs require
     strictly ordered DISTINCT identities — rows sharing (by, tiebreak)
@@ -953,20 +964,35 @@ def interval_overlap_stats(
     pair with EACH OTHER, exactly like the pair join's strict
     lexicographic tiebreak, while still pairing with every other row.
     Implemented as a second, finer sweep (partition by + identity)
-    whose C(k,2) terms are subtracted from the group-wide ones; with
-    no tiebreak given, every row is its own identity and the
-    correction vanishes (kept for window-order determinism anyway)."""
+    whose open/probe/C(k,2) terms are subtracted from the group-wide
+    ones; with no tiebreak given, every row is its own identity, no
+    same-identity pair exists to subtract, and — now that empties are
+    probes, not event pairs — the correction is identically zero, so
+    the fine sweep is skipped (the per-start and per-probe sums are
+    order-invariant across equal (pos, typ) rows: equal starts yield
+    C(m, 2) regardless of intra-tie order, and probes don't mutate k)."""
     from pyspark.sql import Window
 
     by = list(by)
     tiebreak = list(tiebreak)
+    # Event types, ordered by sort position at equal `pos`:
+    #   0 = end (half-open: an interval ending at p no longer covers p)
+    #   1 = probe (empty interval at p: pairs iff strictly covered)
+    #   2 = start
     ev = intervals.select(
         *by,
         *tiebreak,
         F.explode(
-            F.array(
-                F.struct(F.col(lo).alias("pos"), F.lit(1).alias("typ")),
-                F.struct(F.col(hi).alias("pos"), F.lit(0).alias("typ")),
+            F.when(
+                F.col(lo) < F.col(hi),
+                F.array(
+                    F.struct(F.col(lo).alias("pos"), F.lit(2).alias("typ")),
+                    F.struct(F.col(hi).alias("pos"), F.lit(0).alias("typ")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col(lo).alias("pos"), F.lit(1).alias("typ"))
+                )
             )
         ).alias("__e"),
     ).select(*by, *tiebreak, "__e.pos", "__e.typ")
@@ -979,23 +1005,28 @@ def interval_overlap_stats(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wl = Window.partitionBy(*partition).orderBy(*order)
-        cs = F.sum("typ").over(wc)
-        ce = F.sum(1 - F.col("typ")).over(wc)
+        cs = F.sum((F.col("typ") == 2).cast("long")).over(wc)
+        ce = F.sum((F.col("typ") == 0).cast("long")).over(wc)
         k = (cs - ce).cast("long")
         gap = F.coalesce(F.lead("pos").over(wl) - F.col("pos"), F.lit(0))
         # k·(k−1) is even: the double division is an exact integer < 2^53
         c2 = ((k * (k - F.lit(1))) / F.lit(2)).cast("long")
         open_before = (cs - 1 - ce).cast("long")  # at a start row: self excluded
-        return open_before, (c2 * gap.cast("long"))
+        # At a probe row: k itself (the probe is in neither cs nor ce,
+        # so no self term exists; probes never slice c2·gap wrongly —
+        # they leave k unchanged, so split segments sum identically).
+        return open_before, k, (c2 * gap.cast("long"))
 
-    open_by, c2gap_by = sweep_cols(by)
+    open_by, k_by, c2gap_by = sweep_cols(by)
     if tiebreak:
-        open_key, c2gap_key = sweep_cols(by + tiebreak)
+        open_key, k_key, c2gap_key = sweep_cols(by + tiebreak)
     else:
-        open_key, c2gap_key = F.lit(0).cast("long"), F.lit(0).cast("long")
+        zero = F.lit(0).cast("long")
+        open_key, k_key, c2gap_key = zero, zero, zero
     scored = ev.select(
         *by,
-        F.when(F.col("typ") == 1, open_by - open_key)
+        F.when(F.col("typ") == 2, open_by - open_key)
+        .when(F.col("typ") == 1, k_by - k_key)
         .otherwise(F.lit(0))
         .cast("long")
         .alias("__new_pairs"),

@@ -479,10 +479,42 @@ def _mmr_greedy_fused(
     Python ints, ties on min neighbor_id — so the two strategies emit
     row-for-row identical results. Each group is pool·(pool−1) rows (one
     Arrow batch by construction); the Python boundary is paid once, not
-    per step, which is the whole point at k=20."""
+    per step, which is the whole point at k=20.
+
+    Id typing: the output schema's `query_id`/`neighbor_id` fields are
+    DERIVED from ``pool_rel`` (not hardcoded bigint — the r13 ADVICE
+    defect), and `other_id` — which the left join makes NULLABLE, so
+    pandas surfaces integral columns as float64 with NaN — is
+    normalized back through the id column's own type family before
+    keying `sab`, so `sab` lookups hit for int, float and string ids
+    alike."""
     import math
 
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        FractionalType,
+        IntegerType,
+        IntegralType,
+        StructField,
+        StructType,
+    )
+
+    nid_type = pool_rel.schema["neighbor_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", pool_rel.schema["query_id"].dataType),
+            StructField("neighbor_id", nid_type),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    if isinstance(nid_type, IntegralType):
+        idkey = int
+    elif isinstance(nid_type, FractionalType):
+        idkey = float
+    else:
+        idkey = lambda v: v  # noqa: E731 — strings et al.: raw value
 
     rel = (
         pool_rel.select("query_id", "neighbor_id", "cos_sim")
@@ -510,9 +542,10 @@ def _mmr_greedy_fused(
         ci: dict = {}
         sab: dict = {}
         for r in pdf.itertuples(index=False):
-            ci[r.neighbor_id] = units(r.cos_sim)
+            nid = idkey(r.neighbor_id)
+            ci[nid] = units(r.cos_sim)
             if pd.notna(r.other_id):
-                sab[(r.neighbor_id, int(r.other_id))] = units(r.sab)
+                sab[(nid, idkey(r.other_id))] = units(r.sab)
         msu: dict = dict.fromkeys(ci)  # None = nothing selected yet
         remaining = sorted(ci)
         rows = []
@@ -536,10 +569,7 @@ def _mmr_greedy_fused(
             rows, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
         )
 
-    return rel.groupBy("query_id").applyInPandas(
-        greedy,
-        schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
-    )
+    return rel.groupBy("query_id").applyInPandas(greedy, schema=out_schema)
 
 
 def build_centroid_array(

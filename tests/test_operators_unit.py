@@ -819,6 +819,43 @@ def test_mmr_fused_strategy_equals_unrolled(spark):
     assert a1 == b1 and len(a1) == 6
 
 
+def test_mmr_fused_non_bigint_ids(spark):
+    """r13 ADVICE regression: the fused tail hardcoded a bigint id
+    schema (and int()-cast the pair partner), breaking any non-bigint
+    id_col the unrolled strategy handles fine. The output schema is now
+    derived from the pool relation: string and int ids must both run
+    and match the unrolled strategy row for row."""
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.operators.similarity import mmr_rerank
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select(
+            F.format_string("doc-%05d", F.col("vec_id")).alias("doc_key"),
+            "embedding",
+        )
+    )
+    q = emb.filter(F.col("doc_key") < "doc-00006")
+    a = sorted(
+        map(
+            tuple,
+            mmr_rerank(emb, q, k=4, pool=9, id_col="doc_key").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                emb, q, k=4, pool=9, id_col="doc_key", strategy="fused"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 6 * 4, (a[:3], b[:3])
+    assert all(isinstance(r[1], str) for r in b)
+
+
 def test_ivf_cells_partition_corpus(spark):
     """sim4 structure: every vector lands in exactly one cell, and the cell
     is one of the centroid ids."""

@@ -718,24 +718,34 @@ def test_interval_overlap_stats_model(spark, ivs):
     )
 
     rows = [(g, lo, lo + ln, a, b) for g, lo, ln, a, b in ivs]
-    want: dict = {}
-    for i, x in enumerate(rows):
-        for y in rows[i + 1:]:
-            if x[0] != y[0] or (x[3], x[4]) == (y[3], y[4]):
-                continue
-            if x[1] < y[2] and y[1] < x[2]:
-                n, d = want.get(x[0], (0, 0))
-                want[x[0]] = (n + 1, d + min(x[2], y[2]) - max(x[1], y[1]))
     df = spark.createDataFrame(
         rows, "g long, lo long, hi long, ida long, idb long"
     )
-    got = {
-        r.g: (r.n_pairs, r.overlap_days)
-        for r in interval_overlap_stats(
-            df, "lo", "hi", ["g"], tiebreak=["ida", "idb"]
-        ).collect()
-    }
-    assert got == want, (got, want, rows)
+    # Both paths: with identity columns (same-identity rows never pair)
+    # and tiebreak=() (every row is its own identity — the path the r13
+    # ADVICE caught miscounting empty intervals).
+    for use_id in (True, False):
+        want: dict = {}
+        for i, x in enumerate(rows):
+            for y in rows[i + 1:]:
+                if x[0] != y[0]:
+                    continue
+                if use_id and (x[3], x[4]) == (y[3], y[4]):
+                    continue
+                if x[1] < y[2] and y[1] < x[2]:
+                    n, d = want.get(x[0], (0, 0))
+                    want[x[0]] = (
+                        n + 1, d + min(x[2], y[2]) - max(x[1], y[1])
+                    )
+        want = {k: v for k, v in want.items() if v[0] > 0}
+        got = {
+            r.g: (r.n_pairs, r.overlap_days)
+            for r in interval_overlap_stats(
+                df, "lo", "hi", ["g"],
+                tiebreak=["ida", "idb"] if use_id else (),
+            ).collect()
+        }
+        assert got == want, (use_id, got, want, rows)
 
 
 _wmrow = st.tuples(

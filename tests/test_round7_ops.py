@@ -590,6 +590,40 @@ def test_interval_overlap_stats_matches_pair_bruteforce(spark):
     assert got == ref(), (got, ref())
 
 
+def test_interval_overlap_stats_empty_intervals_regression(spark):
+    """r13 ADVICE regression pins. Pre-fix, an empty interval's end
+    event sorted before its own start, leaving a phantom −1 that (a)
+    the tiebreak=() path never corrected and (b) TWO same-position
+    distinct-identity empties turned into an uncancelled miscount even
+    WITH tiebreak. Empties are now probe events; every case below is
+    exact on both paths."""
+    from com_danliris_service_etl_spark.operators.joins import (
+        interval_overlap_stats,
+    )
+
+    cases = [
+        # (rows as (g, lo, hi, id), tiebreak?, expected)
+        ([(0, 0, 5, 1), (0, 3, 8, 2), (0, 50, 50, 3)], False, {0: (1, 2)}),
+        ([(0, 0, 10, 1), (0, 5, 5, 2)], False, {0: (1, 0)}),
+        ([(0, 3, 3, 1), (0, 3, 3, 2)], True, {}),  # empty-empty: no pair
+        ([(0, 3, 9, 1), (0, 3, 3, 2)], True, {}),  # start == probe pos
+        ([(0, 0, 5, 1), (0, 5, 5, 2)], True, {}),  # end == probe pos
+        # the uncancelled case: two empties + a straddler → 2 pairs
+        ([(0, 3, 3, 1), (0, 3, 3, 2), (0, 0, 10, 3)], True, {0: (2, 0)}),
+        # same-identity empty must not pair with its own straddler
+        ([(0, 0, 10, 1), (0, 5, 5, 1), (0, 5, 5, 2)], True, {0: (1, 0)}),
+    ]
+    for rows, tb, want in cases:
+        df = spark.createDataFrame(rows, "g long, lo long, hi long, i long")
+        got = {
+            r.g: (r.n_pairs, r.overlap_days)
+            for r in interval_overlap_stats(
+                df, "lo", "hi", ["g"], tiebreak=["i"] if tb else ()
+            ).collect()
+        }
+        assert got == want, (rows, tb, got, want)
+
+
 def test_interval_overlap_stats_equals_join_aggregate_on_fixture(spark):
     """The registry j14 shape: sweep aggregates == the r12 bin-bucketed
     pair join's aggregates over real sf0.001 lineitem intervals."""
