@@ -1686,3 +1686,162 @@ def duplicate_spans(
             F.expr("(coalesce(n_dup, 0) * 1000000) div n_windows").alias("dup_micro"),
         )
     )
+
+
+def longest_duplicate_substring(
+    docs: DataFrame,
+    min_len: int = 5,
+    max_depth: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LONGEST duplicated substring at token grain — the
+    sorted-suffix (suffix-array) member of the exact-substring dedup
+    family (Lee et al. 2022, arXiv:2107.06499 build a byte-grain suffix
+    array for exactly this; RefinedWeb reuses it). Complements the two
+    sibling exact operators: :func:`passage_dedup` (dd8) rewrites on
+    FIXED windows, :func:`duplicate_spans` (dd13) profiles duplicated
+    RUNS of a fixed k-gram — this one answers "what is the longest
+    substring of this document that appears (>=2 times) anywhere in the
+    corpus, where does it start, and what is it", with NO upper bound
+    tied to the seed length: the length is discovered, not preset.
+
+    Output, one row per document owning a duplicated substring of
+    >= ``min_len`` tokens: (doc_id, lrs_len, lrs_pos, lrs_md5) — the
+    token length (capped at ``max_depth``, see below), the 0-based
+    token offset of its FIRST qualifying occurrence in the doc (ties on
+    length break to the smallest offset), and md5 of the substring.
+    Occurrences may overlap (classic LRS semantics: 'a a a a' repeats
+    'a a a' at offsets 0 and 1) and may sit in the SAME document —
+    self-repetition is memorization fuel too (dd13's convention).
+
+    Formulation — seed-bucket + sorted-suffix extension, no all-pairs:
+    1. Every token position with >= min_len tokens remaining emits a
+       suffix row: (bucket = md5 of the first min_len tokens, rest =
+       tokens min_len+1 .. max_depth). Any two suffixes with a common
+       prefix >= min_len tokens share the bucket BY CONSTRUCTION, so
+       all qualifying adjacencies are in-bucket and the sort is
+       per-bucket — never the global single-partition sort a textbook
+       suffix array would cost on one machine.
+    2. Within buckets of >= 2 members (a window count over the bucket
+       partition — no second aggregate pass), sort by `rest`; the
+       longest common extension of a suffix against the WHOLE bucket is
+       max(LCP with sort-predecessor, LCP with sort-successor) — the
+       suffix-array adjacency property, valid inside a bucket because
+       bucket membership already fixes the first min_len tokens. The
+       per-suffix answer is min_len + that extension.
+       Order-invariance across engines: any prefix-clustering total
+       order yields the same max-adjacent-LCP (equal `rest` arrays are
+       interchangeable; both engines compare arrays element-wise with
+       shorter-prefix-first), so the Spark and DuckDB sorts need not
+       tie-break identically.
+    3. Per-doc argmax (max length, then min offset) is one window over
+       hash(doc) — row_number's WindowGroupLimit prunes to one row per
+       (doc, map partition) BEFORE that exchange. The winning substring
+       is reconstructed ROW-LOCALLY from the suffix's own carried
+       tokens (seed ++ extension prefix), so the corpus text is scanned
+       exactly ONCE: no join back, no second scan, and the suffix
+       relation is never checkpointed (pair/suffix-grain
+       materialization is the g13 OOM lesson). The digest itself is
+       computed only on the ~1-per-doc winners.
+
+    ``max_depth`` caps the carried suffix at max_depth tokens, so a
+    duplicated substring longer than that reports exactly max_depth —
+    the standard truncated-sort-key bound (Lee et al. iterate; a caller
+    needing exact lengths beyond the cap re-runs on the capped winners
+    with a larger depth). Data volume is the suffix-array tradeoff
+    stated honestly: ~(tokens x max_depth) strings through ONE shuffle
+    keyed on the seed bucket; hot buckets are exactly the corpus's true
+    boilerplate (the rows being deduped — the dd8/dd13 skew argument),
+    and `min_len` is the knob that sharpens the bucket key.
+
+    LCP arithmetic is exact integers end to end; md5 is the cross-
+    engine hash contract (SKILL gotcha: the only shared deterministic
+    hash). The bucket key is md5(seed gram) — same collision caveat as
+    dd13 (~2^-64 per pair; swap to the raw gram if collision-freedom
+    must be unconditional)."""
+    if not 1 <= min_len <= max_depth:
+        raise ValueError(
+            f"need 1 <= min_len <= max_depth, got {min_len}/{max_depth}"
+        )
+    from pyspark.sql import Window
+
+    rest_cap = max_depth - min_len
+    toks = _spread(docs).select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    ).filter(F.size("t") >= min_len)
+    # suffix rows: seed tokens (the bucket's preimage — carried so the
+    # winning substring reconstructs row-locally) + the capped
+    # extension tokens; one row-local explode, md5 bucket key projected
+    # from the seed in the same codegen span.
+    suf = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(size(t) AS INT) - {min_len}),"
+                f" i -> struct("
+                f"   slice(t, i + 1, {min_len}) AS seed,"
+                f"   slice(t, i + 1 + {min_len}, {rest_cap}) AS rest))"
+            )
+        ).alias("pos", "__s"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.expr("concat_ws(' ', __s.seed)")).alias("b"),
+        F.col("__s.seed").alias("seed"),
+        F.col("__s.rest").alias("rest"),
+    )
+    wo = Window.partitionBy("b").orderBy("rest")
+    # bucket size over the SAME (partition, order): explicit
+    # unbounded-unbounded frame, so the count shares the lag/lead sort
+    # instead of costing a second per-bucket sort pass.
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # LCP of two capped token arrays: first zip_with mismatch (pads
+    # compare false via coalesce), else the shorter length. `least`
+    # IGNORES nulls in Spark, so bucket edges guard explicitly: a
+    # missing neighbor contributes -1 (never the max — real rlcp >= 0).
+    def _rlcp(other: str) -> "F.Column":
+        lcp = F.expr(
+            f"coalesce(nullif(array_position(zip_with(rest, {other},"
+            f" (x, y) -> coalesce(x = y, false)), false), 0) - 1,"
+            f" least(size(rest), size({other})))"
+        )
+        return F.when(F.col(other).isNull(), F.lit(-1)).otherwise(lcp)
+
+    scored = (
+        suf.withColumn("__nb", F.count(F.lit(1)).over(wall))
+        .withColumn("__prev", F.lag("rest").over(wo))
+        .withColumn("__next", F.lead("rest").over(wo))
+        .filter(F.col("__nb") >= 2)
+        .select(
+            id_col,
+            "pos",
+            "seed",
+            "rest",
+            (
+                F.lit(min_len)
+                + F.greatest(_rlcp("__prev"), _rlcp("__next"))
+            ).cast("long").alias("__len"),
+        )
+        # the winning substring's tokens: seed ++ the first
+        # (len - min_len) extension tokens — row-local, no join back
+        .withColumn(
+            "__sub",
+            F.expr(
+                f"concat(seed, slice(rest, 1, cast(__len AS INT) - {min_len}))"
+            ),
+        )
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.col("__len").desc(), F.col("pos").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__len").alias("lrs_len"),
+            F.col("pos").cast("long").alias("lrs_pos"),
+            F.md5(F.expr("concat_ws(' ', __sub)")).alias("lrs_md5"),
+        )
+    )

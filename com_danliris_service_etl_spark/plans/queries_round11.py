@@ -64,3 +64,82 @@ def dd13_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     its aggregates; per-doc totals are row-local (token count - k + 1),
     never a second pass over the window relation."""
     return duplicate_spans(_t(spark, sf_dir, "documents"), k=_DD13_K)
+
+
+# ---------------------------------------------------------------------------
+# dd14: sorted-suffix longest duplicated substring
+# (operators/dedup.py::longest_duplicate_substring)
+# ---------------------------------------------------------------------------
+
+_DD14_L = 5    # min reported length (tokens) = the seed-bucket grain
+_DD14_D = 64   # suffix truncation depth (tokens)
+
+# The oracle is the TEXTBOOK suffix-array form — ALL suffixes in one
+# global sorted order, adjacent-LCP, filter >= L — deliberately a
+# different formulation from the Spark plan's seed-bucket + in-bucket
+# extension (global vs bucketed adjacency agree exactly for every LCP
+# >= L because two suffixes sharing >= L tokens share the seed bucket,
+# and max-adjacent == max-anywhere holds in any prefix-clustering
+# order). LCP of two capped token lists: first position where the
+# zipped pair compares unequal (pads compare false via coalesce), else
+# the shorter length; DuckDB list slicing is 1-based inclusive, so
+# toks[pos+1 : pos+D] is the D-token cap.
+_DD14_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {_DD14_L}
+), suf AS (
+  SELECT doc_id, r.pos, toks[r.pos + 1 : r.pos + {_DD14_D}] AS sfx
+  FROM t, unnest(range(0, len(toks) - {_DD14_L} + 1)) AS r(pos)
+), adj AS (
+  SELECT doc_id, pos, sfx, lag(sfx) OVER w AS p, lead(sfx) OVER w AS n
+  FROM suf WINDOW w AS (ORDER BY sfx)
+), mis AS (
+  SELECT doc_id, pos, sfx, p, n,
+    list_position(list_transform(list_zip(sfx, p),
+                  x -> coalesce(x[1] = x[2], false)), false) AS pm,
+    list_position(list_transform(list_zip(sfx, n),
+                  x -> coalesce(x[1] = x[2], false)), false) AS nm
+  FROM adj
+), scored AS (
+  SELECT doc_id, pos,
+    greatest(
+      CASE WHEN p IS NULL THEN -1
+           WHEN pm = 0 OR pm IS NULL THEN least(len(sfx), len(p))
+           ELSE pm - 1 END,
+      CASE WHEN n IS NULL THEN -1
+           WHEN nm = 0 OR nm IS NULL THEN least(len(sfx), len(n))
+           ELSE nm - 1 END) AS l
+  FROM mis
+), best AS (
+  SELECT doc_id, pos, l,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY l DESC, pos ASC) AS rn
+  FROM scored WHERE l >= {_DD14_L}
+)
+SELECT b.doc_id, b.l::BIGINT AS lrs_len, b.pos::BIGINT AS lrs_pos,
+       md5(array_to_string(t.toks[b.pos + 1 : b.pos + b.l], ' ')) AS lrs_md5
+FROM best b JOIN t USING (doc_id) WHERE b.rn = 1
+"""
+
+
+@register("dd14_longest_dup_substring", _DD14_SQL)
+def dd14_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-suffix longest-duplicated-substring
+    (`operators/dedup.py::longest_duplicate_substring`): per document,
+    the longest token substring (>= 5 tokens, truncation depth 64)
+    appearing >= 2 times anywhere in the corpus, its first offset and
+    md5 — the suffix-array member of the exact-substring dedup family
+    (Lee et al. 2022), with the length DISCOVERED by sorted-suffix
+    extension instead of preset by a window size (dd8/dd13). Plan: one
+    row-local suffix explode, one seed-bucket exchange whose in-bucket
+    sort + lag/lead does the extension, one per-doc argmax window, one
+    doc-keyed join back for the digest — no all-pairs, no global
+    sort."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        longest_duplicate_substring,
+    )
+
+    return longest_duplicate_substring(
+        _t(spark, sf_dir, "documents"), min_len=_DD14_L, max_depth=_DD14_D
+    )

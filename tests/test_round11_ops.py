@@ -103,3 +103,149 @@ def test_duplicate_spans_matches_python_recompute(spark, docs):
         for r in duplicate_spans(sdf, k=k).collect()
     }
     assert got == expect, docs
+
+
+# ---------------------------------------------------------------------------
+# DD14 — longest duplicated substring (sorted-suffix / seed-bucket form)
+# ---------------------------------------------------------------------------
+
+
+def _lrs_brute(rows, min_len, max_depth):
+    """All-pairs suffix LCP model (capped at max_depth): per doc the
+    (len, min pos, md5) of the longest substring duplicated anywhere."""
+    import hashlib
+    import itertools
+
+    toks = {d: t.split(" ") for d, t in rows}
+    best: dict = {}
+    sufs = [(d, i) for d, t in toks.items() for i in range(len(t))]
+    for (d1, i1), (d2, i2) in itertools.combinations(sufs, 2):
+        a = toks[d1][i1:i1 + max_depth]
+        b = toks[d2][i2:i2 + max_depth]
+        l = 0
+        while l < min(len(a), len(b)) and a[l] == b[l]:
+            l += 1
+        if l >= min_len:
+            for d, i in ((d1, i1), (d2, i2)):
+                cur = best.get(d)
+                if cur is None or (l, -i) > (cur[0], -cur[1]):
+                    best[d] = (l, i)
+    return {
+        d: (l, i, hashlib.md5(" ".join(toks[d][i:i + l]).encode()).hexdigest())
+        for d, (l, i) in best.items()
+    }
+
+
+def _lrs_run(spark, rows, **kw):
+    from com_danliris_service_etl_spark.operators.dedup import (
+        longest_duplicate_substring,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: (r.lrs_len, r.lrs_pos, r.lrs_md5)
+        for r in longest_duplicate_substring(df, **kw).collect()
+    }
+
+
+def test_lrs_hand_computed_cases(spark):
+    """Overlap / containment / boundary pins, each hand-checkable:
+    - within-doc OVERLAPPING occurrences: 'a a a a a a' repeats its
+      own 5-token prefix at offsets 0 and 1 → len 5 at pos 0.
+    - CONTAINMENT: the 8-token shared run p..w contains the shorter
+      5-token run shared with doc 2; the longest wins, and doc 2's own
+      answer is its 5-token slice.
+    - a dup of EXACTLY min_len qualifies; min_len-1 does not.
+    - a doc with no >=min_len dup is absent from the output.
+    - length ties break to the SMALLEST offset."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # overlap (doc 1) + absent doc (doc 2)
+    got = _lrs_run(spark, [(1, "a a a a a a"), (2, "x y z w v u")],
+                   min_len=5, max_depth=64)
+    assert got == {1: (5, 0, md5("a a a a a"))}
+
+    # containment: 8-token run ⊃ 5-token run
+    got = _lrs_run(
+        spark,
+        [(1, "p q r s t u v w"), (2, "p q r s t zz"),
+         (3, "zz0 p q r s t u v w zz2")],
+        min_len=5, max_depth=64,
+    )
+    assert got == {
+        1: (8, 0, md5("p q r s t u v w")),
+        2: (5, 0, md5("p q r s t")),
+        3: (8, 1, md5("p q r s t u v w")),
+    }
+
+    # exactly min_len qualifies...
+    got = _lrs_run(spark, [(1, "m1 m2 m3 m4 m5 xx"), (2, "yy m1 m2 m3 m4 m5")],
+                   min_len=5, max_depth=64)
+    assert got == {1: (5, 0, md5("m1 m2 m3 m4 m5")),
+                   2: (5, 1, md5("m1 m2 m3 m4 m5"))}
+    # ...min_len-1 does not
+    got = _lrs_run(spark, [(1, "m1 m2 m3 m4 xx"), (2, "yy m1 m2 m3 m4")],
+                   min_len=5, max_depth=64)
+    assert got == {}
+
+    # tie on length → smallest offset (both 5-token runs duplicated)
+    got = _lrs_run(
+        spark,
+        [(1, "s1 s2 s3 s4 s5 q1 t1 t2 t3 t4 t5"),
+         (2, "s1 s2 s3 s4 s5 q2 t1 t2 t3 t4 t5")],
+        min_len=5, max_depth=64,
+    )
+    assert got[1] == (5, 0, md5("s1 s2 s3 s4 s5"))
+    assert got[2] == (5, 0, md5("s1 s2 s3 s4 s5"))
+
+
+def test_lrs_depth_cap_reports_max_depth(spark):
+    """A duplicated substring LONGER than max_depth reports exactly
+    max_depth (the truncated-sort-key bound), with the md5 of the
+    capped prefix — including the min_len == max_depth edge where the
+    extension window is empty."""
+    import hashlib
+
+    body = " ".join(f"t{i}" for i in range(30))
+    rows = [(1, body + " end1"), (2, body + " end2")]
+    got = _lrs_run(spark, rows, min_len=5, max_depth=8)
+    capped = " ".join(f"t{i}" for i in range(8))
+    assert got[1] == (8, 0, hashlib.md5(capped.encode()).hexdigest())
+    assert got[2] == got[1]
+    got = _lrs_run(spark, rows, min_len=8, max_depth=8)
+    assert got[1] == (8, 0, hashlib.md5(capped.encode()).hexdigest())
+
+
+def test_lrs_rejects_bad_params(spark):
+    import pytest
+
+    from com_danliris_service_etl_spark.operators.dedup import (
+        longest_duplicate_substring,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        longest_duplicate_substring(df, min_len=0)
+    with pytest.raises(ValueError):
+        longest_duplicate_substring(df, min_len=9, max_depth=8)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1,
+                 max_size=18).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    min_len=st.integers(2, 4),
+)
+def test_lrs_matches_bruteforce(spark, docs, min_len):
+    """Property: seed-bucket + in-bucket sorted-suffix extension equals
+    the all-pairs capped-LCP model on arbitrary tiny-vocab corpora
+    (tiny vocab forces dense repeats, overlaps and containments)."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    got = _lrs_run(spark, rows, min_len=min_len, max_depth=8)
+    assert got == _lrs_brute(rows, min_len, 8)
