@@ -1013,12 +1013,17 @@ def a20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The orders⋈ASIA-customers relation is fact-sized (~20% of orders):
     # no explicit broadcast hint here — a hint would override
-    # autoBroadcastJoinThreshold/AQE and OOM at fact scale. AQE keeps the
-    # fixture-scale plan cheap while lineitem⋈orders stays the one
-    # shuffle join at 100 TB (the j20_nation_volume discipline).
+    # autoBroadcastJoinThreshold/AQE and OOM at fact scale. The
+    # fact⋈fact orderkey edge is hinted SHUFFLE_HASH instead (r14
+    # a14/a15 adjudication, BASELINE.md): per-reducer hash build of the
+    # smaller side, no probe-side sort, no driver broadcast — the one
+    # shuffle join this keeps at 100 TB is the j20 discipline.
     j = (
         li.join(
-            o.join(F.broadcast(cust_dims), F.col("o_custkey") == F.col("c_custkey")),
+            o.join(
+                F.broadcast(cust_dims),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).hint("shuffle_hash"),
             li["l_orderkey"] == o["o_orderkey"],
         )
         .join(F.broadcast(supp_dims), F.col("l_suppkey") == F.col("s_suppkey"))
