@@ -484,3 +484,105 @@ def test_recover_swap_with_glob_metachars_in_target(spark, tmp_path):
     fsutil.recover_interrupted_swap(spark, str(target))
     assert not stale.exists()
     assert unrelated.exists() and (unrelated / "y.parquet").exists()
+
+
+def test_nightly_crash_recovery_converges(spark, tmp_path, monkeypatch):
+    """r13 task 4 — the control plane's crash-recovery NIGHT, end to end
+    through `run_nightly`: a kill injected between the staging write and
+    the MERGE commit (mid-swap: backup rename done, install rename
+    never runs — the worst point, where the target directory is GONE)
+    must (a) leave the victim's watermark unadvanced and a Failed row in
+    the migration log while the sibling job completes, and (b) let the
+    next plain night recover the wreckage (`recover_interrupted_swap`
+    restores `<target>.old`, GCs the staged `.tmp-*` copy) and converge
+    the victim's fact to exactly the never-crashed sibling's state."""
+    from com_danliris_service_etl_spark.jobs import ALL_SPECS
+    from com_danliris_service_etl_spark.plans.jobs import JobSpec
+    from com_danliris_service_etl_spark.plans.schedule import run_nightly
+    from com_danliris_service_etl_spark.sources import fsutil
+    from com_danliris_service_etl_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark=spark)
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (2, "b", dt.datetime(2024, 1, 2))],
+        "id long, v string, lastmodifiedutc timestamp",
+    )
+    batch1.write.mode("overwrite").parquet(src)
+    cat.tables["src"] = src
+
+    def build(sp, catalog, wm):
+        return catalog.read("src").filter(F.col("lastmodifiedutc") > F.lit(wm))
+
+    victim = "Fact Crash Victim Nightly Test"
+    bystander = "Fact Crash Bystander Nightly Test"
+    vt = str(tmp_path / "dwh" / "victim")
+    bt = str(tmp_path / "dwh" / "bystander")
+    monkeypatch.setitem(ALL_SPECS, victim, JobSpec(victim, build, ["id"], vt))
+    monkeypatch.setitem(
+        ALL_SPECS, bystander, JobSpec(bystander, build, ["id"], bt)
+    )
+    store = WatermarkStore(spark, str(tmp_path / "log"))
+    layers = [[victim, bystander]]
+
+    # --- night 1: clean bootstrap --------------------------------------
+    n1 = lambda: dt.datetime(2024, 1, 5)  # noqa: E731
+    r1 = run_nightly(spark, cat, store, layers=layers, now=n1)
+    assert [r.status for r in r1] == ["Successful", "Successful"]
+    assert store.read_watermark(victim) == dt.datetime(2024, 1, 5)
+
+    # new source rows for night 2
+    spark.createDataFrame(
+        [(2, "b2", dt.datetime(2024, 1, 10)), (3, "c", dt.datetime(2024, 1, 10))],
+        "id long, v string, lastmodifiedutc timestamp",
+    ).write.mode("append").parquet(src)
+
+    # --- night 2: kill the victim mid-swap ------------------------------
+    real_swap = fsutil.swap_with_backup
+
+    def killed_swap(sp, tmp, target):
+        if target.rstrip("/") == vt:
+            # replicate swap_with_backup up to the crash point: backup
+            # renamed aside, install rename never happens — target is
+            # GONE, `.old` holds the only copy, the staged tmp survives
+            fsutil.delete(sp, target + ".old")
+            fsutil.rename(sp, target, target + ".old")
+            raise RuntimeError("injected kill: power loss mid-swap")
+        return real_swap(sp, tmp, target)
+
+    monkeypatch.setattr(fsutil, "swap_with_backup", killed_swap)
+    n2 = lambda: dt.datetime(2024, 1, 15)  # noqa: E731
+    r2 = {r.job: r for r in run_nightly(spark, cat, store, layers=layers, now=n2)}
+    assert r2[victim].status.startswith("Failed")
+    assert "injected kill" in r2[victim].status
+    assert r2[bystander].status == "Successful"
+    # watermark did NOT advance for the victim; sibling's did
+    assert store.read_watermark(victim) == dt.datetime(2024, 1, 5)
+    assert store.read_watermark(bystander) == dt.datetime(2024, 1, 15)
+    # the migration log carries the Failed telemetry row
+    log = store._log().filter(F.col("description") == victim).collect()
+    assert any(row.status.startswith("Failed") for row in log)
+    # wreckage on disk: target gone, backup holds night-1 state, staged
+    # tmp copy orphaned
+    assert not fsutil.exists(spark, vt)
+    assert fsutil.exists(spark, vt + ".old")
+    parent = os.path.dirname(vt)
+    assert any(
+        n.startswith("victim.tmp") for n in os.listdir(parent)
+    ), os.listdir(parent)
+
+    # --- night 3: plain re-run recovers and converges --------------------
+    monkeypatch.setattr(fsutil, "swap_with_backup", real_swap)
+    n3 = lambda: dt.datetime(2024, 1, 20)  # noqa: E731
+    r3 = {r.job: r for r in run_nightly(spark, cat, store, layers=layers, now=n3)}
+    assert r3[victim].status == "Successful"
+    assert store.read_watermark(victim) == dt.datetime(2024, 1, 20)
+    # wreckage cleaned: no backup, no tmp siblings
+    assert not fsutil.exists(spark, vt + ".old")
+    assert not any(n.startswith("victim.tmp") for n in os.listdir(parent))
+    # convergence: the crashed-then-recovered fact equals the
+    # never-crashed sibling's fact, row for row
+    vrows = sorted(map(tuple, spark.read.parquet(vt).collect()))
+    brows = sorted(map(tuple, spark.read.parquet(bt).collect()))
+    assert vrows == brows
+    assert {(r[0], r[1]) for r in vrows} == {(1, "a"), (2, "b2"), (3, "c")}

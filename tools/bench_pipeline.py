@@ -99,6 +99,91 @@ def main() -> int:
             )[:5],
         }
         print(night, out["nights"][night], file=sys.stderr, flush=True)
+
+    # ------------------------------------------------------------------
+    # Crash + recovery nights (VERDICT r13 task 4): one job is killed
+    # BETWEEN its staging write and the swap's install rename (the worst
+    # point — target directory gone, `.old` holds the only copy, staged
+    # tmp orphaned), with the rest of the DAG continuing; the next plain
+    # night must recover the wreckage and converge. The victim's source
+    # rows are re-stamped to NOW so its increment is non-empty (the
+    # quiet-night short-circuit would otherwise skip the swap entirely).
+    # ------------------------------------------------------------------
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from com_danliris_service_etl_spark.sources import fsutil
+
+    victim = "Fact Inventory Summary from MongoDB to Azure DWH"
+    victim_target = os.path.join(WORK, "dwh", "dl_fact_inventory_summary")
+    # bump the victim's source mtimes so the crash night has a real batch
+    vsrc = cat.tables["inventorysummaries"]
+    bumped = os.path.join(src_dir, "inventorysummaries_bumped.parquet")
+    spark.read.parquet(vsrc).withColumn(
+        "_lastmodifiedutc",
+        F.lit(dt.datetime.utcnow() + dt.timedelta(hours=1)),
+    ).write.mode("overwrite").parquet(bumped)
+    cat.tables["inventorysummaries"] = bumped
+    pre_rows = spark.read.parquet(victim_target).count()
+
+    real_swap = fsutil.swap_with_backup
+
+    def killed_swap(sp, tmp, target):
+        if target.rstrip("/") == victim_target:
+            fsutil.delete(sp, target + ".old")
+            fsutil.rename(sp, target, target + ".old")
+            raise RuntimeError("injected kill: power loss mid-swap")
+        return real_swap(sp, tmp, target)
+
+    import com_danliris_service_etl_spark.sources.fsutil as fsmod
+
+    fsmod.swap_with_backup = killed_swap
+    try:
+        t0 = time.perf_counter()
+        crash_results = run_nightly(
+            spark, cat, store,
+            target_dir=os.path.join(WORK, "dwh"),
+            continue_on_error=True,
+        )
+        crash_wall = time.perf_counter() - t0
+    finally:
+        fsmod.swap_with_backup = real_swap
+    crash_by = {r.job: r for r in crash_results}
+    assert crash_by[victim].status.startswith("Failed"), crash_by[victim]
+    n_ok = sum(1 for r in crash_results if r.status == "Successful")
+    assert not fsutil.exists(spark, victim_target)  # wreckage state
+    assert fsutil.exists(spark, victim_target + ".old")
+    out["nights"]["crash"] = {
+        "wall_sec": round(crash_wall, 2),
+        "victim": victim,
+        "victim_status": crash_by[victim].status[:80],
+        "siblings_successful": n_ok,
+    }
+    print("crash", out["nights"]["crash"], file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    rec_results = run_nightly(
+        spark, cat, store,
+        target_dir=os.path.join(WORK, "dwh"),
+        continue_on_error=False,
+    )
+    rec_wall = time.perf_counter() - t0
+    assert all(r.status == "Successful" for r in rec_results)
+    post_rows = spark.read.parquet(victim_target).count()
+    assert post_rows == pre_rows, (pre_rows, post_rows)  # converged
+    assert not fsutil.exists(spark, victim_target + ".old")
+    parent_ls = os.listdir(os.path.join(WORK, "dwh"))
+    assert not any(
+        n.startswith("dl_fact_inventory_summary.tmp") for n in parent_ls
+    ), parent_ls
+    out["nights"]["recovery"] = {
+        "wall_sec": round(rec_wall, 2),
+        "victim_rows_converged": post_rows,
+        "wreckage_cleaned": True,
+    }
+    print("recovery", out["nights"]["recovery"], file=sys.stderr, flush=True)
+
     print(json.dumps(out))
     return 0
 
