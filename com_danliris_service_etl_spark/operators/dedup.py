@@ -1845,3 +1845,121 @@ def longest_duplicate_substring(
             F.md5(F.expr("concat_ws(' ', __sub)")).alias("lrs_md5"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pos: int = 100_000,
+) -> DataFrame:
+    """The REWRITE step of sliding-window exact-substring dedup — the
+    removal `duplicate_spans` (dd13) only profiles and
+    `longest_duplicate_substring` (dd14) only locates: every token
+    covered by a NON-FIRST duplicated ``k``-gram window is cut, the
+    first corpus occurrence (min ``doc·max_pos + pos``, the dd8
+    encoding) keeps its text, and each document is re-emitted as
+    (doc_id, n_tokens, n_removed, clean_md5) — Lee et al. 2022's
+    "remove all but one occurrence of each duplicated substring",
+    relationalized at arbitrary offsets (dd8 is the fixed-boundary
+    cousin: it can only cut on k-token passage boundaries; this cuts
+    the exact covered span wherever it starts).
+
+    Semantics pinned (deterministic, oracle-expressible): a token is
+    removed iff SOME non-first duplicated window covers it. Overlapping
+    windows union into maximal removal spans (gaps-and-islands on the
+    sorted dup starts: with fixed window length, start p extends the
+    current span iff p − prev_start <= k). Self-overlapping repeats
+    ('a a a a a') therefore collapse to the head token(s) before the
+    first dup start — the degenerate-repeat outcome the span-union rule
+    implies, asserted in tests. Documents shorter than ``k`` tokens
+    (no windows) pass through unchanged with n_removed = 0.
+
+    Scale shape: windows explode row-locally with md5 keys (dd13's
+    relation — text never shuffles); ownership is one uniform-key
+    groupBy + the same-key join back (hot grams ARE the boilerplate
+    being cut); span-union is a per-doc window over hash(doc) whose
+    aggregates reuse that exchange; the rebuild is ROW-LOCAL (the
+    doc's own spans array folded over its own tokens — bounded by doc
+    length, never a token-grain join). Same integral-id precondition
+    and live overflow guard as :func:`passage_dedup`."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(docs.schema[id_col].dataType, IntegralType):
+        raise TypeError(
+            f"substring_dedup_rewrite requires an integral {id_col!r} "
+            f"(got {docs.schema[id_col].dataType.simpleString()}); the "
+            "doc·max_pos+pos first-occurrence encoding has no string form"
+        )
+    id_bound = ((1 << 63) - 1) // max_pos
+    toks = _spread(docs).select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    )
+    wins = toks.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(size(t) AS INT) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
+            )
+        ).alias("pos", "__h"),
+    ).select(
+        id_col,
+        "pos",
+        "__h",
+        # live overflow guard inside the consumed expression (dd8 pattern)
+        F.when(
+            F.assert_true(
+                F.col(id_col).between(0, id_bound),
+                F.lit(
+                    f"substring_dedup_rewrite: {id_col} out of "
+                    f"[0, {id_bound}] — doc*max_pos+pos would overflow"
+                ),
+            ).isNull(),
+            F.col(id_col) * max_pos + F.col("pos"),
+        ).alias("__ord"),
+    ).localCheckpoint(eager=False)  # feeds ownership AND the dup join
+    owners = wins.groupBy("__h").agg(F.min("__ord").alias("__owner"))
+    dup = (
+        wins.join(owners, "__h")
+        .filter(F.col("__ord") > F.col("__owner"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("s"),
+        (F.max("pos") + k).cast("long").alias("e"),
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("__removed"),
+    )
+    rebuilt = F.expr(
+        "md5(concat_ws(' ', transform(filter("
+        "  transform(t, (tok, i) -> struct(tok, CAST(i AS BIGINT) AS i)),"
+        "  x -> NOT exists(__spans, s -> x.i >= s.s AND x.i < s.e)),"
+        " x -> x.tok)))"
+    )
+    return (
+        toks.join(doc_spans, id_col, "left")
+        .select(
+            id_col,
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__removed"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+            F.when(
+                F.col("__spans").isNull(),
+                F.md5(F.concat_ws(" ", F.col("t"))),
+            ).otherwise(rebuilt).alias("clean_md5"),
+        )
+    )

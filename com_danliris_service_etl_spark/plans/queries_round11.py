@@ -143,3 +143,85 @@ def dd14_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_duplicate_substring(
         _t(spark, sf_dir, "documents"), min_len=_DD14_L, max_depth=_DD14_D
     )
+
+
+# ---------------------------------------------------------------------------
+# dd15: exact-substring dedup REWRITE
+# (operators/dedup.py::substring_dedup_rewrite)
+# ---------------------------------------------------------------------------
+
+_DD15_K = 8
+_DD15_MAXP = 100_000
+
+# Oracle mirrors the pinned semantics relationally: sliding k-gram
+# windows, first-occurrence ownership on the doc·max_pos+pos encoding,
+# non-first windows' spans unioned per doc (gaps-and-islands: a start
+# extends the span iff start − prev_start <= k), then a token-grain
+# rebuild via NOT EXISTS against the span set (DuckDB has no
+# higher-order filter-with-index; the correlated anti-join is its
+# equivalent at sf0.01 grain). Empty rebuilds coalesce to md5('') —
+# identical to Spark's concat_ws over an empty array.
+_DD15_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id, r.pos,
+         md5(array_to_string(toks[r.pos + 1 : r.pos + {_DD15_K}], ' ')) AS h,
+         doc_id * {_DD15_MAXP} + r.pos AS ord
+  FROM t, unnest(range(0, len(toks) - {_DD15_K} + 1)) AS r(pos)
+  WHERE len(toks) >= {_DD15_K}
+), own AS (
+  SELECT h, min(ord) AS owner FROM w GROUP BY h
+), dup AS (
+  SELECT w.doc_id, w.pos FROM w JOIN own USING (h) WHERE w.ord > own.owner
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_DD15_K} THEN 0 ELSE 1 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM brk
+), spans AS (
+  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + {_DD15_K} AS e
+  FROM isl GROUP BY doc_id, isl_id
+), removed AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed
+  FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, r.i, t.toks[r.i + 1] AS tok
+  FROM t, unnest(range(0, len(toks))) AS r(i)
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND r.i >= s.s AND r.i < s.e)
+), clean AS (
+  SELECT doc_id, md5(coalesce(string_agg(tok, ' ' ORDER BY i), '')) AS clean_md5,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       COALESCE(rm.n_removed, 0)::BIGINT AS n_removed,
+       COALESCE(c.clean_md5, md5('')) AS clean_md5
+FROM t LEFT JOIN removed rm USING (doc_id) LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@register("dd15_substring_rewrite", _DD15_SQL)
+def dd15_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE
+    (`operators/dedup.py::substring_dedup_rewrite`): every token
+    covered by a non-first duplicated 8-gram window is cut (first
+    corpus occurrence keeps its text), documents re-emitted with the
+    removal count and cleaned digest — the Lee et al. 2022 removal
+    step at arbitrary offsets, completing the family dd13 profiles and
+    dd14 locates. One uniform gram-key exchange + same-key join back,
+    one per-doc span window, row-local rebuild — text never shuffles,
+    no token-grain join."""
+    from com_danliris_service_etl_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    return substring_dedup_rewrite(
+        _t(spark, sf_dir, "documents"), k=_DD15_K, max_pos=_DD15_MAXP
+    )

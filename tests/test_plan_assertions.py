@@ -359,9 +359,11 @@ def test_fuzzy_join_is_equi_join_on_block(spark):
 
 
 def test_a14_shipping_priority_plan_shape(spark):
-    """TPC-H Q3: both date predicates reach their parquet scans, every
-    join is broadcast (no sort-merge), and the top-10 is
-    TakeOrderedAndProject — never a global sort of the aggregate."""
+    """TPC-H Q3: both date predicates reach their parquet scans, the
+    customer dim broadcasts, the fact⋈fact orderkey edge is the hinted
+    SHUFFLED HASH join (r14 adjudication: no probe-side sort at any
+    scale, no fact broadcast), and the top-10 is TakeOrderedAndProject
+    — never a global sort of the aggregate."""
     from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
 
     load_all()
@@ -376,7 +378,9 @@ def test_a14_shipping_priority_plan_shape(spark):
     # tree lines end in "(n)"; detail headers repeat the node name, so a
     # bare substring count doubles
     tree_bhj = re.findall(r"BroadcastHashJoin [^\n]*\(\d+\)$", plan, re.M)
-    assert len(tree_bhj) == 2, plan
+    assert len(tree_bhj) == 1, plan
+    tree_shj = re.findall(r"ShuffledHashJoin [^\n]*\(\d+\)$", plan, re.M)
+    assert len(tree_shj) == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
@@ -384,8 +388,9 @@ def test_a14_shipping_priority_plan_shape(spark):
 
 def test_a15_region_revenue_plan_shape(spark):
     """TPC-H Q5 shape: the dim chain is all broadcast joins, the date
-    band reaches the orders scan, and the only shuffle is the 5-row
-    final aggregate."""
+    band reaches the orders scan, the fact⋈fact edge is the hinted
+    shuffled hash join (r14 — no sort-merge anywhere), and beyond its
+    two key exchanges the only shuffle is the 5-row final aggregate."""
     from com_danliris_service_etl_spark.plans.registry import REGISTRY, load_all
 
     load_all()
@@ -394,7 +399,8 @@ def test_a15_region_revenue_plan_shape(spark):
     assert any("o_orderdate" in p for p in pushed), plan
     assert any("r_name" in p for p in pushed), plan
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 3, plan
 
 
 def test_o6_keyset_cursor_pushed_and_topk(spark):

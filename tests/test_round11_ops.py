@@ -249,3 +249,111 @@ def test_lrs_matches_bruteforce(spark, docs, min_len):
     rows = [(i, t) for i, t in enumerate(docs)]
     got = _lrs_run(spark, rows, min_len=min_len, max_depth=8)
     assert got == _lrs_brute(rows, min_len, 8)
+
+
+# ---------------------------------------------------------------------------
+# DD15 — exact-substring dedup rewrite (span removal, first-owner keeps)
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_model(rows, k, max_pos=100_000):
+    """Python recompute of the pinned semantics: sliding k-gram windows,
+    min(doc*max_pos+pos) ownership, non-first windows' [pos, pos+k)
+    spans unioned, covered tokens cut, md5 of the rest."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    toks = {d: t.split(" ") for d, t in rows}
+    owner: dict = {}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - k + 1):
+            g = " ".join(toks[d][p:p + k])
+            owner.setdefault(g, d * max_pos + p)
+    out = {}
+    for d, t in toks.items():
+        removed = set()
+        for p in range(len(t) - k + 1):
+            g = " ".join(t[p:p + k])
+            if owner[g] != d * max_pos + p:
+                removed.update(range(p, p + k))
+        kept = [tok for i, tok in enumerate(t) if i not in removed]
+        out[d] = (len(t), len(removed), md5(" ".join(kept)))
+    return out
+
+
+def _rewrite_run(spark, rows, **kw):
+    from com_danliris_service_etl_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+        for r in substring_dedup_rewrite(df, **kw).collect()
+    }
+
+
+def test_substring_rewrite_hand_cases(spark):
+    """Pinned outcomes, hand-checkable at k=3:
+    - cross-doc copy: the first doc keeps its text untouched, the
+      second loses exactly the copied span;
+    - a doc shorter than k passes through unchanged (n_removed 0);
+    - self-overlapping repeat 'a a a a a' collapses to the tokens
+      before the first dup start (the documented degenerate outcome);
+    - a doc with NO duplicated window is identical in and out."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    rows = [
+        (1, "p q r s t end1"),      # owner of p..t windows
+        (2, "x1 p q r s t x2"),     # loses [1, 6) = 'p q r s t'
+        (3, "aa bb"),               # shorter than k: untouched
+        (4, "u v w zz"),            # no dups: untouched
+    ]
+    got = _rewrite_run(spark, rows, k=3)
+    assert got == _rewrite_model(rows, 3)
+    assert got[1] == (6, 0, md5("p q r s t end1"))
+    assert got[2] == (7, 5, md5("x1 x2"))
+    assert got[3] == (2, 0, md5("aa bb"))
+    assert got[4] == (4, 0, md5("u v w zz"))
+
+    # self-overlap: windows at 0..2; 1 and 2 are dups → remove [1, 5)
+    got = _rewrite_run(spark, [(1, "a a a a a"), (2, "m n o p q")], k=3)
+    assert got[1] == (5, 4, md5("a"))
+
+    # all-removed doc: clean_md5 must be md5('') (empty concat contract)
+    rows = [(1, "s1 s2 s3 s4"), (2, "s1 s2 s3 s4")]
+    got = _rewrite_run(spark, rows, k=2)
+    assert got[2] == (4, 4, md5(""))
+    assert got == _rewrite_model(rows, 2)
+
+
+def test_substring_rewrite_rejects_string_ids(spark):
+    import pytest
+
+    from com_danliris_service_etl_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        substring_dedup_rewrite(df)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1,
+                 max_size=16).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(2, 4),
+)
+def test_substring_rewrite_matches_model(spark, docs, k):
+    """Property: the relational rewrite equals the python recompute on
+    tiny-vocab corpora (dense overlaps, self-repeats, whole-doc
+    removals)."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    assert _rewrite_run(spark, rows, k=k) == _rewrite_model(rows, k)

@@ -184,6 +184,40 @@ def main() -> int:
     }
     print("recovery", out["nights"]["recovery"], file=sys.stderr, flush=True)
 
+    # ------------------------------------------------------------------
+    # Heavy night (VERDICT r13 task 8): the worst-case window — the
+    # WIDEST job (Pembelian: the 10-table purchasing chain) loses its
+    # fact and must full-history re-extract while the rest of the night
+    # runs steady-state. `run_job`'s empty-fact⇒full-extract fallback
+    # fires (an advanced watermark over a missing fact re-loads
+    # EVERYTHING, not the empty delta); the night's wall bounds the
+    # deployment's recovery window against the reference's 9m59s
+    # function timeout ceiling (host.json:3).
+    # ------------------------------------------------------------------
+    heavy_victim = "Fact Pembelian from MongoDB to Azure DWH"
+    heavy_target = os.path.join(WORK, "dwh", "dl_fact_pembelian")
+    fsutil.delete(spark, heavy_target)
+    t0 = time.perf_counter()
+    heavy_results = run_nightly(
+        spark, cat, store,
+        target_dir=os.path.join(WORK, "dwh"),
+        continue_on_error=False,
+    )
+    heavy_wall = time.perf_counter() - t0
+    assert all(r.status == "Successful" for r in heavy_results)
+    hv = {r.job: r for r in heavy_results}[heavy_victim]
+    assert hv.rows > 0, "full-history fallback must re-extract rows"
+    out["nights"]["heavy_full_reextract"] = {
+        "wall_sec": round(heavy_wall, 2),
+        "victim": heavy_victim,
+        "victim_job_sec": round(
+            (hv.finished - hv.started).total_seconds(), 3
+        ),
+        "victim_rows": hv.rows,
+    }
+    print("heavy", out["nights"]["heavy_full_reextract"],
+          file=sys.stderr, flush=True)
+
     print(json.dumps(out))
     return 0
 
