@@ -59,7 +59,17 @@ def main() -> int:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            # Materialize via the NOOP SINK, not count(): count() lets
+            # Catalyst eliminate any operator whose output the count
+            # doesn't need — an r14 audit found 36/220 queries losing
+            # windows/joins/explodes under count() (a trailing left join
+            # on aggregate keys, a window only feeding output columns),
+            # i.e. their "timings" were partial scans while the DuckDB
+            # oracle side always materialized fully via fetchall(). The
+            # noop sink evaluates EVERY output row and column and
+            # discards them executor-side — no driver collect, no
+            # elimination, symmetric with the oracle's estimator.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
 

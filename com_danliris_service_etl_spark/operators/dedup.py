@@ -1770,65 +1770,101 @@ def longest_duplicate_substring(
     toks = _spread(docs).select(
         id_col, F.split(F.col(text_col), " ").alias("t")
     ).filter(F.size("t") >= min_len)
-    # suffix rows: seed tokens (the bucket's preimage — carried so the
-    # winning substring reconstructs row-locally) + the capped
-    # extension tokens; one row-local explode, md5 bucket key projected
-    # from the seed in the same codegen span.
+    # Suffix rows carry the seed and the capped extension as SPACE-
+    # JOINED STRINGS, not token arrays: the in-bucket sort then compares
+    # flat UTF8 bytes (memcmp-class) instead of invoking the per-element
+    # array<string> comparator per comparison — at the sf10 fixture the
+    # array-ordered form ground for 25+ minutes in the bucket sort while
+    # this form's sort is I/O-bound, and the shuffle payload halves.
+    # Correctness: concat_ws(' ') is injective over space-free tokens
+    # (split output), so equal strings ⟺ equal token arrays, and
+    # lexicographic STRING order is token-prefix-clustering — the only
+    # property the adjacency argument needs — provided no token contains
+    # a character below 0x20 (a control-char token could split a prefix
+    # block, which can only UNDER-report a length, never invent one;
+    # whitespace-split text satisfies the precondition by construction
+    # for ' ', and the oracle's list-ordered form is exact regardless).
+    # The max-adjacent-LCP is order-invariant across any two prefix-
+    # clustering orders, so Spark's string order and the oracle's array
+    # order agree without tie-break coordination.
     suf = toks.select(
         id_col,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, cast(size(t) AS INT) - {min_len}),"
                 f" i -> struct("
-                f"   slice(t, i + 1, {min_len}) AS seed,"
-                f"   slice(t, i + 1 + {min_len}, {rest_cap}) AS rest))"
+                f"   concat_ws(' ', slice(t, i + 1, {min_len})) AS seed,"
+                f"   concat_ws(' ', slice(t, i + 1 + {min_len}, {rest_cap}))"
+                f"     AS rk))"
             )
         ).alias("pos", "__s"),
     ).select(
         id_col,
         "pos",
-        F.md5(F.expr("concat_ws(' ', __s.seed)")).alias("b"),
+        F.md5(F.col("__s.seed")).alias("b"),
         F.col("__s.seed").alias("seed"),
-        F.col("__s.rest").alias("rest"),
+        F.col("__s.rk").alias("rk"),
     )
-    wo = Window.partitionBy("b").orderBy("rest")
+    wo = Window.partitionBy("b").orderBy("rk")
     # bucket size over the SAME (partition, order): explicit
     # unbounded-unbounded frame, so the count shares the lag/lead sort
     # instead of costing a second per-bucket sort pass.
     wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # Re-split ONCE per row after the window (an empty extension string
+    # must map to an EMPTY array — split('') yields [''], which would
+    # fake a 1-token LCP between two min_len-sized suffixes).
+    def _arr(src: str) -> str:
+        return (
+            f"CASE WHEN {src} = '' THEN CAST(array() AS ARRAY<STRING>)"
+            f" ELSE split({src}, ' ') END"
+        )
+
     # LCP of two capped token arrays: first zip_with mismatch (pads
     # compare false via coalesce), else the shorter length. `least`
     # IGNORES nulls in Spark, so bucket edges guard explicitly: a
     # missing neighbor contributes -1 (never the max — real rlcp >= 0).
     def _rlcp(other: str) -> "F.Column":
         lcp = F.expr(
-            f"coalesce(nullif(array_position(zip_with(rest, {other},"
+            f"coalesce(nullif(array_position(zip_with(__ra, {other},"
             f" (x, y) -> coalesce(x = y, false)), false), 0) - 1,"
-            f" least(size(rest), size({other})))"
+            f" least(size(__ra), size({other})))"
         )
         return F.when(F.col(other).isNull(), F.lit(-1)).otherwise(lcp)
 
     scored = (
         suf.withColumn("__nb", F.count(F.lit(1)).over(wall))
-        .withColumn("__prev", F.lag("rest").over(wo))
-        .withColumn("__next", F.lead("rest").over(wo))
+        .withColumn("__prev", F.lag("rk").over(wo))
+        .withColumn("__next", F.lead("rk").over(wo))
         .filter(F.col("__nb") >= 2)
         .select(
             id_col,
             "pos",
             "seed",
-            "rest",
+            # NULL neighbors pass through: the CASE's '' test is NULL,
+            # and split(NULL) is NULL — the -1 guard below catches it
+            F.expr(_arr("rk")).alias("__ra"),
+            F.expr(_arr("__prev")).alias("__pa"),
+            F.expr(_arr("__next")).alias("__na"),
+        )
+        .select(
+            id_col,
+            "pos",
+            "seed",
+            "__ra",
             (
                 F.lit(min_len)
-                + F.greatest(_rlcp("__prev"), _rlcp("__next"))
+                + F.greatest(_rlcp("__pa"), _rlcp("__na"))
             ).cast("long").alias("__len"),
         )
-        # the winning substring's tokens: seed ++ the first
-        # (len - min_len) extension tokens — row-local, no join back
+        # the winning substring: seed ++ the first (len − min_len)
+        # extension tokens — row-local, no join back
         .withColumn(
             "__sub",
-            F.expr(
-                f"concat(seed, slice(rest, 1, cast(__len AS INT) - {min_len}))"
+            F.when(F.col("__len") == min_len, F.col("seed")).otherwise(
+                F.expr(
+                    f"concat(seed, ' ', concat_ws(' ',"
+                    f" slice(__ra, 1, cast(__len AS INT) - {min_len})))"
+                )
             ),
         )
     )
@@ -1842,7 +1878,7 @@ def longest_duplicate_substring(
             id_col,
             F.col("__len").alias("lrs_len"),
             F.col("pos").cast("long").alias("lrs_pos"),
-            F.md5(F.expr("concat_ws(' ', __sub)")).alias("lrs_md5"),
+            F.md5(F.col("__sub")).alias("lrs_md5"),
         )
     )
 

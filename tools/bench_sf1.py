@@ -271,11 +271,16 @@ def main() -> int:
         # Spark: warm once (codegen compile, page cache), then min of
         # RUNS FRESH-PLAN runs (bench.py estimator — shared plans reuse
         # completed shuffle stages and undercount).
-        fn(spark, SF1_DIR).count()
+        # noop-sink materialization (r14): count() lets Catalyst
+        # eliminate operators whose output the count doesn't need
+        # (trailing left joins on aggregate keys, output-only windows);
+        # the noop sink evaluates every row/column executor-side, so the
+        # timing covers the whole plan — same estimator as bench.py.
+        fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
         s_times = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF1_DIR).count()
+            fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
             s_times.append(time.perf_counter() - t0)
         # DuckDB, interleaved right after, same estimator
         con.execute(sql).fetchall()
