@@ -22,13 +22,21 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_llm21_is_a_pure_scan_projection(spark):
-    """The repetition filter answers a PER-DOC question, so its whole plan
-    must be one shuffle-free scan projection (the docstring's scale
-    claim, pinned): zero exchanges of any kind."""
+def test_llm21_gram_counts_are_hash_aggregated(spark):
+    """r14 rewrite pin: the top-gram counts must come from explode +
+    hash aggregation (codegen), NOT a row-local interpreted
+    `array_max(transform(array_distinct(...), ...))` fold — the honest
+    noop estimator measured the interpreted fold at 13.8 s vs 0.49 s
+    for this shape at sf0.1. The plan must carry the (doc, w, gram)
+    aggregate and stay free of sort-merge joins and cartesian
+    products; the old zero-exchange claim is retired (those exchanges
+    move per-doc partials, not the corpus text)."""
     plan = _plan(_q("llm21_repetition_stats")(spark, SF_DIR))
-    assert plan.count("Exchange (") == 0, plan
     assert "Scan parquet" in plan
+    assert "HashAggregate" in plan, plan
+    # the interpreted O(distinct·n) fold is gone
+    assert "array_max" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_llm21_flags_a_constructed_repetitive_doc(spark):
