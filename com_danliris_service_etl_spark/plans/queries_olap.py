@@ -256,14 +256,27 @@ def sk1_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans asserting the sketch landed within tolerance (5% on
     distinct, 5% of the exact median), and the oracle pins those flags
     TRUE — a cross-engine-checkable accuracy contract rather than an
-    unverifiable estimate dump."""
-    docs = _t(spark, sf_dir, "documents")
-    agg = docs.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("n_exact"),
+    unverifiable estimate dump.
+
+    r14: the distinct count runs in its OWN aggregate, joined back on
+    lang. Mixing countDistinct with the sketch functions in one agg made
+    Spark's distinct rewrite push the sketch PARTIALS into the
+    (lang, doc_id) pre-aggregation — one HLL(rsd 1%) register bank, one
+    exact-percentile buffer and one t-digest PER DOCUMENT (5k heavyweight
+    buffers at sf0.1, |docs| at scale) that the final merge then folded
+    per lang. Split, the sketch pass keeps |lang| buffers per partition
+    (partial aggregation as designed) and the distinct pass shuffles bare
+    (lang, doc_id) keys: 4.1 s → 0.4 s at sf0.1, identical output (HLL
+    register merge is commutative; the t-digest at accuracy 10000 over 5k
+    values is rank-exact; the oracle pins both flags either way)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_exact"))
+    sketch = docs.groupBy("lang").agg(
         F.approx_count_distinct("doc_id", rsd=0.01).alias("n_hll"),
         F.expr("percentile(n_chars, 0.5)").alias("p50_exact"),
         F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("p50_tdig"),
     )
+    agg = exact.join(sketch, "lang")
     tol_n = F.col("n_exact").cast("double") * 0.05
     tol_p = F.abs(F.col("p50_exact")) * 0.05
     return agg.select(

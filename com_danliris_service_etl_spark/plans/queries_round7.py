@@ -525,18 +525,31 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact side shrinks before its semi-join exchange while the
     broadcast stays a fixed-size bitset instead of an un-broadcastable
     key set."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
     from com_danliris_service_etl_spark.operators.joins import (
         bloom_build,
         bloom_might_contain,
     )
 
+    # r14: the former `.distinct()` here cost a full exchange per
+    # consumer (one under the bloom build, one under the truth-join
+    # broadcast) to deduplicate p_partkey — the part table's PRIMARY KEY,
+    # unique at every fixture SF (and by TPC-H definition). Duplicate
+    # keys would not change the bloom image (same bits) and the truth
+    # probe is a left join against key PRESENCE, so the distinct was two
+    # wasted shuffles; oracle-verified identical without it.
     keys = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 5)
         .select(F.col("p_partkey"))
-        .distinct()
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # r14: the probe computes 3 md5 hashes PER ROW (the deterministic
+    # cross-engine k-hash contract — not replaceable by xxhash), and a
+    # one-row-group fixture file scans as ONE partition, serializing ~1.8M
+    # md5 calls on one core (guide §2.5: unsplittable input → repartition
+    # right after the read). _spread is conditional: a real multi-split
+    # fact scan passes through untouched.
+    li = _spread(_t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey"))
     words = bloom_build(keys, "p_partkey", m_bits=_J13_M_BITS, k=3)
     probed = (
         li.crossJoin(F.broadcast(words))

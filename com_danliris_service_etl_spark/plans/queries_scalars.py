@@ -48,8 +48,20 @@ EPOCH_US_2024_01_01 = 1_704_067_200_000_000
 )
 def d1_d3_d4_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 day-diff (`Pembelian/run.js:206-214`), D3 +7h Jakarta shift
-    (`Pembelian/run.js:218`), D4 formats."""
-    li = _t(spark, sf_dir, "lineitem")
+    (`Pembelian/run.js:218`), D4 formats.
+
+    r14: two `date_format` string renders per output row are the cost
+    (timezone-aware formatting, ~1µs each × 600k rows at sf0.1); the
+    one-row-group fixture scans as one partition, so the render ran on a
+    single core. Conditional `_spread` after the read parallelizes it and
+    passes a well-split production scan through untouched (guide §2.5)."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        )
+    )
     o = _t(spark, sf_dir, "orders")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
