@@ -755,6 +755,11 @@ def contamination_scores(
         .distinct()
         .agg(F.sort_array(F.collect_list("s")).alias("__bench"))
     )
+    # Deliberately NOT _spread (r14 A/B): the per-row intersect against a
+    # SMALL broadcast benchmark array is light relative to the extra
+    # exchange — spreading measured llm5 2.16 → 4.24 s / llm16 1.55 →
+    # 2.92 s (interleaved min-of-3). The _spread class needs per-site
+    # measurement; it wins on heavy folds (BPE encode), loses here.
     toks = (
         docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .filter(F.size("t") >= k)
@@ -1289,6 +1294,12 @@ def _prefix_relation(
         .filter(F.col("rk") <= prefix_len)
         .select(id_col, "s", "rk", "sz")
     )
+    # NOT checkpointed despite feeding _prefix_candidates' self-join fork:
+    # the duplicated upstream is broadcast-build both times and recomputing
+    # it measured ~1.7x FASTER than materializing the checkpoint (r14 A/B,
+    # dd10 2.48 vs 4.16 s, dd12 2.97 vs 4.58 s interleaved min-of-4) — the
+    # dd8/txt5 checkpoint-at-the-fork rule applies to exchange-rooted
+    # forks, not broadcast-rooted ones.
     return arrs, prefix
 
 
@@ -1404,22 +1415,7 @@ def prefix_filter_join(
         docs, thresh_num, thresh_den, shingle_k, text_col, id_col
     )
     cands = _prefix_candidates(prefix, thresh_num, thresh_den, id_col)
-    arr_a = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("__aa"))
-    arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("__ab"))
-    inter = F.size(F.array_intersect("__aa", "__ab"))
-    un = F.size("__aa") + F.size("__ab") - inter
-    return (
-        cands.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .withColumn("__i", inter)
-        .withColumn("__u", un)
-        .filter(F.col("__i") * thresh_den >= F.col("__u") * thresh_num)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("__i") / F.col("__u"), 6).alias("exact_jaccard"),
-        )
-    )
+    return _jaccard_verify(arrs, cands, thresh_num, thresh_den, id_col)
 
 
 def topk_similar_docs(
@@ -1468,6 +1464,62 @@ def topk_similar_docs(
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "est_jaccard", "rank")
+    )
+
+
+def _sig_from_arrs(arrs: DataFrame, id_col: str, n_perms: int) -> DataFrame:
+    """MinHash signature array derived from a precomputed per-doc DISTINCT
+    shingle-array relation ``(id, arr)`` (:func:`_prefix_relation`'s first
+    output) instead of a second raw-corpus scan. Values are IDENTICAL to
+    :func:`minhash_signatures` + array-pack: the per-shingle base hash is
+    the same md5 expression and ``array_min`` over the distinct set equals
+    the min over the multiset (min is duplicate-insensitive), while both
+    builders drop exactly the docs with < k tokens. Used where the caller
+    already pays for ``arrs`` (the dd12 ablation) so the corpus is scanned
+    and shingled ONCE for both the signature and the truth side."""
+    hs = F.expr(
+        "transform(arr, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(__hs, h -> (h * {a}L + {b}L) % {MINHASH_PRIME}L)")
+        )
+        for a, b in _perm_consts(n_perms)
+    ]
+    return (
+        arrs.select(id_col, hs.alias("__hs"))
+        .select(id_col, F.array(*mins).alias("sig"))
+    )
+
+
+def _jaccard_verify(
+    arrs: DataFrame,
+    cands: DataFrame,
+    thresh_num: int,
+    thresh_den: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the per-doc
+    shingle-array relation: join each pair to the two docs' arrays and
+    compute ``size(array_intersect(...))`` ROW-LOCALLY (no pair × shingle
+    fan-out crosses a shuffle), keep on exact integer arithmetic
+    ``den*inter >= num*union``. Shared by :func:`prefix_filter_join` and
+    :func:`lsh_band_ablation`."""
+    arr_a = arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("__aa"))
+    arr_b = arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("__ab"))
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    un = F.size("__aa") + F.size("__ab") - inter
+    return (
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", un)
+        .filter(F.col("__i") * thresh_den >= F.col("__u") * thresh_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__i") / F.col("__u"), 6).alias("exact_jaccard"),
+        )
     )
 
 
@@ -1529,9 +1581,17 @@ def lsh_band_ablation(
     whole candidate side is scan → explode → one exchange. The query's
     residual cost is dominated by the TRUTH side, i.e. the dd10
     prefix-filter join it embeds (~2.3 of ~3.4 s at sf0.1)."""
-    sig = minhash_signatures(docs, "text", "doc_id", n_perms, shingle_k).select(
-        "doc_id", F.array(*[F.col(f"mh{p}") for p in range(n_perms)]).alias("sig")
+    # r14: ONE corpus scan + shingle build for BOTH sides. The signature
+    # side previously re-scanned and re-shingled the corpus via
+    # minhash_signatures while the truth side built the (checkpointed)
+    # distinct shingle-array relation; _sig_from_arrs derives the
+    # IDENTICAL signatures from that relation (min over the distinct set
+    # ≡ min over the multiset), so the split/concat_ws shingle pass runs
+    # once and the md5 base hash is computed per DISTINCT shingle.
+    arrs, _prefix = _prefix_relation(
+        docs, thresh_num, thresh_den, shingle_k, "text", "doc_id"
     )
+    sig = _sig_from_arrs(arrs, "doc_id", n_perms)
 
     # One source of truth for the band-key scheme: each config's structs
     # come from the SAME _band_structs the production LSH path (dd2/dd7/
@@ -1570,8 +1630,9 @@ def lsh_band_ablation(
         .distinct()
     )
 
+    cands_t = _prefix_candidates(_prefix, thresh_num, thresh_den, "doc_id")
     truth = (
-        prefix_filter_join(docs, thresh_num, thresh_den, shingle_k)
+        _jaccard_verify(arrs, cands_t, thresh_num, thresh_den, "doc_id")
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # scored against AND counted
     )

@@ -572,8 +572,21 @@ def label_propagation(
         lbl_rel = labels.withColumnRenamed("node", "nbr")
         if broadcast_labels:
             lbl_rel = F.broadcast(lbl_rel)
+        joined = adj.join(lbl_rel, "nbr")
+        if broadcast_labels:
+            # r14: ONE exchange per superstep instead of two. hash(node)
+            # satisfies the clustering of BOTH downstream aggregates
+            # (groupBy(node,label) — superset key — and groupBy(node)), so
+            # an explicit repartition on node lets them share it (g17
+            # interleaved A/B: 3.03/3.31 → 2.65/2.79 s min-of-3). The
+            # trade is exchanging raw join output without map-side
+            # combine — right in the broadcast-labels regime this branch
+            # serves; in the big-|V| shuffle-join regime label clusters
+            # make partial aggregation compress votes heavily, so that
+            # path keeps the two-exchange partial-agg form.
+            joined = joined.repartition("node")
         votes = (
-            adj.join(lbl_rel, "nbr")
+            joined
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )

@@ -646,6 +646,10 @@ def ivf_assign_cells(
         "  (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END"
         ").cid"
     )
+    # Deliberately NOT _spread (r14 A/B): at fixture centroid counts the
+    # per-row argmax fold is light relative to an extra exchange of the
+    # full vector column (llm19 1.62 → 2.03 s spread). Callers with huge
+    # C·d already arrive partitioned or pay the fallback join path.
     return (
         vectors.withColumn("__v_norm", norm(vec_col))
         .crossJoin(F.broadcast(cent_arr))

@@ -1096,7 +1096,12 @@ def _bpe_steps(docs: DataFrame, iterations: int, text_col: str):
     One map-side-combinable corpus shuffle builds the (word, freq)
     vocabulary, lazily checkpointed and reused by every iteration; the
     driver collects exactly ONE argmax row per step."""
-    words = docs.select(
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread: the vocab build's explode + partial aggregation are the
+    # corpus-pass cost of training, and a one-row-group fixture file
+    # scans as ONE partition (r14, the txt5/sim1 one-partition class).
+    words = _spread(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).filter(F.length("word") >= 2)
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
@@ -1161,9 +1166,14 @@ def bpe_encode(
     folded into the expression — the corpus contract (whitespace-
     tokenized words) guarantees it; a corpus violating it fails loudly
     rather than generating a malformed expression."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     tok_count = _bpe_token_count_expr(docs, iterations, text_col)
+    # _spread: the encode fold (char-split regex + chained replaces PER
+    # WORD) is the most CPU-dense projection in the text family, and a
+    # one-row-group fixture scans as ONE partition (r14).
     return (
-        docs.select(
+        _spread(docs).select(
             id_col,
             F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__ws"),
         )
@@ -1237,9 +1247,13 @@ def bpe_fertility(
     slice's denominators are sums over its non-empty docs; an
     (unfixtured) all-empty slice would vanish rather than divide by
     zero."""
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     tok_count = _bpe_token_count_expr(docs, iterations, text_col)
+    # _spread: same encode kernel as bpe_encode — same one-partition
+    # hazard (r14).
     per_doc = (
-        docs.select(
+        _spread(docs).select(
             *group_cols,
             F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__ws"),
         )
