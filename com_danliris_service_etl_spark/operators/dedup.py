@@ -1054,30 +1054,54 @@ def _pair_shingle_intersection(
     p = pairs.select("doc_a", "doc_b").localCheckpoint()
     ids_a = p.select(F.col("doc_a").alias(id_col))
     ids_b = p.select(F.col("doc_b").alias(id_col))
-    cand_ids = ids_a.union(ids_b)
-    sh = (
-        _shingles(docs, text_col, id_col, k=shingle_k)
-        .join(cand_ids.distinct(), id_col, "left_semi")
-        .distinct()
-        .localCheckpoint()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        p.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
-        .join(
-            sh.select(F.col(id_col).alias("doc_b"), "s"),
-            ["doc_b", "s"],
+    cand_ids = ids_a.union(ids_b).distinct()
+    # r14: ROW-LOCAL array form (the dd10 lesson applied to the verify
+    # funnel). The previous shape exploded candidate docs' shingles,
+    # paid a global .distinct() on the exploded relation (two exchanges
+    # for what array_distinct does inside the row), a sizes groupBy, and
+    # the fanned (pair x shingle) equi-join moving |candidates| x
+    # |shingles/doc| rows through two more exchanges. Here the candidate
+    # docs' DISTINCT shingle sets stay one ARRAY per doc (semi-join
+    # first, so the shingle build's CPU touches candidate docs only) and
+    # each pair computes inter/na/nb row-locally via array_intersect —
+    # the only shuffles left are the two id-keyed pair-to-array joins.
+    # Identical output: |array_intersect| == count of distinct shared
+    # shingles, sizes come free, zero-overlap pairs emit inter=0 from
+    # the empty intersection instead of the old left-join coalesce.
+    k = shingle_k
+    idx_terms = ", ".join(f"t[i+{j}]" for j in range(k))
+    arrs = (
+        _spread(docs)
+        .select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        .join(cand_ids, id_col, "left_semi")
+        .filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t)-{k}),"
+                    f" i -> concat_ws(' ', {idx_terms}))"
+                )
+            ).alias("arr"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .localCheckpoint()  # referenced by both pair sides
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (
-        p.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        p.join(
+            arrs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("__aa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("__ab")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__aa", "__ab")).alias("inter"),
+            F.size("__aa").alias("na"),
+            F.size("__ab").alias("nb"),
+        )
     )
 
 

@@ -240,9 +240,15 @@ def sim11_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
 
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
     docs = _t(spark, sf_dir, "documents")
+    # _spread: the lexical ranker pays a shingle build + |Q| array
+    # intersects PER DOC inside this projection (the heavy-fold class
+    # where spreading wins, r14) and a one-row-group fixture scans as ONE
+    # partition; the dense side's brute_force_topk already spreads.
     arrs = (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        _spread(docs).select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= 3)
         .select(
             "doc_id",

@@ -74,6 +74,11 @@ def merge_upsert(
     merge keys).
     """
     key_list = list(keys)
+    # Kept BEFORE the dedupe rewrite: the quiet-night emptiness probe
+    # below is equivalent on the raw frame (dedupe maps empty to empty
+    # and never empties a non-empty batch) and skips the dropDuplicates
+    # exchange the deduped frame would pay just to answer limit-1 (r14).
+    raw_updates = updates
     if replace_group:
         dedupe_updates = False
     if dedupe_updates:
@@ -143,8 +148,8 @@ def merge_upsert(
     # first-night empty extract still CREATES the fact (otherwise the
     # empty-fact⇒full-extract fallback would re-extract every night).
     # The probe is one limit-1 job on the caller's already-persisted
-    # increment.
-    if updates.isEmpty():
+    # increment (pre-dedupe — no exchange under the limit).
+    if raw_updates.isEmpty():
         return
 
     if has_delta_log:
