@@ -243,12 +243,8 @@ def sim11_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from com_danliris_service_etl_spark.operators.dedup import _spread
 
     docs = _t(spark, sf_dir, "documents")
-    # _spread: the lexical ranker pays a shingle build + |Q| array
-    # intersects PER DOC inside this projection (the heavy-fold class
-    # where spreading wins, r14) and a one-row-group fixture scans as ONE
-    # partition; the dense side's brute_force_topk already spreads.
     arrs = (
-        _spread(docs).select("doc_id", F.split("text", " ").alias("tk"))
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= 3)
         .select(
             "doc_id",
@@ -272,8 +268,14 @@ def sim11_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_lex = Window.partitionBy("query_id").orderBy(
         F.col("__jac").desc(), F.col("neighbor_id")
     )
+    # _spread on the CORPUS-side consumer only: the lexical ranker pays a
+    # shingle build + |Q| array intersects PER DOC in this projection
+    # (the heavy-fold class where spreading wins, r14) and a one-row-
+    # group fixture scans as ONE partition; the dense side's
+    # brute_force_topk already spreads, and the bounded query side
+    # (broadcast) would re-run the spread exchange for nothing.
     lex = (
-        arrs.crossJoin(F.broadcast(q))
+        _spread(arrs).crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -508,10 +508,12 @@ def test_txt21_encode_is_shuffle_minimal(spark):
     plan = _plan(_q("txt21_tokenizer_fertility")(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
-    # the encode is row-local; the slice aggregate is the ONLY exchange
-    # (training's bounded argmax collects run eagerly at plan-build time
-    # and never appear in this plan)
-    assert plan.count("Exchange (") == 1, plan
+    # the encode is row-local; the slice aggregate is the only KEYED
+    # exchange. r14 adds the conditional `_spread` repartition below the
+    # encode fold (one-file fixtures scan as one partition; pass-through
+    # on well-split inputs), so the bound is 2 on fixture-sized inputs —
+    # still no doc-grain join/window/sort anywhere.
+    assert plan.count("Exchange (") <= 2, plan
     assert "hashpartitioning(lang" in plan, plan
 
 
