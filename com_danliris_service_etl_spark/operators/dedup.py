@@ -755,13 +755,14 @@ def contamination_scores(
         .distinct()
         .agg(F.sort_array(F.collect_list("s")).alias("__bench"))
     )
-    # Deliberately NOT _spread (r14 A/B): the per-row intersect against a
-    # SMALL broadcast benchmark array is light relative to the extra
-    # exchange — spreading measured llm5 2.16 → 4.24 s / llm16 1.55 →
-    # 2.92 s (interleaved min-of-3). The _spread class needs per-site
-    # measurement; it wins on heavy folds (BPE encode), loses here.
+    # _spread: array_intersect rebuilds a hash set of the broadcast
+    # benchmark array PER ROW, so the corpus projection is the heavy-fold
+    # class and a one-row-group fixture scans as ONE partition. Quiet-
+    # window interleaved A/B: 1.32 → 0.46 s (a first A/B during a
+    # co-tenant burst read the opposite and was adjudicated noise — the
+    # same burst inflated the untouched g*/j* block 4-8×; r14).
     toks = (
-        docs.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+        _spread(docs).select(id_col, F.split(F.col(text_col), " ").alias("t"))
         .filter(F.size("t") >= k)
         .select(id_col, sh_arr.alias("__sh"))
     )

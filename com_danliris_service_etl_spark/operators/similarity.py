@@ -646,12 +646,16 @@ def ivf_assign_cells(
         "  (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END"
         ").cid"
     )
-    # Deliberately NOT _spread (r14 A/B): at fixture centroid counts the
-    # per-row argmax fold is light relative to an extra exchange of the
-    # full vector column (llm19 1.62 → 2.03 s spread). Callers with huge
-    # C·d already arrive partitioned or pay the fallback join path.
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread: the O(C·d) per-row argmax fold is the operator's whole
+    # cost and a one-row-group corpus file scans as ONE partition
+    # (quiet-window A/B 0.45 → 0.29 s; a first A/B during a co-tenant
+    # burst read the opposite and was adjudicated noise — r14). Composed
+    # (non-scan-rooted) callers — the k-means iteration loop — pass
+    # through untouched.
     return (
-        vectors.withColumn("__v_norm", norm(vec_col))
+        _spread(vectors).withColumn("__v_norm", norm(vec_col))
         .crossJoin(F.broadcast(cent_arr))
         .select(*vectors.columns, argmax.alias(cell_col))
     )

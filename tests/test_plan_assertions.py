@@ -174,11 +174,14 @@ def test_ivf_assign_cells_shuffle_free(spark):
     plan = _plan(ivf_assign_cells(emb, cent))
     assert "Sort (" not in plan, plan
     assert "Window (" not in plan, plan
-    # the only shuffle exchange feeds the single-row centroid-array
-    # aggregate, not the corpus (the broadcast of that row is counted
-    # separately: "BroadcastExchange (" also contains "Exchange (")
+    # the only shuffle exchanges are the single-row centroid-array
+    # aggregate and (r14, one-file fixtures only) the conditional
+    # `_spread` repartition below the argmax fold — the corpus is never
+    # shuffled BY KEY or sorted to pick its cell (the broadcast of the
+    # centroid row is counted separately: "BroadcastExchange (" also
+    # contains "Exchange (")
     n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
-    assert n_shuffles <= 1, plan
+    assert n_shuffles <= 2, plan
 
 
 def test_minhash_lsh_pairs_two_exchanges_no_pair_distinct(spark):
