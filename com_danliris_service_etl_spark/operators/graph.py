@@ -130,22 +130,24 @@ def triangle_counts(
     both = with_nu.join(
         maybe_b(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))), "v"
     )
-    tri_edges = (
-        both.select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
-        .filter(F.size("ws") > 0)
-        # referenced 3×: u-corner, v-corner, and w-corner attributions
-        .localCheckpoint(eager=False)
-    )
-    per_corner = (
-        tri_edges.select(F.col("u").alias("node"), F.size("ws").cast("long").alias("c"))
-        .unionByName(
-            tri_edges.select(
-                F.col("v").alias("node"), F.size("ws").cast("long").alias("c")
-            )
-        )
-        .unionByName(
-            tri_edges.select(F.explode("ws").alias("node"), F.lit(1).cast("long").alias("c"))
-        )
+    tri_edges = both.select(
+        "u", "v", F.array_intersect("nu", "nv").alias("ws")
+    ).filter(F.size("ws") > 0)
+    # Corner attribution in ONE pass (r15): the old form referenced
+    # tri_edges three times (u-corner, v-corner, w-corner unions), which
+    # forced a checkpoint of the (u, v, ws) relation — Σ|ws| array cells
+    # materialized — plus three scans of it and a 3-branch union feeding
+    # the aggregate. posexplode over concat(array(u, v), ws) emits the
+    # identical contribution multiset from a single scan: positions 0/1
+    # are the u/v corners (each worth |ws| triangles), positions ≥ 2 are
+    # the w corners (worth 1 each) — all inside one codegen span, no
+    # checkpoint, no union.
+    per_corner = tri_edges.select(
+        F.size("ws").cast("long").alias("__s"),
+        F.posexplode(F.concat(F.array("u", "v"), "ws")).alias("__p", "node"),
+    ).select(
+        "node",
+        F.when(F.col("__p") < 2, F.col("__s")).otherwise(F.lit(1).cast("long")).alias("c"),
     )
     return per_corner.groupBy("node").agg(F.sum("c").alias("triangles"))
 
@@ -454,7 +456,10 @@ def kcore_peel(
     checkpointed; each round is one map-side-combinable degree aggregate
     plus two semi-joins of the edge list against the (node-grain,
     broadcastable) survivor set, re-checkpointed to cut superstep
-    lineage. Per-round counts are single scalars to the driver."""
+    lineage. Per-round counts are lazy 1-row aggregates unioned into the
+    result — the driver never collects anything (r15: the old
+    one-collect-per-round form paid rounds+1 sequential driver
+    barriers)."""
     per_group = (
         df.groupBy(group_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
@@ -467,8 +472,17 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    spark = df.sparkSession
-    traj = []
+    # COLLECT-FREE trajectory (r15): the loop used to run one blocking
+    # `.collect()` per round — rounds+1 sequential driver round-trips,
+    # each a scheduling barrier — and assembled the result with
+    # createDataFrame on the driver. The per-round scalar is now a lazy
+    # 1-row aggregate frame and the trajectory is their UNION, evaluated
+    # by the caller's single action; the per-round lazy checkpoints
+    # still cut superstep lineage exactly as before. The old early-exit
+    # on an emptied graph only skipped no-op supersteps (empty
+    # checkpointed inputs), and an empty round's aggregate yields
+    # count=0 / sum NULL→0 — the identical (r, 0, 0) padding rows.
+    traj_frames = []
     for rnd in range(rounds + 1):
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -479,18 +493,18 @@ def kcore_peel(
             # filter — checkpoint so the degree aggregate runs once
             .localCheckpoint(eager=False)
         )
-        # ONE action per round: n_edges = Σdeg / 2 exactly (each edge
-        # contributes two degree increments), so no separate edge count
-        row = nodes.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("__deg").alias("sd")
-        ).collect()[0]
-        n_nodes = int(row["n"])
-        n_edges = int(row["sd"] or 0) // 2
-        traj.append((rnd, n_nodes, n_edges))
-        if rnd == rounds or n_nodes == 0:
-            # an empty graph stays empty: emit the remaining rounds
-            # without running their no-op supersteps
-            traj.extend((r, 0, 0) for r in range(rnd + 1, rounds + 1))
+        # n_edges = Σdeg / 2 exactly (each edge contributes two degree
+        # increments), so no separate edge count; DIV keeps it integer.
+        traj_frames.append(
+            nodes.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__deg").alias("sd")
+            ).select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("n").cast("long").alias("n_nodes"),
+                F.expr("coalesce(sd, 0) DIV 2").cast("long").alias("n_edges"),
+            )
+        )
+        if rnd == rounds:
             break
         survivors = nodes.filter(F.col("__deg") >= k).select("node")
         edges = (
@@ -501,9 +515,10 @@ def kcore_peel(
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
-    return spark.createDataFrame(
-        traj, "round int, n_nodes bigint, n_edges bigint"
-    )
+    out = traj_frames[0]
+    for fr in traj_frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def label_propagation(

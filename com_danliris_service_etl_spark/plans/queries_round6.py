@@ -88,7 +88,14 @@ def g8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on the final |V|-row result. The |V|-scale rank/degree tables
     are dimension-sized here, so they are broadcast (every superstep
     join map-side; one groupBy shuffle per superstep remains)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from com_danliris_service_etl_spark.operators.dedup import _spread
+
+    # _spread the probe side (r15): the one-file lineitem fixture scans
+    # as 3 partitions, so the broadcast-join probe + the (s, c) partial
+    # aggregation ran at 3-way parallelism (guide §2.5 input-skew class;
+    # measured ~1.3 s of the query's 2.5 s in the iterations=0 profile).
+    # Conditional pass-through keeps real well-split inputs untouched.
+    li = _spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # no broadcast hint on orders (r13): it is a FACT side — at sf0.1 the
     # auto threshold broadcasts it anyway; at scale AQE picks the shuffled

@@ -139,7 +139,12 @@ def g9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") < F.col("dst"))
-        .distinct()
+        # no .distinct() here (r15): triangle_counts canonicalizes its
+        # input with least/greatest + distinct anyway, and for src < dst
+        # pairs that distinct dedups exactly this key set — the caller's
+        # own distinct was a second full exchange of the ~1.2M-row edge
+        # multiset for nothing (guide §2.4: a distinct on data the next
+        # operator re-distincts).
     )
     return triangle_counts(edges, broadcast_degrees=True)
 
@@ -186,7 +191,10 @@ def g10_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage exactly like pagerank's supersteps. The iteration runs
     on BIGINT node ids (supplier 2k, customer 2k+1 — the g8 scheme) and
     projects display strings only on the final result."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # _spread the probe side (r15, the g8 rationale): 3-partition scan
+    # fed the broadcast-join probe + distinct partials at 3-way
+    # parallelism; conditional pass-through on well-split inputs.
+    li = dd._spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # no broadcast hint on orders: fact side (the d9/g8 r13 discipline)
     pairs = (
