@@ -928,7 +928,11 @@ def dedup_clusters(
             pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        # LAZY (r15; was eager): the convergence seed probe right below
+        # is the operator's first action and materializes this checkpoint
+        # as a side effect — the eager form paid one extra blocking
+        # driver job per CC invocation for the same persisted RDD.
+        .localCheckpoint(eager=False)
     )
     # No checkpoint for the initial labels: they derive from the already-
     # materialized edges in one shuffle (round 1's checkpoint resets the

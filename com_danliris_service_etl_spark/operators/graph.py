@@ -234,10 +234,13 @@ def pagerank(
     ``sources_cover_nodes=True``: the node set is read off the out-degree
     aggregate for free instead of a distinct over the full edge list.
 
-    ``broadcast_ranks=True`` additionally hints the |V|-row rank vector /
-    out-degree / contribution tables into broadcast joins (every
-    superstep join becomes map-side; one shuffle per superstep remains —
-    the groupBy(dst)). Use it when |V| is dimension-scale.
+    ``broadcast_ranks=True`` additionally hints the |V|-row rank vector
+    and out-degree table into broadcast joins (the superstep join becomes
+    map-side; one shuffle per superstep remains — the groupBy(dst)). Use
+    it when |V| is dimension-scale. Each superstep is ONE join + ONE
+    aggregate: zero contributions are unioned into the groupBy rather
+    than re-attached with a |V|-side left join (r15 — one broadcast
+    build and one join fewer per superstep, same IEEE values).
     """
     maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
@@ -273,20 +276,29 @@ def pagerank(
     for i in range(iterations):
         prev = ranks
         rk = maybe_b(ranks)
-        contrib = (
-            norm.join(rk, norm["__src"] == rk["node"])
-            .groupBy("__dst")
-            .agg(F.sum(F.col("__nw") * F.col("rank")).alias("__c"))
+        # ONE aggregate per superstep (r15): the old shape aggregated
+        # contributions, then LEFT-joined the |V| node set onto the
+        # broadcast of that aggregate to re-attach zero-in-degree nodes —
+        # one extra broadcast build plus one join per superstep. Unioning
+        # an explicit 0.0 contribution per node into the SAME groupBy
+        # yields the identical rank vector (x + 0.0 is exact in IEEE for
+        # the non-negative contribution sums here; an isolated node's
+        # group is exactly its zero row → rank = reset, the coalesce
+        # semantics) with one broadcast and one exchange per superstep.
+        contrib_rows = norm.join(rk, norm["__src"] == rk["node"]).select(
+            "__dst", (F.col("__nw") * F.col("rank")).alias("__c")
         )
-        cb = maybe_b(contrib)
+        zero_rows = nodes.select(
+            F.col("node").alias("__dst"), F.lit(0.0).alias("__c")
+        )
         ranks = (
-            nodes.join(cb, nodes["node"] == cb["__dst"], "left")
+            contrib_rows.unionByName(zero_rows)
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__c"))
             .join(F.broadcast(n))
             .select(
-                "node",
-                (reset + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                F.col("__dst").alias("node"),
+                (reset + F.lit(damping) * F.col("__c")).alias("rank"),
             )
         )
         if i + 1 < iterations:
