@@ -94,21 +94,40 @@ def _spread(df: DataFrame) -> DataFrame:
         est_parts = -(-size // max_split)
     except Exception:  # noqa: BLE001 — stats missing on exotic relations
         est_parts = df.rdd.getNumPartitions()
-    if est_parts >= par:
+        size = None
+    # Target partition count is sized to the DATA, capped by the core
+    # count (r15; guide §2.5 + the r14 driver's scaling block, which read
+    # 32-core anti-scaling ratios of 0.45-0.78 on the dd family). The r15
+    # adjudication, measured both in-process interleaved AND as separate
+    # 8-vs-32-core processes: the anti-scaling does NOT reproduce outside
+    # r14's contended window (current ratios 0.9-1.1), and capping the
+    # spread to >= 64 KB/task regresses the CPU-heavy consumers 2x at 32
+    # cores (txt4's Horner explode does ~200 window hashes per input KB —
+    # per-task CPU, not bytes, is what needs splitting). So the budget
+    # defaults to 16 KB/task: behavior at the measured corpus sizes is
+    # unchanged (594 KB documents → ceil = 37 ≥ par), while genuinely
+    # tiny inputs (a few KB) no longer pay a par-way shuffle for one
+    # task's worth of rows, and tgt<=1 skips the exchange entirely.
+    # Override via SPARK_GRAFT_SPREAD_BYTES for cluster tuning.
+    import os as _os
+
+    spread_bytes = int(_os.environ.get("SPARK_GRAFT_SPREAD_BYTES") or 16384)
+    tgt = par if size is None else min(par, max(1, -(-size // spread_bytes)))
+    if est_parts >= tgt or tgt <= 1:
         return df
     # HASH-partition on a deterministic synthetic key instead of the old
-    # keyless round-robin `repartition(par)`. Round-robin pays a local
+    # keyless round-robin `repartition(tgt)`. Round-robin pays a local
     # SORT of the map side first (spark.sql.execution.sortBeforeRepartition,
     # needed so task retries reproduce the row→partition assignment —
     # SPARK-23207) and that sort runs on the very under-partitioned input
     # _spread exists to fix: measured 0.75 s vs 0.37 s for the same 600k-row
     # one-partition redistribution (r14). xxhash64 over the whole row is
     # deterministic under retries (guide §2.5: derive synthetic keys
-    # deterministically, never from rand()), and 100×par distinct values
-    # spread evenly across par partitions. Exact-duplicate rows co-locate,
+    # deterministically, never from rand()), and 100×tgt distinct values
+    # spread evenly across tgt partitions. Exact-duplicate rows co-locate,
     # which every downstream here tolerates (their keyed exchanges re-hash).
-    par_key = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(100 * par))
-    return df.repartition(par, par_key)
+    par_key = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(100 * tgt))
+    return df.repartition(tgt, par_key)
 
 
 # Analyzed-plan node CLASSES that cannot introduce an exchange: for these

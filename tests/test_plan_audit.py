@@ -147,6 +147,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "txt18_source_divergence": "1-row corpus-token-total scalar (sum over the vocab aggregate, partial-aggregated), broadcast back as the TV-distance normalizer — the txt9 vocabulary-total shape",
     "llm20_dsir_selection": "1-row smoothing-totals scalar (vocab aggregate, partial-aggregated) + the global cut window over the BUCKET histogram (bounded by weight range / bucket width, never by |docs|) — the sk6 bounds / q4 digit-window classes",
     "dd12_lsh_ablation": "1-row |true pairs| scalar (count over the prefix-filter truth set, partial-aggregated), broadcast back as the recall denominator — the a5 count class",
+    "g16_kcore_peel": "r15 collect-free trajectory: one 1-row (count, Σdeg) aggregate per peel round over the node-grain degree relation, unioned into the 5-row result — each is partial-aggregated to one state per partition before the exchange (the a5 count class, × rounds+1); the old form hid the identical aggregates behind per-round driver collects",
 }
 
 
