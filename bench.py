@@ -11,8 +11,10 @@ written to BENCH_FULL.json alongside this script.
 Timing protocol (BASELINE.md): per-query wall-clock, MINIMUM of N warm runs
 (default 3, override BENCH_RUNS) — the minimum estimates the true cost
 robustly under transient co-tenant noise; the oracle side is measured with
-the same estimator. Results are materialized via count() on
-the query plan — no driver-side collect of payload rows.
+the same estimator. Results are materialized via the NOOP SINK
+(df.write.format("noop")) — every output row and column is evaluated
+executor-side with no driver-side collect of payload rows (the r14
+estimator fix; count() let Catalyst prune whole operator pipelines).
 """
 
 from __future__ import annotations
